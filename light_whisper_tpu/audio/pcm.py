@@ -1,0 +1,188 @@
+"""Host-side audio ingestion: inline PCM / WAV decode and resampling.
+
+Behavioral parity targets in the reference:
+
+- inline payload decode  → ``server_common.py:145-187`` (``decode_inline_audio``)
+- WAV header duration    → ``server_common.py:126-142``
+- linear-interp resample → ``qwen3_asr_server.py:230-243`` (``_resample``)
+- file loading           → ``qwen3_asr_server.py:256-267`` (soundfile + channel mean)
+
+These run on host (numpy): they are cheap, shape-dynamic, and feed the jitted
+TPU pipeline with fixed-rate 16 kHz float32 mono.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import io
+import struct
+import wave
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+TARGET_SAMPLE_RATE = 16_000
+
+
+def decode_inline_audio(
+    audio_base64: str,
+    audio_format: Optional[str],
+    sample_rate: Optional[int],
+) -> Tuple[Union[np.ndarray, io.BytesIO], float]:
+    """Decode a base64 inline payload into audio + duration (seconds).
+
+    ``pcm_s16le`` returns float32 samples scaled by 1/32768; ``wav`` returns a
+    BytesIO whose duration is read from the header. Mirrors the validation and
+    error strings of the reference decoder so client-side recovery heuristics
+    keep working.
+    """
+    if not audio_base64:
+        raise ValueError("缺少内存音频数据")
+
+    try:
+        audio_bytes = base64.b64decode(audio_base64, validate=True)
+    except (ValueError, binascii.Error) as exc:
+        raise ValueError(f"音频 base64 解码失败: {exc}") from exc
+
+    fmt = (audio_format or "pcm_s16le").lower()
+
+    if fmt == "pcm_s16le":
+        if not sample_rate or sample_rate <= 0:
+            raise ValueError("PCM 内存音频缺少有效采样率")
+        if len(audio_bytes) % 2 != 0:
+            raise ValueError("PCM s16le 数据字节数必须为偶数")
+        samples = np.frombuffer(audio_bytes, dtype="<i2")
+        duration = len(samples) / float(sample_rate)
+        return samples.astype(np.float32) / 32768.0, duration
+
+    if fmt == "wav":
+        duration = 0.0
+        try:
+            with io.BytesIO(audio_bytes) as buf:
+                with wave.open(buf, "rb") as reader:
+                    rate = reader.getframerate()
+                    if rate > 0:
+                        duration = reader.getnframes() / float(rate)
+        except Exception:
+            duration = 0.0
+        return io.BytesIO(audio_bytes), duration
+
+    raise ValueError(f"不支持的内存音频格式: {fmt}")
+
+
+def wav_duration_seconds(path: str) -> float:
+    """Fast duration probe from a canonical WAV header (no sample decode)."""
+    try:
+        with open(path, "rb") as f:
+            if f.read(4) != b"RIFF":
+                raise ValueError("not a RIFF file")
+            f.seek(28)
+            byte_rate = struct.unpack("<I", f.read(4))[0]
+            f.seek(40)
+            data_size = struct.unpack("<I", f.read(4))[0]
+        if byte_rate <= 0:
+            raise ValueError(f"invalid byte rate: {byte_rate}")
+        return data_size / byte_rate
+    except Exception:
+        return 0.0
+
+
+def resample_linear(audio: np.ndarray, source_rate: int, target_rate: int = TARGET_SAMPLE_RATE) -> np.ndarray:
+    """Linear-interpolation resample, numerically matching the reference.
+
+    The reference maps ``target_length`` points over ``linspace(0, len-1)`` and
+    interpolates (``qwen3_asr_server.py:230-243``); transcripts are sensitive
+    to the frontend, so the exact same sample grid is used here.
+    """
+    audio = np.asarray(audio)
+    if source_rate == target_rate:
+        return audio.astype(np.float32, copy=False)
+    target_length = int(round(len(audio) * target_rate / source_rate))
+    if target_length <= 0:
+        return np.empty(0, dtype=np.float32)
+    positions = np.linspace(0, max(0, len(audio) - 1), target_length)
+    return np.interp(
+        positions,
+        np.arange(len(audio), dtype=np.float64),
+        audio,
+    ).astype(np.float32)
+
+
+def read_audio_file_mono_f32(path: str) -> Tuple[np.ndarray, int]:
+    """Read an audio file to (float32 mono samples, source_rate).
+
+    Supports WAV PCM 16/24/32-bit and IEEE float32 — the formats the shell
+    actually writes (``audio_service/wav.rs`` emits mono 16-bit PCM). Multi-
+    channel audio is averaged to mono like the reference's soundfile path.
+    """
+    with open(path, "rb") as f:
+        header = f.read(12)
+    if len(header) >= 12 and header[:4] == b"RIFF" and header[8:12] == b"WAVE":
+        return _read_wav_mono_f32(path)
+    raise ValueError(f"不支持的音频文件格式: {path}")
+
+
+def _read_wav_mono_f32(path: str) -> Tuple[np.ndarray, int]:
+    with open(path, "rb") as f:
+        data = f.read()
+
+    # Walk RIFF chunks explicitly: the stdlib wave module rejects float WAVs
+    # and non-canonical chunk layouts that soundfile accepted.
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        chunk_size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + chunk_size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            payload = body
+        pos += 8 + chunk_size + (chunk_size & 1)
+    if fmt is None or payload is None:
+        raise ValueError("WAV missing fmt/data chunks")
+
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format == 0xFFFE and len(payload) > 0:
+        # WAVE_FORMAT_EXTENSIBLE: sub-format GUID starts with the format tag.
+        audio_format = 1 if bits in (16, 24, 32) else 3
+
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        samples = np.frombuffer(payload, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 1 and bits == 24:
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+        as_int = (
+            raw[:, 0].astype(np.int32)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | (raw[:, 2].astype(np.int32) << 16)
+        )
+        as_int = np.where(as_int >= 1 << 23, as_int - (1 << 24), as_int)
+        samples = as_int.astype(np.float32) / 8388608.0
+    elif audio_format == 3 and bits == 32:
+        samples = np.frombuffer(payload, dtype="<f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV encoding: format={audio_format} bits={bits}")
+
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels]
+        samples = samples.reshape(-1, channels).mean(axis=1, dtype=np.float32)
+    return np.ascontiguousarray(samples, dtype=np.float32), rate
+
+
+def encode_wav_mono_s16(samples_f32: np.ndarray, sample_rate: int) -> bytes:
+    """Encode mono float32 samples to canonical 16-bit PCM WAV bytes."""
+    pcm = np.clip(np.asarray(samples_f32) * 32768.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()

@@ -1,0 +1,135 @@
+"""Protocol contract tests over in-memory pipes.
+
+Mirrors the robustness contracts the reference pins on the Rust client side
+(``funasr_service.rs:1978-2072``) and the Python dispatch loop
+(``server_common.py:339-437``).
+"""
+
+import io
+import json
+
+from light_whisper_tpu.runtime.server import EngineServer, ServerHooks
+
+
+def _hooks(**overrides):
+    base = dict(
+        initialize=lambda: {"success": True, "message": "ready", "engine": "fake"},
+        transcribe=lambda **kw: {"success": True, "text": "hi", "input_mode": "memory"},
+        status=lambda: {"success": True, "initialized": True},
+        stats=lambda: {"transcription_count": 0},
+    )
+    base.update(overrides)
+    return ServerHooks(**base)
+
+
+def run_server(lines, hooks=None):
+    stdin = io.StringIO("".join(line + "\n" for line in lines))
+    stdout = io.StringIO()
+    EngineServer(hooks or _hooks(), stdin=stdin, stdout=stdout).run()
+    return [json.loads(line) for line in stdout.getvalue().splitlines()]
+
+
+def test_init_result_is_first_line():
+    out = run_server([])
+    assert out[0] == {"success": True, "message": "ready", "engine": "fake"}
+
+
+def test_request_id_echoed_on_every_action():
+    out = run_server(
+        [
+            json.dumps({"action": "status", "request_id": 7}),
+            json.dumps({"action": "stats", "request_id": 8}),
+            json.dumps({"action": "cleanup", "request_id": 9}),
+        ]
+    )
+    assert [r.get("request_id") for r in out[1:]] == [7, 8, 9]
+    assert out[2]["stats"] == {"transcription_count": 0}
+
+
+def test_legacy_commands_without_request_id_still_answered():
+    out = run_server([json.dumps({"action": "status"})])
+    assert "request_id" not in out[1]
+    assert out[1]["success"] is True
+
+
+def test_invalid_json_line_gets_error_without_request_id():
+    out = run_server(["this is not json", json.dumps({"action": "status", "request_id": 1})])
+    assert out[1]["success"] is False
+    assert "request_id" not in out[1]
+    # The loop must survive garbage and keep serving.
+    assert out[2]["request_id"] == 1
+
+
+def test_unknown_action_is_reported():
+    out = run_server([json.dumps({"action": "fly", "request_id": 3})])
+    assert out[1]["success"] is False
+    assert "fly" in out[1]["error"]
+    assert out[1]["request_id"] == 3
+
+
+def test_exit_echoes_request_id_and_stops_loop():
+    out = run_server(
+        [
+            json.dumps({"action": "exit", "request_id": 5}),
+            json.dumps({"action": "status", "request_id": 6}),
+        ]
+    )
+    assert out[1]["request_id"] == 5
+    assert len(out) == 2  # nothing served after exit
+
+
+def test_blank_lines_are_skipped():
+    out = run_server(["", "   ", json.dumps({"action": "status", "request_id": 2})])
+    assert len(out) == 2
+    assert out[1]["request_id"] == 2
+
+
+def test_transcribe_hook_receives_all_fields():
+    seen = {}
+
+    def transcribe(**kw):
+        seen.update(kw)
+        return {"success": True, "text": "", "input_mode": "memory"}
+
+    cmd = {
+        "action": "transcribe",
+        "request_id": 11,
+        "audio_base64": "AAAA",
+        "audio_format": "pcm_s16le",
+        "sample_rate": 16000,
+        "hot_words": ["foo"],
+    }
+    out = run_server([json.dumps(cmd)], hooks=_hooks(transcribe=transcribe))
+    assert out[1]["request_id"] == 11
+    assert seen["audio_base64"] == "AAAA"
+    assert seen["sample_rate"] == 16000
+    assert seen["hot_words"] == ["foo"]
+    assert seen["audio_path"] is None
+
+
+def test_hook_exception_becomes_error_response_with_traceback():
+    def boom(**kw):
+        raise RuntimeError("kaboom")
+
+    out = run_server(
+        [json.dumps({"action": "transcribe", "request_id": 4})],
+        hooks=_hooks(transcribe=boom),
+    )
+    assert out[1]["success"] is False
+    assert "kaboom" in out[1]["error"]
+    assert out[1]["request_id"] == 4
+    assert "traceback" in out[1]
+
+
+def test_failing_initialize_still_emits_init_line():
+    def bad_init():
+        raise RuntimeError("no model")
+
+    out = run_server([], hooks=_hooks(initialize=bad_init))
+    assert out[0]["success"] is False
+    assert "no model" in out[0]["error"]
+
+
+def test_bool_request_id_is_not_an_id():
+    out = run_server([json.dumps({"action": "status", "request_id": True})])
+    assert "request_id" not in out[1]
