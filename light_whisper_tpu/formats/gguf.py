@@ -1,0 +1,407 @@
+"""GGUF container reader/writer.
+
+The reference ships Qwen3-ASR weights as Q8_0 GGUF files consumed by a C++
+runtime (``transcribe-cpp``, see ``qwen3_asr_server.py:114-133`` and the model
+registry ``hf_cache_utils.py:11-26``). This module implements the GGUF v3
+format natively so the TPU engine can load the very same artifacts:
+
+- memory-mapped zero-copy reads (weights stay out of the Python heap until a
+  tensor is materialized on device),
+- metadata key/value parsing (the model config — layer counts, dims, RoPE
+  parameters, tokenizer vocab/merges — lives in metadata),
+- a writer used by tests and export tooling to build valid GGUF files,
+  including Q8_0 quantization.
+
+GGML stores dims fastest-first (``ne[0]`` = contiguous row length). Arrays are
+exposed in numpy order, i.e. ``shape == tuple(reversed(ne))``; a 2-D weight
+reads as ``(out_features, in_features)`` with quantization blocks running
+along the last (in-feature) axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+GGUF_MAGIC = 0x46554747  # "GGUF" little-endian
+GGUF_VERSION = 3
+DEFAULT_ALIGNMENT = 32
+
+# ggml tensor type ids (subset used by Qwen3-ASR Q8_0 artifacts).
+GGML_F32 = 0
+GGML_F16 = 1
+GGML_Q8_0 = 8
+GGML_I8 = 24
+GGML_I16 = 25
+GGML_I32 = 26
+GGML_I64 = 27
+GGML_F64 = 28
+GGML_BF16 = 30
+
+Q8_0_BLOCK = 32
+Q8_0_BLOCK_BYTES = 2 + Q8_0_BLOCK  # f16 scale + 32 int8 quants
+
+_SIMPLE_TYPE_NP = {
+    GGML_F32: np.dtype("<f4"),
+    GGML_F16: np.dtype("<f2"),
+    GGML_I8: np.dtype("i1"),
+    GGML_I16: np.dtype("<i2"),
+    GGML_I32: np.dtype("<i4"),
+    GGML_I64: np.dtype("<i8"),
+    GGML_F64: np.dtype("<f8"),
+}
+
+# metadata value type ids
+_MV_U8, _MV_I8, _MV_U16, _MV_I16, _MV_U32, _MV_I32, _MV_F32, _MV_BOOL = range(8)
+_MV_STRING, _MV_ARRAY, _MV_U64, _MV_I64, _MV_F64 = 8, 9, 10, 11, 12
+
+_SCALAR_FMT = {
+    _MV_U8: "<B",
+    _MV_I8: "<b",
+    _MV_U16: "<H",
+    _MV_I16: "<h",
+    _MV_U32: "<I",
+    _MV_I32: "<i",
+    _MV_F32: "<f",
+    _MV_U64: "<Q",
+    _MV_I64: "<q",
+    _MV_F64: "<d",
+}
+
+
+# ---------------------------------------------------------------------------
+# Q8_0 codec
+# ---------------------------------------------------------------------------
+
+
+def quantize_q8_0(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Quantize along the last axis into (int8 quants, f16 per-block scales).
+
+    Matches ggml's reference row quantizer: ``d = absmax/127``,
+    ``q = round(x/d)`` with a zero scale producing zero quants.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    if x.shape[-1] % Q8_0_BLOCK != 0:
+        raise ValueError(f"last dim {x.shape[-1]} not divisible by {Q8_0_BLOCK}")
+    blocks = x.reshape(*x.shape[:-1], x.shape[-1] // Q8_0_BLOCK, Q8_0_BLOCK)
+    absmax = np.max(np.abs(blocks), axis=-1)
+    d = (absmax / 127.0).astype(np.float16)
+    df = d.astype(np.float32)
+    inv = np.where(df > 0, 1.0 / np.where(df > 0, df, 1.0), 0.0)
+    q = np.rint(blocks * inv[..., None]).astype(np.int8)
+    return q.reshape(x.shape), d
+
+
+def dequantize_q8_0(q: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`quantize_q8_0` (float32 output)."""
+    q = np.asarray(q)
+    blocks = q.reshape(*q.shape[:-1], q.shape[-1] // Q8_0_BLOCK, Q8_0_BLOCK)
+    out = blocks.astype(np.float32) * np.asarray(d, dtype=np.float32)[..., None]
+    return out.reshape(q.shape)
+
+
+def _q8_0_to_bytes(q: np.ndarray, d: np.ndarray) -> bytes:
+    """Interleave scales/quants into ggml's block_q8_0 wire layout."""
+    nblocks = q.size // Q8_0_BLOCK
+    out = np.empty(nblocks * Q8_0_BLOCK_BYTES, dtype=np.uint8)
+    rec = out.reshape(nblocks, Q8_0_BLOCK_BYTES)
+    rec[:, :2] = d.astype("<f2").reshape(-1, 1).view(np.uint8).reshape(nblocks, 2)
+    rec[:, 2:] = q.reshape(nblocks, Q8_0_BLOCK).view(np.uint8)
+    return out.tobytes()
+
+
+def _q8_0_from_bytes(raw: np.ndarray, shape: Tuple[int, ...]) -> Tuple[np.ndarray, np.ndarray]:
+    """Split block_q8_0 bytes into (int8 quants, f16 scales), both shaped."""
+    n_elems = int(np.prod(shape)) if shape else 1
+    nblocks = n_elems // Q8_0_BLOCK
+    rec = raw[: nblocks * Q8_0_BLOCK_BYTES].reshape(nblocks, Q8_0_BLOCK_BYTES)
+    d = rec[:, :2].copy().view("<f2").reshape(*shape[:-1], shape[-1] // Q8_0_BLOCK)
+    q = rec[:, 2:].copy().view(np.int8).reshape(shape)
+    return q, d
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GGUFTensor:
+    name: str
+    shape: Tuple[int, ...]  # numpy order (reversed ggml ne)
+    ggml_type: int
+    data_offset: int  # absolute offset in file
+    nbytes: int
+    _mmap: np.memmap = dataclasses.field(repr=False, default=None)
+
+    def raw(self) -> np.ndarray:
+        """Raw byte view into the memory-mapped file (no copy)."""
+        return self._mmap[self.data_offset : self.data_offset + self.nbytes]
+
+    def array(self) -> np.ndarray:
+        """Materialize as float32/original-dtype numpy array (copies)."""
+        if self.ggml_type in _SIMPLE_TYPE_NP:
+            dt = _SIMPLE_TYPE_NP[self.ggml_type]
+            return (
+                self.raw().copy().view(dt).reshape(self.shape)
+            )
+        if self.ggml_type == GGML_BF16:
+            u16 = self.raw().copy().view("<u2").astype(np.uint32) << 16
+            return u16.view(np.float32).reshape(self.shape)
+        if self.ggml_type == GGML_Q8_0:
+            q, d = _q8_0_from_bytes(self.raw(), self.shape)
+            return dequantize_q8_0(q, d)
+        raise NotImplementedError(f"ggml type {self.ggml_type}")
+
+    def q8_0_parts(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (int8 quants, f16 scales) without dequantizing.
+
+        This is the TPU loading path: int8 quants ship to HBM as-is and the
+        dequant fuses into the matmul kernel (``ops.q8_matmul``).
+        """
+        if self.ggml_type != GGML_Q8_0:
+            raise ValueError(f"{self.name} is not Q8_0")
+        return _q8_0_from_bytes(self.raw(), self.shape)
+
+
+class GGUFFile:
+    def __init__(self, path: str):
+        self.path = path
+        self.metadata: Dict[str, Any] = {}
+        self.tensors: Dict[str, GGUFTensor] = {}
+        self._mmap = np.memmap(path, dtype=np.uint8, mode="r")
+        self._parse()
+
+    # -- low-level cursor helpers ------------------------------------------
+
+    def _parse(self) -> None:
+        buf = self._mmap
+        pos = 0
+
+        def take(fmt: str):
+            nonlocal pos
+            size = struct.calcsize(fmt)
+            vals = struct.unpack_from(fmt, buf, pos)
+            pos += size
+            return vals[0] if len(vals) == 1 else vals
+
+        def take_string() -> str:
+            nonlocal pos
+            n = take("<Q")
+            s = bytes(buf[pos : pos + n]).decode("utf-8")
+            pos += n
+            return s
+
+        def take_value(vtype: int):
+            nonlocal pos
+            if vtype in _SCALAR_FMT:
+                return take(_SCALAR_FMT[vtype])
+            if vtype == _MV_BOOL:
+                return bool(take("<B"))
+            if vtype == _MV_STRING:
+                return take_string()
+            if vtype == _MV_ARRAY:
+                elem_type = take("<I")
+                count = take("<Q")
+                if elem_type in _SCALAR_FMT and elem_type != _MV_F64:
+                    fmt = _SCALAR_FMT[elem_type]
+                    size = struct.calcsize(fmt)
+                    arr = np.frombuffer(buf, dtype=np.dtype(fmt[1:]).newbyteorder("<"), count=count, offset=pos)
+                    pos += size * count
+                    return arr.tolist() if count < 1 << 20 else arr
+                return [take_value(elem_type) for _ in range(count)]
+            raise ValueError(f"unknown metadata value type {vtype}")
+
+        magic = take("<I")
+        if magic != GGUF_MAGIC:
+            raise ValueError(f"{self.path}: not a GGUF file")
+        version = take("<I")
+        if version not in (2, 3):
+            raise ValueError(f"unsupported GGUF version {version}")
+        tensor_count = take("<Q")
+        kv_count = take("<Q")
+
+        for _ in range(kv_count):
+            key = take_string()
+            vtype = take("<I")
+            self.metadata[key] = take_value(vtype)
+
+        alignment = int(self.metadata.get("general.alignment", DEFAULT_ALIGNMENT))
+
+        infos: List[Tuple[str, Tuple[int, ...], int, int]] = []
+        for _ in range(tensor_count):
+            name = take_string()
+            n_dims = take("<I")
+            ne = [take("<Q") for _ in range(n_dims)]
+            ggml_type = take("<I")
+            offset = take("<Q")
+            infos.append((name, tuple(reversed(ne)), ggml_type, offset))
+
+        data_start = (pos + alignment - 1) // alignment * alignment
+        for name, shape, ggml_type, offset in infos:
+            nbytes = tensor_nbytes(shape, ggml_type)
+            self.tensors[name] = GGUFTensor(
+                name=name,
+                shape=shape,
+                ggml_type=ggml_type,
+                data_offset=data_start + offset,
+                nbytes=nbytes,
+                _mmap=self._mmap,
+            )
+
+    def close(self) -> None:
+        # memmap closes when garbage collected; keep explicit hook for parity
+        # with the reference runtime's close() semantics.
+        self._mmap = None
+        for t in self.tensors.values():
+            t._mmap = None
+
+
+def tensor_nbytes(shape: Sequence[int], ggml_type: int) -> int:
+    n = 1
+    for s in shape:
+        n *= int(s)
+    if ggml_type in _SIMPLE_TYPE_NP:
+        return n * _SIMPLE_TYPE_NP[ggml_type].itemsize
+    if ggml_type == GGML_BF16:
+        return n * 2
+    if ggml_type == GGML_Q8_0:
+        if shape and shape[-1] % Q8_0_BLOCK != 0:
+            raise ValueError("Q8_0 tensor last dim must be a multiple of 32")
+        return n // Q8_0_BLOCK * Q8_0_BLOCK_BYTES
+    raise NotImplementedError(f"ggml type {ggml_type}")
+
+
+def read_gguf(path: str) -> GGUFFile:
+    return GGUFFile(path)
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+def _encode_value(value: Any) -> bytes:
+    """Encode a Python value as (type_id, payload) with inferred type."""
+    out = bytearray()
+    if isinstance(value, bool):
+        out += struct.pack("<I", _MV_BOOL) + struct.pack("<B", int(value))
+    elif isinstance(value, int):
+        if -(1 << 31) <= value < (1 << 31):
+            out += struct.pack("<I", _MV_I32) + struct.pack("<i", value)
+        else:
+            out += struct.pack("<I", _MV_I64) + struct.pack("<q", value)
+    elif isinstance(value, float):
+        out += struct.pack("<I", _MV_F32) + struct.pack("<f", value)
+    elif isinstance(value, str):
+        raw = value.encode("utf-8")
+        out += struct.pack("<I", _MV_STRING) + struct.pack("<Q", len(raw)) + raw
+    elif isinstance(value, (list, tuple, np.ndarray)):
+        items = list(value)
+        out += struct.pack("<I", _MV_ARRAY)
+        if all(isinstance(v, str) for v in items):
+            out += struct.pack("<I", _MV_STRING) + struct.pack("<Q", len(items))
+            for v in items:
+                raw = v.encode("utf-8")
+                out += struct.pack("<Q", len(raw)) + raw
+        elif all(isinstance(v, bool) for v in items):
+            out += struct.pack("<I", _MV_BOOL) + struct.pack("<Q", len(items))
+            out += bytes(int(v) for v in items)
+        elif all(isinstance(v, (int, np.integer)) for v in items):
+            out += struct.pack("<I", _MV_I32) + struct.pack("<Q", len(items))
+            for v in items:
+                out += struct.pack("<i", int(v))
+        elif all(isinstance(v, (int, float, np.floating, np.integer)) for v in items):
+            out += struct.pack("<I", _MV_F32) + struct.pack("<Q", len(items))
+            for v in items:
+                out += struct.pack("<f", float(v))
+        else:
+            raise TypeError(f"cannot encode heterogeneous array: {items[:4]}")
+    else:
+        raise TypeError(f"cannot encode metadata value of type {type(value)}")
+    return bytes(out)
+
+
+def write_gguf(
+    path: str,
+    metadata: Dict[str, Any],
+    tensors: Dict[str, Union[np.ndarray, Tuple[np.ndarray, int]]],
+    alignment: int = DEFAULT_ALIGNMENT,
+) -> None:
+    """Write a GGUF v3 file.
+
+    ``tensors`` maps name → array or (array, ggml_type). f32/f16 arrays pass
+    through; requesting ``GGML_Q8_0`` quantizes a float array on the fly.
+    """
+    entries = []  # (name, ne, ggml_type, payload_bytes)
+    for name, spec in tensors.items():
+        if isinstance(spec, tuple):
+            arr, ggml_type = spec
+        else:
+            arr = spec
+            ggml_type = {
+                np.dtype(np.float32): GGML_F32,
+                np.dtype(np.float16): GGML_F16,
+                np.dtype(np.int8): GGML_I8,
+                np.dtype(np.int32): GGML_I32,
+                np.dtype(np.int64): GGML_I64,
+            }[np.dtype(arr.dtype)]
+        arr = np.asarray(arr)
+        if ggml_type == GGML_Q8_0:
+            q, d = quantize_q8_0(arr.astype(np.float32))
+            payload = _q8_0_to_bytes(q, d)
+        elif ggml_type == GGML_F16:
+            payload = arr.astype("<f2").tobytes()
+        elif ggml_type == GGML_F32:
+            payload = arr.astype("<f4").tobytes()
+        elif ggml_type == GGML_BF16:
+            u32 = arr.astype(np.float32).view(np.uint32)
+            payload = ((u32 + 0x8000) >> 16).astype("<u2").tobytes()
+        elif ggml_type in _SIMPLE_TYPE_NP:
+            payload = arr.astype(_SIMPLE_TYPE_NP[ggml_type]).tobytes()
+        else:
+            raise NotImplementedError(f"writer: ggml type {ggml_type}")
+        ne = tuple(reversed(arr.shape))
+        entries.append((name, ne, ggml_type, payload))
+
+    meta = dict(metadata)
+    meta.setdefault("general.alignment", alignment)
+
+    head = bytearray()
+    head += struct.pack("<IIQQ", GGUF_MAGIC, GGUF_VERSION, len(entries), len(meta))
+    for key, value in meta.items():
+        raw = key.encode("utf-8")
+        head += struct.pack("<Q", len(raw)) + raw
+        if key == "general.alignment":
+            head += struct.pack("<I", _MV_U32) + struct.pack("<I", int(value))
+        else:
+            head += _encode_value(value)
+
+    # tensor infos with running aligned offsets
+    offsets = []
+    cursor = 0
+    for _name, _ne, _t, payload in entries:
+        offsets.append(cursor)
+        cursor += len(payload)
+        cursor = (cursor + alignment - 1) // alignment * alignment
+
+    for (name, ne, ggml_type, _payload), off in zip(entries, offsets):
+        raw = name.encode("utf-8")
+        head += struct.pack("<Q", len(raw)) + raw
+        head += struct.pack("<I", len(ne))
+        for d in ne:
+            head += struct.pack("<Q", d)
+        head += struct.pack("<IQ", ggml_type, off)
+
+    with open(path, "wb") as f:
+        f.write(head)
+        data_start = (len(head) + alignment - 1) // alignment * alignment
+        f.write(b"\x00" * (data_start - len(head)))
+        cursor = 0
+        for (_n, _ne, _t, payload), off in zip(entries, offsets):
+            f.write(b"\x00" * (off - cursor))
+            f.write(payload)
+            cursor = off + len(payload)

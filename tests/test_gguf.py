@@ -1,0 +1,99 @@
+"""GGUF container round-trip and Q8_0 codec tests."""
+
+import numpy as np
+import pytest
+
+from light_whisper_tpu.formats import gguf
+
+
+def test_q8_0_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 64)).astype(np.float32)
+    q, d = gguf.quantize_q8_0(x)
+    back = gguf.dequantize_q8_0(q, d)
+    # Max error per block is scale/2 = absmax/254.
+    absmax = np.abs(x.reshape(8, 2, 32)).max(axis=-1, keepdims=True)
+    bound = np.broadcast_to(absmax / 254 * 1.01 + 1e-3, (8, 2, 32)).reshape(8, 64)
+    assert np.all(np.abs(back - x) <= bound)
+
+
+def test_q8_0_zero_block():
+    x = np.zeros((1, 32), dtype=np.float32)
+    q, d = gguf.quantize_q8_0(x)
+    assert np.all(q == 0)
+    np.testing.assert_array_equal(gguf.dequantize_q8_0(q, d), x)
+
+
+def test_q8_0_rejects_bad_block_size():
+    with pytest.raises(ValueError):
+        gguf.quantize_q8_0(np.zeros((2, 33), dtype=np.float32))
+
+
+def test_gguf_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((16, 64)).astype(np.float32)
+    b = rng.standard_normal((16,)).astype(np.float32)
+    ids = np.arange(10, dtype=np.int32)
+    meta = {
+        "general.architecture": "qwen3-asr",
+        "qwen3asr.block_count": 28,
+        "qwen3asr.rope.freq_base": 1000000.0,
+        "tokenizer.ggml.tokens": ["a", "b", "<eos>"],
+        "tokenizer.ggml.token_type": [1, 1, 3],
+        "some.flag": True,
+        "some.big": 1 << 40,
+    }
+    path = str(tmp_path / "t.gguf")
+    gguf.write_gguf(
+        path,
+        meta,
+        {
+            "w.q8": (w, gguf.GGML_Q8_0),
+            "w.f32": w,
+            "w.f16": (w, gguf.GGML_F16),
+            "w.bf16": (w, gguf.GGML_BF16),
+            "b": b,
+            "ids": ids,
+        },
+    )
+    f = gguf.read_gguf(path)
+    assert f.metadata["general.architecture"] == "qwen3-asr"
+    assert f.metadata["qwen3asr.block_count"] == 28
+    assert f.metadata["qwen3asr.rope.freq_base"] == pytest.approx(1e6)
+    assert f.metadata["tokenizer.ggml.tokens"] == ["a", "b", "<eos>"]
+    assert f.metadata["tokenizer.ggml.token_type"] == [1, 1, 3]
+    assert f.metadata["some.flag"] is True
+    assert f.metadata["some.big"] == 1 << 40
+
+    assert f.tensors["w.f32"].shape == (16, 64)
+    np.testing.assert_array_equal(f.tensors["w.f32"].array(), w)
+    np.testing.assert_array_equal(f.tensors["b"].array(), b)
+    np.testing.assert_array_equal(f.tensors["ids"].array(), ids)
+    np.testing.assert_allclose(f.tensors["w.f16"].array(), w.astype(np.float16), rtol=1e-3)
+    np.testing.assert_allclose(f.tensors["w.bf16"].array(), w, rtol=1e-2)
+
+    # Q8_0: dequant path and parts path agree.
+    t = f.tensors["w.q8"]
+    q, d = t.q8_0_parts()
+    assert q.dtype == np.int8 and d.dtype == np.float16
+    assert q.shape == (16, 64) and d.shape == (16, 2)
+    np.testing.assert_array_equal(gguf.dequantize_q8_0(q, d), t.array())
+    np.testing.assert_allclose(t.array(), w, atol=np.abs(w).max() / 100)
+
+
+def test_gguf_alignment_and_offsets(tmp_path):
+    path = str(tmp_path / "a.gguf")
+    tensors = {f"t{i}": np.full((7,), i, dtype=np.float32) for i in range(5)}
+    gguf.write_gguf(path, {}, tensors, alignment=64)
+    f = gguf.read_gguf(path)
+    for i in range(5):
+        t = f.tensors[f"t{i}"]
+        assert t.data_offset % 64 == 0
+        np.testing.assert_array_equal(t.array(), np.full((7,), i, dtype=np.float32))
+
+
+def test_gguf_rejects_non_gguf(tmp_path):
+    p = tmp_path / "bad.bin"
+    p.write_bytes(b"NOPE" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        gguf.read_gguf(str(p))
