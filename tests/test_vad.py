@@ -1,0 +1,215 @@
+"""FireRedVAD parity tests.
+
+The JAX DFSMN is validated against a direct numpy execution of the ONNX graph
+semantics (lookback/lookahead convs with explicit slices — an independent
+oracle for the fused kernel), bucket-padding invariance is checked, and the
+reference's published smoke numbers are pinned (1 s of silence → 98 frames,
+no segments, ``test_firered_vad.py:53-59``).
+"""
+
+import numpy as np
+import pytest
+
+from light_whisper_tpu.models.vad import dfsmn
+from light_whisper_tpu.models.vad.api import BUNDLED_WEIGHTS, FireRedVadTPU, bucket_samples
+from light_whisper_tpu.models.vad.onnx_import import NUM_BLOCKS
+from light_whisper_tpu.models.vad.segmenter import (
+    SegmenterOptions,
+    smooth_probabilities,
+    speech_segments,
+)
+from light_whisper_tpu.formats import gguf
+
+
+@pytest.fixture(scope="module")
+def vad():
+    return FireRedVadTPU()
+
+
+@pytest.fixture(scope="module")
+def flat_params():
+    f = gguf.read_gguf(BUNDLED_WEIGHTS)
+    flat = {n: t.array() for n, t in f.tensors.items() if not n.startswith("cmvn.")}
+    f.close()
+    return flat
+
+
+# ---------------------------------------------------------------------------
+# numpy oracle mirroring the ONNX graph structure
+# ---------------------------------------------------------------------------
+
+
+def _memory_block_np(x, back, ahead):
+    """x: [T, 128]; back/ahead: [128, 20]. Direct ONNX-graph semantics."""
+    T = x.shape[0]
+    xp = np.pad(x, ((19, 19), (0, 0)))
+    conv = np.zeros((T + 19, x.shape[1]), dtype=np.float64)
+    for t in range(T + 19):
+        window = xp[t : t + 20]
+        conv[t] = (window * back.T).sum(axis=0)
+    lookback = conv[:T]
+
+    conv2 = np.zeros((T + 19, x.shape[1]), dtype=np.float64)
+    for t in range(T + 19):
+        window = xp[t : t + 20]
+        conv2[t] = (window * ahead.T).sum(axis=0)
+    lookahead = np.concatenate([conv2[20:], np.zeros((1, x.shape[1]))], axis=0)
+    return x + lookback + lookahead
+
+
+def _dfsmn_np(flat, feat):
+    relu = lambda v: np.maximum(v, 0.0)
+    h = relu(feat @ flat["fc1.w"] + flat["fc1.b"])
+    h = relu(h @ flat["fc2.w"] + flat["fc2.b"])
+    prev = _memory_block_np(h, flat["fsmn1.back"], flat["fsmn1.ahead"])
+    for i in range(NUM_BLOCKS):
+        z = relu(prev @ flat[f"blocks.{i}.fc1.w"] + flat[f"blocks.{i}.fc1.b"])
+        z = z @ flat[f"blocks.{i}.fc2.w"]
+        z = _memory_block_np(z, flat[f"blocks.{i}.back"], flat[f"blocks.{i}.ahead"])
+        prev = z + prev
+    h = relu(prev @ flat["dnn.w"] + flat["dnn.b"])
+    logit = h @ flat["out.w"] + flat["out.b"]
+    return 1.0 / (1.0 + np.exp(-logit[:, 0]))
+
+
+def test_dfsmn_matches_onnx_graph_oracle(flat_params):
+    rng = np.random.default_rng(0)
+    feat = rng.standard_normal((50, 80)).astype(np.float32)
+    want = _dfsmn_np(flat_params, feat.astype(np.float64))
+    params = dfsmn.prepare_device_params(flat_params)
+    got = np.asarray(dfsmn.dfsmn_probs(params, feat, np.int32(50)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_dfsmn_padding_parity(flat_params):
+    """Frames beyond valid_frames must not change valid outputs."""
+    rng = np.random.default_rng(1)
+    feat = rng.standard_normal((40, 80)).astype(np.float32)
+    params = dfsmn.prepare_device_params(flat_params)
+    exact = np.asarray(dfsmn.dfsmn_probs(params, feat, np.int32(40)))[:40]
+    padded = np.concatenate([feat, rng.standard_normal((60, 80)).astype(np.float32)])
+    from_padded = np.asarray(dfsmn.dfsmn_probs(params, padded, np.int32(40)))[:40]
+    np.testing.assert_allclose(from_padded, exact, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end API
+# ---------------------------------------------------------------------------
+
+
+def test_silence_produces_98_frames_and_no_segments(vad):
+    audio = np.zeros(16000, dtype=np.float32)
+    probs = vad.probabilities(audio)
+    assert probs.shape == (98,)
+    assert vad.speech_timestamps(audio) == []
+
+
+def test_probabilities_bucket_invariance(vad):
+    """Internal shape-bucket padding must equal an exact unpadded run."""
+    from light_whisper_tpu.audio import fbank as kfb
+    from light_whisper_tpu.models.vad.api import _vad_probs_padded
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(12345) * 0.05).astype(np.float32)
+    probs = vad.probabilities(audio)  # goes through bucket padding (16000)
+
+    frames = kfb.num_frames(len(audio))
+    exact = np.asarray(
+        _vad_probs_padded(
+            vad._params,
+            vad._cmvn_mean,
+            vad._cmvn_inv_std,
+            jnp.asarray(audio),
+            jnp.int32(frames),
+            frames,
+        )
+    )
+    np.testing.assert_allclose(probs, exact[: len(probs)], rtol=1e-4, atol=1e-5)
+
+
+def test_empty_and_tiny_audio(vad):
+    assert vad.probabilities(np.zeros(0, dtype=np.float32)).size == 0
+    assert vad.probabilities(np.zeros(399, dtype=np.float32)).size == 0
+    assert vad.speech_timestamps(np.zeros(100, dtype=np.float32)) == []
+
+
+# ---------------------------------------------------------------------------
+# segmenter unit tests (synthetic probability arrays)
+# ---------------------------------------------------------------------------
+
+
+def test_smoothing_warmup_is_cumulative_mean():
+    probs = np.array([1.0, 0.0, 1.0, 0.0, 1.0, 1.0, 1.0], dtype=np.float32)
+    sm = smooth_probabilities(probs, 5)
+    np.testing.assert_allclose(sm[0], 1.0)
+    np.testing.assert_allclose(sm[1], 0.5)
+    np.testing.assert_allclose(sm[2], 2 / 3, rtol=1e-6)
+    np.testing.assert_allclose(sm[3], 0.5)
+    np.testing.assert_allclose(sm[4], 3 / 5)
+    np.testing.assert_allclose(sm[5], 3 / 5)
+    np.testing.assert_allclose(sm[6], 4 / 5)
+
+
+def test_segments_basic_speech_run():
+    # 100 frames: speech frames 20..59 (smoothing off for determinism).
+    probs = np.zeros(100, dtype=np.float32)
+    probs[20:60] = 1.0
+    opts = SegmenterOptions(smooth_window_frames=1, speech_pad_ms=0)
+    segs = speech_segments(probs, 16000, opts)
+    assert segs == [{"start": 20 * 160, "end": 60 * 160}]
+
+
+def test_segments_short_blip_rejected():
+    probs = np.zeros(100, dtype=np.float32)
+    probs[10:20] = 1.0  # 10 frames < min_speech 15
+    opts = SegmenterOptions(smooth_window_frames=1, min_speech_duration_ms=150)
+    assert speech_segments(probs, 16000, opts) == []
+
+
+def test_segments_short_silence_bridged():
+    probs = np.zeros(200, dtype=np.float32)
+    probs[20:60] = 1.0
+    probs[70:110] = 1.0  # 10-frame gap < min_silence 30 → one segment
+    opts = SegmenterOptions(smooth_window_frames=1, speech_pad_ms=0)
+    segs = speech_segments(probs, 200 * 160, opts)
+    assert len(segs) == 1
+    assert segs[0]["start"] == 20 * 160
+
+
+def test_segments_long_silence_splits():
+    probs = np.zeros(300, dtype=np.float32)
+    probs[20:60] = 1.0
+    probs[120:160] = 1.0  # 60-frame gap ≥ 30 → two segments
+    opts = SegmenterOptions(smooth_window_frames=1, speech_pad_ms=0)
+    segs = speech_segments(probs, 300 * 160, opts)
+    assert len(segs) == 2
+    assert segs[0] == {"start": 20 * 160, "end": 60 * 160}
+    assert segs[1]["start"] == 120 * 160
+
+
+def test_segments_padding_and_merge():
+    probs = np.zeros(300, dtype=np.float32)
+    probs[20:60] = 1.0
+    probs[120:160] = 1.0
+    # pad 1000 ms → 16000 samples each side; gap between 60*160 and 120*160
+    # is 9600 samples < 2*pad → merge.
+    opts = SegmenterOptions(smooth_window_frames=1, speech_pad_ms=1000)
+    segs = speech_segments(probs, 300 * 160, opts)
+    assert len(segs) == 1
+    assert segs[0]["start"] == max(0, 20 * 160 - 16000)
+
+
+def test_trailing_open_segment_closed_at_end():
+    probs = np.zeros(100, dtype=np.float32)
+    probs[80:] = 1.0
+    opts = SegmenterOptions(smooth_window_frames=1, speech_pad_ms=0)
+    segs = speech_segments(probs, 100 * 160, opts)
+    assert segs == [{"start": 80 * 160, "end": 100 * 160}]
+
+
+def test_segment_end_clamped_to_audio_length():
+    probs = np.ones(50, dtype=np.float32)
+    opts = SegmenterOptions(smooth_window_frames=1, speech_pad_ms=120)
+    segs = speech_segments(probs, 50 * 160 + 100, opts)
+    assert segs[-1]["end"] == 50 * 160 + 100
