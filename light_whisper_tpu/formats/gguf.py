@@ -295,7 +295,8 @@ def _encode_value(value: Any) -> bytes:
         else:
             out += struct.pack("<I", _MV_I64) + struct.pack("<q", value)
     elif isinstance(value, float):
-        out += struct.pack("<I", _MV_F32) + struct.pack("<f", value)
+        # f64 keeps config round trips exact (f32 would corrupt epsilons).
+        out += struct.pack("<I", _MV_F64) + struct.pack("<d", value)
     elif isinstance(value, str):
         raw = value.encode("utf-8")
         out += struct.pack("<I", _MV_STRING) + struct.pack("<Q", len(raw)) + raw

@@ -1,0 +1,256 @@
+"""Qwen3 decoder in JAX: GQA + per-head q/k RMSNorm + NeoX RoPE + SwiGLU.
+
+Replaces the LM half of transcribe.cpp's GGUF runtime
+(``qwen3_asr_server.py:317-321`` — persistent KV session, greedy decode).
+TPU-first choices:
+
+- layer parameters are stacked on a leading axis and the layer loop is a
+  ``lax.scan`` (one compiled layer body, not ``block_count`` inlined copies);
+- the KV cache is a preallocated static-shape buffer updated with
+  ``dynamic_update_slice``; attention masks positions ≥ ``pos`` instead of
+  reshaping (no dynamic shapes under jit);
+- greedy decoding runs entirely on device in one ``lax.while_loop`` — one
+  dispatch per utterance, not per token;
+- matmuls run in bf16 with f32 accumulation; Q8_0 weights stay int8 in HBM
+  (see ``ops.linear``).
+
+RoPE uses the HF half-split ("rotate_half") layout. GGUF artifacts produced
+by this package's export tool store q/k projections in that layout; artifacts
+converted from llama.cpp ordering need the loader's permutation adapter.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from light_whisper_tpu.models.qwen3_asr.config import DecoderConfig
+from light_whisper_tpu.ops.linear import apply_linear
+
+NEG_INF = -1e30
+
+
+class KVCache(NamedTuple):
+    """Static-shape per-layer key/value buffers plus the write position."""
+
+    k: jax.Array  # [L, C, Hkv, hd]
+    v: jax.Array  # [L, C, Hkv, hd]
+    pos: jax.Array  # int32 scalar: number of valid positions
+
+
+def init_cache(cfg: DecoderConfig, capacity: int, dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.block_count, capacity, cfg.head_count_kv, cfg.key_length)
+    return KVCache(
+        k=jnp.zeros(shape, dtype=dtype),
+        v=jnp.zeros(shape, dtype=dtype),
+        pos=jnp.int32(0),
+    )
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_tables(positions: jax.Array, head_dim: int, base: float) -> Tuple[jax.Array, jax.Array]:
+    inv_freq = 1.0 / (base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, hd/2]
+    cos = jnp.concatenate([jnp.cos(angles)] * 2, axis=-1)
+    sin = jnp.concatenate([jnp.sin(angles)] * 2, axis=-1)
+    return cos, sin
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [T, H, hd]; cos/sin: [T, hd] (float32 math, HF rotate_half)."""
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    rotated = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
+    out = xf * cos[:, None, :] + rotated * sin[:, None, :]
+    return out.astype(x.dtype)
+
+
+def _attention(
+    q: jax.Array,  # [T, Hq, hd]
+    k_cache: jax.Array,  # [C, Hkv, hd]
+    v_cache: jax.Array,  # [C, Hkv, hd]
+    q_positions: jax.Array,  # [T] absolute positions of the queries
+    head_groups: int,
+) -> jax.Array:
+    """Causal attention of new queries against the full (masked) cache."""
+    capacity = k_cache.shape[0]
+    hd = q.shape[-1]
+    scale = hd ** -0.5
+
+    kq = jnp.repeat(k_cache, head_groups, axis=1)  # [C, Hq, hd]
+    vq = jnp.repeat(v_cache, head_groups, axis=1)
+
+    logits = jnp.einsum(
+        "thd,chd->htc", q.astype(jnp.bfloat16), kq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [Hq, T, C]
+
+    key_pos = jnp.arange(capacity)
+    mask = key_pos[None, :] <= q_positions[:, None]  # [T, C] causal + validity
+    logits = jnp.where(mask[None, :, :], logits, NEG_INF)
+
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "htc,chd->thd", weights.astype(jnp.bfloat16), vq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)  # [T, Hq, hd]
+
+
+def _layer_forward(
+    cfg: DecoderConfig,
+    layer: Dict[str, jax.Array],
+    x: jax.Array,  # [T, D]
+    k_cache: jax.Array,  # [C, Hkv, hd]
+    v_cache: jax.Array,
+    pos: jax.Array,  # int32: cache fill level == absolute position of x[0]
+    cos: jax.Array,
+    sin: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    T = x.shape[0]
+    hd = cfg.key_length
+    groups = cfg.head_count // cfg.head_count_kv
+
+    h = rms_norm(x, layer["attn_norm"], cfg.rms_epsilon)
+    q = apply_linear(layer["q"], h).reshape(T, cfg.head_count, hd)
+    k = apply_linear(layer["k"], h).reshape(T, cfg.head_count_kv, hd)
+    v = apply_linear(layer["v"], h).reshape(T, cfg.head_count_kv, hd)
+
+    q = rms_norm(q, layer["q_norm"], cfg.rms_epsilon)
+    k = rms_norm(k, layer["k_norm"], cfg.rms_epsilon)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k.astype(k_cache.dtype), (pos, 0, 0)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v.astype(v_cache.dtype), (pos, 0, 0)
+    )
+
+    q_positions = pos + jnp.arange(T)
+    attn = _attention(q, k_cache, v_cache, q_positions, groups)
+    x = x + apply_linear(layer["o"], attn.reshape(T, -1)).astype(x.dtype)
+
+    h = rms_norm(x, layer["ffn_norm"], cfg.rms_epsilon)
+    gate = apply_linear(layer["gate"], h)
+    up = apply_linear(layer["up"], h)
+    x = x + apply_linear(layer["down"], (jax.nn.silu(gate) * up).astype(x.dtype)).astype(x.dtype)
+    return x, k_cache, v_cache
+
+
+def forward(
+    cfg: DecoderConfig,
+    params: Dict,
+    embeds: jax.Array,  # [T, D] input embeddings (token + spliced audio)
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """Run all layers over T new positions; returns hidden states + cache."""
+    T = embeds.shape[0]
+    positions = cache.pos + jnp.arange(T)
+    cos, sin = rope_tables(positions, cfg.key_length, cfg.rope_freq_base)
+
+    def body(carry, layer_inputs):
+        x = carry
+        layer, k_cache, v_cache = layer_inputs
+        x, k_cache, v_cache = _layer_forward(
+            cfg, layer, x, k_cache, v_cache, cache.pos, cos, sin
+        )
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, embeds, (params["layers"], cache.k, cache.v)
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_epsilon)
+    return x, KVCache(k=new_k, v=new_v, pos=cache.pos + T)
+
+
+def logits_for(cfg: DecoderConfig, params: Dict, hidden: jax.Array) -> jax.Array:
+    head = params.get("lm_head")
+    if head is not None:
+        return apply_linear(head, hidden)
+    embed = params["embed"]
+    if "q" in embed:
+        # Tied Q8_0 embedding doubles as the output head ([V, D] = [out, in]).
+        return apply_linear(embed, hidden)
+    return jax.lax.dot_general(
+        hidden.astype(jnp.bfloat16),
+        embed["w"].astype(jnp.bfloat16),  # [V, D]
+        dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def embed_tokens(params: Dict, ids: jax.Array) -> jax.Array:
+    embed = params["embed"]
+    if "q" in embed:
+        from light_whisper_tpu.formats.gguf import Q8_0_BLOCK
+
+        rows_q = embed["q"][ids].astype(jnp.bfloat16)  # [T, D]
+        rows_s = jnp.repeat(embed["s"][ids].astype(jnp.bfloat16), Q8_0_BLOCK, axis=-1)
+        return rows_q * rows_s
+    return embed["w"][ids]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def prefill(
+    cfg: DecoderConfig,
+    params: Dict,
+    embeds: jax.Array,
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """Process the prompt; returns logits of the final position + cache."""
+    hidden, cache = forward(cfg, params, embeds, cache)
+    return logits_for(cfg, params, hidden[-1:]), cache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_new_tokens"), donate_argnames=("cache",)
+)
+def decode_greedy(
+    cfg: DecoderConfig,
+    params: Dict,
+    first_token: jax.Array,  # int32 scalar: argmax after prefill
+    cache: KVCache,
+    eos_token_id: int,
+    max_new_tokens: int,
+) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """On-device greedy loop. Returns (tokens [max_new], count, cache).
+
+    ``tokens[:count]`` are the generated ids excluding EOS. One jit dispatch
+    decodes the whole utterance (reference: the C++ session loops in native
+    code for the same reason).
+    """
+
+    def cond(state):
+        _tokens, count, token, _cache, done = state
+        return jnp.logical_and(jnp.logical_not(done), count < max_new_tokens)
+
+    def step(state):
+        tokens, count, token, cache, _done = state
+        tokens = tokens.at[count].set(token)
+        embeds = embed_tokens(params, token[None])
+        hidden, cache = forward(cfg, params, embeds, cache)
+        logits = logits_for(cfg, params, hidden[-1:])
+        next_token = jnp.argmax(logits[-1]).astype(jnp.int32)
+        done = next_token == eos_token_id
+        return tokens, count + 1, next_token, cache, done
+
+    tokens0 = jnp.zeros(max_new_tokens, dtype=jnp.int32)
+    init = (
+        tokens0,
+        jnp.int32(0),
+        first_token.astype(jnp.int32),
+        cache,
+        first_token.astype(jnp.int32) == eos_token_id,
+    )
+    tokens, count, _token, cache, _done = jax.lax.while_loop(cond, step, init)
+    return tokens, count, cache

@@ -1,0 +1,202 @@
+"""End-to-end Qwen3-ASR transcriber: audio → mel → encoder → decode → text.
+
+This is the JAX replacement for transcribe.cpp's ``Model`` + ``Session``
+objects (``qwen3_asr_server.py:114-133,318-321``): load once, keep the KV
+cache resident, transcribe float32 16 kHz audio to text with greedy decoding.
+
+Static-shape strategy (XLA compiles one program per shape):
+
+- audio is bucketed in 0.5 s steps (then powers of two) before the mel
+  frontend; the encoder runs on whole chunks with a valid-token count;
+- the prompt is end-padded to a 64-token bucket; the final-position logits
+  are gathered at the true last index (causality makes tail padding inert);
+- the KV cache is allocated per power-of-two capacity bucket and reused
+  across requests; greedy decoding is one on-device ``lax.while_loop``.
+
+The prompt template comes from GGUF metadata (``tokenizer.chat_template``
+with an ``{audio}`` placeholder) so the engine follows the artifact, not
+hardcoded strings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import re
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from light_whisper_tpu.audio import mel as wmel
+from light_whisper_tpu.models.qwen3_asr import decoder as dec
+from light_whisper_tpu.models.qwen3_asr.config import Qwen3ASRConfig
+from light_whisper_tpu.models.qwen3_asr.encoder import encode as encode_audio
+from light_whisper_tpu.models.qwen3_asr.loader import Qwen3ASRWeights
+
+DEFAULT_TEMPLATE = "<|im_start|>user\n{audio}<|im_end|>\n<|im_start|>assistant\n"
+PROMPT_BUCKET = 64
+_LANG_TOKEN = re.compile(r"^<\|([a-z]{2,3}(?:-[a-z]+)?)\|>$")
+
+SAMPLE_RATE = 16_000
+_FINE_STEP = SAMPLE_RATE // 2
+_FINE_MAX = 16 * SAMPLE_RATE
+
+
+def bucket_audio_samples(n: int) -> int:
+    if n <= _FINE_MAX:
+        return max(_FINE_STEP, (n + _FINE_STEP - 1) // _FINE_STEP * _FINE_STEP)
+    b = _FINE_MAX
+    while b < n:
+        b *= 2
+    return b
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+@dataclasses.dataclass
+class TranscriptionResult:
+    text: str
+    language: str
+    tokens: List[int]
+
+
+@functools.partial(jax.jit, static_argnames=("prefix_len",))
+def _build_prompt_embeds(params, ids, audio_embeds, n_audio, prefix_len: int):
+    """Token embeddings with audio rows spliced in at [prefix, prefix+n)."""
+    token_embeds = dec.embed_tokens(params, ids).astype(jnp.bfloat16)
+    idx = jnp.arange(ids.shape[0])
+    audio_row = jnp.clip(idx - prefix_len, 0, audio_embeds.shape[0] - 1)
+    is_audio = (idx >= prefix_len) & (idx < prefix_len + n_audio)
+    return jnp.where(
+        is_audio[:, None], audio_embeds.astype(jnp.bfloat16)[audio_row], token_embeds
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _prefill_padded(cfg, params, embeds, cache, last_index):
+    hidden, cache = dec.forward(cfg, params, embeds, cache)
+    logits = dec.logits_for(cfg, params, hidden[last_index][None])
+    first = jnp.argmax(logits[-1]).astype(jnp.int32)
+    return first, cache
+
+
+class Qwen3ASRModel:
+    def __init__(
+        self,
+        gguf_path: str,
+        max_new_tokens: int = 448,
+        cache_dtype=jnp.bfloat16,
+    ) -> None:
+        weights = Qwen3ASRWeights(gguf_path)
+        self.config: Qwen3ASRConfig = weights.config
+        self.tokenizer = weights.tokenizer
+        self.decoder_params = weights.decoder_params
+        self.encoder_params = weights.encoder_params
+        self.max_new_tokens = max_new_tokens
+        self.cache_dtype = cache_dtype
+
+        template = weights.metadata.get("tokenizer.chat_template") or DEFAULT_TEMPLATE
+        if "{audio}" not in template:
+            raise ValueError("prompt template must contain an {audio} placeholder")
+        prefix_text, suffix_text = template.split("{audio}", 1)
+        self.prefix_ids: List[int] = self.tokenizer.encode(prefix_text)
+        self.suffix_ids: List[int] = self.tokenizer.encode(suffix_text)
+        self._caches: Dict[int, dec.KVCache] = {}
+
+    # ------------------------------------------------------------------
+
+    def _cache_for(self, needed: int) -> dec.KVCache:
+        capacity = 1024
+        while capacity < needed:
+            capacity *= 2
+        capacity = min(capacity, self.config.decoder.context_length)
+        if needed > capacity:
+            raise ValueError(
+                f"prompt+decode budget {needed} exceeds context "
+                f"{self.config.decoder.context_length}"
+            )
+        # Buffers are donated into prefill/decode, so always start fresh.
+        return dec.init_cache(self.config.decoder, capacity, self.cache_dtype)
+
+    def _encode_audio(self, audio: np.ndarray) -> Tuple[jax.Array, int]:
+        bucket = bucket_audio_samples(len(audio))
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[: len(audio)] = audio
+        mel_full = wmel.log_mel(padded)
+        true_frames = wmel.num_mel_frames(len(audio))
+        embeds, _ = encode_audio(self.config.audio, self.encoder_params, np.asarray(mel_full))
+        # Valid tokens follow from the *true* frame count, not the bucket.
+        from light_whisper_tpu.models.qwen3_asr.config import conv_output_length
+
+        chunk = self.config.audio.chunk_frames
+        full_chunks, tail = divmod(true_frames, chunk)
+        n_tokens = full_chunks * self.config.audio.tokens_per_chunk + (
+            conv_output_length(tail) if tail else 0
+        )
+        return embeds, n_tokens
+
+    def transcribe(self, audio: np.ndarray) -> TranscriptionResult:
+        """Greedy transcription of float32 mono 16 kHz audio."""
+        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        audio_embeds, n_audio = self._encode_audio(audio)
+
+        ids = (
+            self.prefix_ids
+            + [self.config.audio_token_id] * n_audio
+            + self.suffix_ids
+        )
+        true_len = len(ids)
+        bucket_len = _round_up(true_len, PROMPT_BUCKET)
+        ids_padded = np.full(bucket_len, self.config.pad_token_id, dtype=np.int32)
+        ids_padded[:true_len] = ids
+
+        embeds = _build_prompt_embeds(
+            self.decoder_params,
+            jnp.asarray(ids_padded),
+            audio_embeds,
+            jnp.int32(n_audio),
+            len(self.prefix_ids),
+        )
+
+        cache = self._cache_for(bucket_len + self.max_new_tokens)
+        first, cache = _prefill_padded(
+            self.config.decoder,
+            self.decoder_params,
+            embeds,
+            cache,
+            jnp.int32(true_len - 1),
+        )
+        # The padded tail wrote garbage K/V at positions ≥ true_len; decode
+        # starts there and overwrites before reading (causal masking keeps
+        # positions < true_len exact).
+        cache = cache._replace(pos=jnp.int32(true_len))
+
+        tokens, count, _cache = dec.decode_greedy(
+            self.config.decoder,
+            self.decoder_params,
+            first,
+            cache,
+            self.config.eos_token_id,
+            self.max_new_tokens,
+        )
+        generated = [int(t) for t in np.asarray(tokens)[: int(count)]]
+        return self._parse_output(generated)
+
+    def _parse_output(self, generated: List[int]) -> TranscriptionResult:
+        language = "unknown"
+        for token_id in generated[:4]:
+            if 0 <= token_id < len(self.tokenizer.tokens):
+                m = _LANG_TOKEN.match(self.tokenizer.tokens[token_id])
+                if m:
+                    language = m.group(1)
+                    break
+        text = self.tokenizer.decode(generated).strip()
+        return TranscriptionResult(text=text, language=language, tokens=generated)
+
+    def warmup(self) -> None:
+        rng = np.random.default_rng(0)
+        self.transcribe(rng.standard_normal(SAMPLE_RATE).astype(np.float32) * 0.002)
