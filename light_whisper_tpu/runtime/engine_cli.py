@@ -1,0 +1,47 @@
+"""Engine CLI: ``serve`` / ``download`` subcommands.
+
+Same command surface as the reference's packaged entry point
+(``engine.py:25-57``), so the Rust shell can spawn this engine with identical
+arguments: ``light-whisper-engine serve --engine qwen3-asr-0.6b`` etc.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+ENGINE_CHOICES = ["qwen3-asr-0.6b", "qwen3-asr-1.7b"]
+
+
+def cmd_serve(engine: str) -> None:
+    from light_whisper_tpu.runtime.logging_util import setup_rotating_logger
+    from light_whisper_tpu.runtime.qwen3_server import Qwen3EngineServer
+
+    logger = setup_rotating_logger(__name__, "qwen3_asr_server.log", "Qwen3-ASR server")
+    Qwen3EngineServer(engine=engine, logger=logger).serve_forever()
+
+
+def cmd_download(engine: str) -> None:
+    from light_whisper_tpu.download.downloader import download_model
+
+    download_model(engine)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="light-whisper-engine")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    serve_p = sub.add_parser("serve")
+    serve_p.add_argument("--engine", required=True, choices=ENGINE_CHOICES)
+
+    dl_p = sub.add_parser("download")
+    dl_p.add_argument("--engine", required=True, choices=ENGINE_CHOICES)
+
+    args = parser.parse_args(argv)
+    if args.command == "serve":
+        cmd_serve(args.engine)
+    elif args.command == "download":
+        cmd_download(args.engine)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,361 @@
+"""Qwen3-ASR engine server: the TPU engine behind the JSON line protocol.
+
+Response-shape parity with the reference server
+(``qwen3_asr_server.py:269-402``): duration floor, VAD-gated empty results,
+outer-silence trimming that preserves inner pauses, per-request ``vad_ms`` /
+``inference_ms``, cumulative stats, and typed init errors
+(``models_not_downloaded`` / ``import_error`` / ``init_error``) the UI
+routes on. The C++ GGUF session is replaced by ``Qwen3ASRModel`` (JAX) and
+the ONNX VAD by ``FireRedVadTPU``; both warm up at init like the reference
+(1 s of noise, ``qwen3_asr_server.py:135-150``).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from light_whisper_tpu import __version__
+from light_whisper_tpu.audio.pcm import (
+    decode_inline_audio,
+    read_audio_file_mono_f32,
+    resample_linear,
+)
+from light_whisper_tpu.download.cache import QWEN3_ASR_MODELS, find_snapshot_file
+from light_whisper_tpu.runtime.server import CLEANUP_EVERY_N, EngineServer, ServerHooks
+
+SAMPLE_RATE = 16_000
+MIN_DURATION_SECONDS = 0.5
+
+
+def _default_model_factory(model_path: str):
+    from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+
+    return Qwen3ASRModel(model_path)
+
+
+def _default_vad_factory():
+    from light_whisper_tpu.models.vad.api import FireRedVadTPU
+
+    return FireRedVadTPU()
+
+
+def _device_info() -> Dict[str, Any]:
+    try:
+        import jax
+
+        device = jax.devices()[0]
+        return {"device": device.platform, "device_kind": device.device_kind}
+    except Exception:
+        return {"device": "cpu"}
+
+
+class Qwen3EngineServer:
+    """Engine logic; plug into :class:`EngineServer` via :meth:`hooks`."""
+
+    def __init__(
+        self,
+        engine: Optional[str] = None,
+        model_factory: Callable[[str], Any] = _default_model_factory,
+        vad_factory: Callable[[], Any] = _default_vad_factory,
+        model_path: Optional[str] = None,
+        apply_hot_words: bool = True,
+        logger: Optional[logging.Logger] = None,
+    ) -> None:
+        import os
+
+        engine = engine or os.environ.get("LIGHT_WHISPER_ASR_ENGINE", "qwen3-asr-0.6b")
+        if engine not in QWEN3_ASR_MODELS:
+            raise ValueError(f"不支持的 Qwen3-ASR 引擎: {engine}")
+        self.engine = engine
+        self.model_config = QWEN3_ASR_MODELS[engine]
+        self.backend = "tpu"
+        self.log = logger or logging.getLogger(__name__)
+        self._model_factory = model_factory
+        self._vad_factory = vad_factory
+        self._explicit_model_path = model_path
+        self._apply_hot_words = apply_hot_words
+
+        self.model = None
+        self.vad = None
+        self.initialized = False
+        self.transcription_count = 0
+        self.total_audio_duration = 0.0
+        self._total_inference_ms = 0.0
+        self._total_vad_ms = 0.0
+        self._vad_calls = 0
+        self._vad_rejected = 0
+        self._last_load_error: Optional[str] = None
+        self._hotword_corrector = None
+
+    # ------------------------------------------------------------------
+
+    def hooks(self) -> ServerHooks:
+        return ServerHooks(
+            initialize=self.initialize,
+            transcribe=self.transcribe,
+            status=self.check_status,
+            stats=self.performance_stats,
+            cleanup=self.cleanup,
+        )
+
+    def serve_forever(self) -> None:
+        EngineServer(self.hooks(), logger=self.log).run()
+
+    # ------------------------------------------------------------------
+
+    def _resolve_model_path(self) -> Optional[str]:
+        if self._explicit_model_path:
+            return self._explicit_model_path
+        return find_snapshot_file(self.model_config["repo_id"], self.model_config["filename"])
+
+    def initialize(self) -> Dict[str, Any]:
+        if self.initialized:
+            return {"success": True, "message": "模型已初始化", "engine": self.engine}
+
+        model_path = self._resolve_model_path()
+        if not model_path:
+            return {
+                "success": False,
+                "error": f"Qwen3-ASR Q8 模型未下载: {self.model_config['filename']}",
+                "type": "models_not_downloaded",
+                "engine": self.engine,
+            }
+
+        started = time.perf_counter()
+        try:
+            self.log.info("loading Qwen3-ASR: %s", model_path)
+            self.model = self._model_factory(model_path)
+            self.vad = self._vad_factory()
+            self._warmup()
+            self.initialized = True
+            self._last_load_error = None
+            elapsed = time.perf_counter() - started
+            return {
+                "success": True,
+                "message": f"Qwen3-ASR 初始化成功，耗时: {elapsed:.2f}秒",
+                "model_loaded": True,
+                "engine": self.engine,
+                "backend": self.backend,
+                **_device_info(),
+            }
+        except ImportError as exc:
+            self._teardown(exc)
+            return {
+                "success": False,
+                "error": f"Qwen3-ASR 依赖加载失败: {exc}",
+                "type": "import_error",
+                "engine": self.engine,
+            }
+        except Exception as exc:
+            self._teardown(exc)
+            return {
+                "success": False,
+                "error": f"Qwen3-ASR 初始化失败: {exc}",
+                "type": "init_error",
+                "engine": self.engine,
+            }
+
+    def _teardown(self, exc: Exception) -> None:
+        self.model = None
+        self.vad = None
+        self._last_load_error = str(exc)
+        self.log.exception("Qwen3-ASR init failed: %s", exc)
+
+    def _warmup(self) -> None:
+        try:
+            started = time.perf_counter()
+            if self.vad is not None and hasattr(self.vad, "warmup"):
+                self.vad.warmup()
+            if hasattr(self.model, "warmup"):
+                self.model.warmup()
+            self.log.info("warmup done in %.3fs", time.perf_counter() - started)
+        except Exception as exc:
+            self.log.warning("warmup failed (first request may be slow): %s", exc)
+
+    # ------------------------------------------------------------------
+
+    def _load_audio(self, audio_path, audio_base64, audio_format, sample_rate):
+        if audio_base64:
+            audio, duration = decode_inline_audio(audio_base64, audio_format, sample_rate)
+            if not isinstance(audio, np.ndarray):
+                raise ValueError("Qwen3-ASR 内存输入仅支持 PCM")
+            audio = resample_linear(audio, sample_rate or SAMPLE_RATE)
+            return np.ascontiguousarray(audio, dtype=np.float32), duration, "memory"
+
+        import os
+
+        if not audio_path or not os.path.exists(audio_path):
+            raise FileNotFoundError(f"音频文件不存在: {audio_path}")
+        audio, source_rate = read_audio_file_mono_f32(audio_path)
+        audio = resample_linear(audio, source_rate)
+        return np.ascontiguousarray(audio), len(audio) / float(SAMPLE_RATE), "path"
+
+    def _filter_speech(self, audio: np.ndarray):
+        """Trim leading/trailing silence only — inner pauses stay, so the
+        model still sees natural phrase timing (``qwen3_asr_server.py:152-173``)."""
+        started = time.perf_counter()
+        segments = self.vad.speech_timestamps(audio)
+        vad_ms = (time.perf_counter() - started) * 1000
+        self._vad_calls += 1
+        self._total_vad_ms += vad_ms
+
+        if not segments:
+            self._vad_rejected += 1
+            return np.empty(0, dtype=np.float32), 0, vad_ms
+        start = max(0, int(segments[0]["start"]))
+        end = min(len(audio), int(segments[-1]["end"]))
+        if end <= start:
+            self._vad_rejected += 1
+            return np.empty(0, dtype=np.float32), 0, vad_ms
+        return np.ascontiguousarray(audio[start:end]), len(segments), vad_ms
+
+    def _correct_hot_words(self, text: str, hot_words: Optional[List[str]]) -> str:
+        if not text or not hot_words or not self._apply_hot_words:
+            return text
+        try:
+            if self._hotword_corrector is None:
+                from light_whisper_tpu.text.hotwords import HotWordCorrector
+
+                self._hotword_corrector = HotWordCorrector()
+            return self._hotword_corrector.correct(text, hot_words)
+        except Exception as exc:  # never fail a transcription over biasing
+            self.log.warning("hot-word correction failed: %s", exc)
+            return text
+
+    def transcribe(
+        self,
+        audio_path=None,
+        options=None,
+        hot_words=None,
+        audio_base64=None,
+        audio_format=None,
+        sample_rate=None,
+    ) -> Dict[str, Any]:
+        if not self.initialized:
+            init_result = self.initialize()
+            if not init_result["success"]:
+                return init_result
+
+        input_mode = "memory" if audio_base64 else "path"
+        try:
+            audio, duration, input_mode = self._load_audio(
+                audio_path, audio_base64, audio_format, sample_rate
+            )
+            self.total_audio_duration += duration
+            if duration < MIN_DURATION_SECONDS:
+                return {
+                    "success": True,
+                    "text": "",
+                    "duration": duration,
+                    "engine": self.engine,
+                    "input_mode": input_mode,
+                }
+
+            audio, vad_segments, vad_ms = self._filter_speech(audio)
+            speech_duration = len(audio) / float(SAMPLE_RATE)
+            if not vad_segments:
+                return {
+                    "success": True,
+                    "text": "",
+                    "raw_text": "",
+                    "duration": duration,
+                    "speech_duration": 0.0,
+                    "language": "unknown",
+                    "engine": self.engine,
+                    "model_type": self.engine,
+                    "backend": self.backend,
+                    "input_mode": input_mode,
+                    "vad_segments": 0,
+                    "vad_ms": round(vad_ms, 3),
+                    "inference_ms": 0.0,
+                }
+
+            started = time.perf_counter()
+            result = self.model.transcribe(audio)
+            inference_ms = (time.perf_counter() - started) * 1000
+            self._total_inference_ms += inference_ms
+            self.transcription_count += 1
+
+            text = result.text.strip()
+            text = self._correct_hot_words(text, hot_words)
+            self._maybe_cleanup(duration)
+            return {
+                "success": True,
+                "text": text,
+                "raw_text": result.text.strip(),
+                "confidence": 0.0,
+                "duration": duration,
+                "speech_duration": round(speech_duration, 3),
+                "language": result.language or "unknown",
+                "engine": self.engine,
+                "model_type": self.engine,
+                "backend": self.backend,
+                "input_mode": input_mode,
+                "vad_segments": vad_segments,
+                "vad_ms": round(vad_ms, 3),
+                "inference_ms": round(inference_ms, 3),
+            }
+        except Exception as exc:
+            self.log.exception("transcription failed: %s", exc)
+            return {
+                "success": False,
+                "error": f"音频转录失败: {exc}",
+                "type": "transcription_error",
+                "input_mode": input_mode,
+            }
+
+    # ------------------------------------------------------------------
+
+    def _maybe_cleanup(self, duration: float) -> None:
+        if self.transcription_count % CLEANUP_EVERY_N == 0 or duration > 120:
+            import threading
+
+            threading.Thread(target=self.cleanup, daemon=True).start()
+
+    def cleanup(self) -> None:
+        import gc
+
+        gc.collect()
+
+    def performance_stats(self) -> Dict[str, Any]:
+        return {
+            "transcription_count": self.transcription_count,
+            "total_audio_duration": round(self.total_audio_duration, 2),
+            "average_inference_ms": round(
+                self._total_inference_ms / max(1, self.transcription_count), 3
+            ),
+            "average_vad_ms": round(self._total_vad_ms / max(1, self._vad_calls), 3),
+            "vad_calls": self._vad_calls,
+            "vad_rejected": self._vad_rejected,
+            "initialized": self.initialized,
+            "engine": self.engine,
+            "backend": self.backend,
+            "speculative_decoding": False,
+            "models_loaded": {
+                "asr": self.model is not None,
+                "vad": self.vad is not None,
+                "punc": True,
+            },
+        }
+
+    def check_status(self) -> Dict[str, Any]:
+        model_loaded = self.model is not None
+        return {
+            "success": True,
+            "installed": True,
+            "initialized": self.initialized,
+            "version": __version__,
+            "engine": self.engine,
+            "backend": self.backend,
+            "model_loaded": model_loaded,
+            "models": {
+                "asr": model_loaded,
+                "vad": self.vad is not None,
+                "punc": True,
+            },
+            **_device_info(),
+        }

@@ -1,0 +1,221 @@
+"""Engine-server contract tests with injected fakes.
+
+Mirrors the reference's fake-runtime strategy and its pinned behaviors
+(``test_qwen3_asr_server.py``): single resident model, VAD silence rejection
+without touching the model, exact outer-silence trimming, the 0.5 s duration
+floor, typed init errors, and stats accumulation.
+"""
+
+import base64
+import io
+import json
+import types
+
+import numpy as np
+import pytest
+
+from light_whisper_tpu.runtime.qwen3_server import Qwen3EngineServer
+from light_whisper_tpu.runtime.server import EngineServer
+
+
+class FakeModel:
+    def __init__(self):
+        self.calls = []
+        self.warmups = 0
+
+    def transcribe(self, audio):
+        self.calls.append(np.asarray(audio))
+        return types.SimpleNamespace(text="  你好世界  ", language="zh", tokens=[1, 2])
+
+    def warmup(self):
+        self.warmups += 1
+
+
+class FakeVad:
+    def __init__(self, segments=None):
+        self.segments = segments if segments is not None else []
+        self.calls = 0
+
+    def speech_timestamps(self, audio):
+        self.calls += 1
+        return self.segments
+
+    def warmup(self):
+        pass
+
+
+def make_server(segments=None, model=None, vad=None, model_path="/fake/model.gguf"):
+    model = model or FakeModel()
+    vad = vad or FakeVad(segments)
+    server = Qwen3EngineServer(
+        engine="qwen3-asr-0.6b",
+        model_factory=lambda path: model,
+        vad_factory=lambda: vad,
+        model_path=model_path,
+    )
+    return server, model, vad
+
+
+def pcm_b64(samples: np.ndarray) -> str:
+    pcm = np.clip(samples * 32768, -32768, 32767).astype("<i2")
+    return base64.b64encode(pcm.tobytes()).decode()
+
+
+def test_init_loads_model_once_and_warms_up():
+    server, model, _vad = make_server()
+    r1 = server.initialize()
+    assert r1["success"] and r1["model_loaded"] and r1["backend"] == "tpu"
+    assert model.warmups == 1
+    r2 = server.initialize()
+    assert r2["success"] and "已初始化" in r2["message"]
+    assert model.warmups == 1  # not reloaded
+
+
+def test_missing_model_reports_models_not_downloaded(monkeypatch, tmp_path):
+    monkeypatch.setenv("HF_HUB_CACHE", str(tmp_path))
+    server = Qwen3EngineServer(
+        engine="qwen3-asr-0.6b",
+        model_factory=lambda p: FakeModel(),
+        vad_factory=FakeVad,
+        model_path=None,
+    )
+    result = server.initialize()
+    assert result["success"] is False
+    assert result["type"] == "models_not_downloaded"
+
+
+def test_init_error_type_on_load_failure():
+    def boom(path):
+        raise RuntimeError("bad weights")
+
+    server = Qwen3EngineServer(
+        engine="qwen3-asr-0.6b",
+        model_factory=boom,
+        vad_factory=FakeVad,
+        model_path="/fake/x.gguf",
+    )
+    result = server.initialize()
+    assert result["success"] is False and result["type"] == "init_error"
+
+
+def test_short_audio_returns_empty_without_vad_or_model():
+    server, model, vad = make_server(segments=[{"start": 0, "end": 4000}])
+    server.initialize()
+    audio = np.zeros(4000, dtype=np.float32)  # 0.25 s < 0.5 s floor
+    result = server.transcribe(audio_base64=pcm_b64(audio), audio_format="pcm_s16le", sample_rate=16000)
+    assert result == {
+        "success": True,
+        "text": "",
+        "duration": 0.25,
+        "engine": "qwen3-asr-0.6b",
+        "input_mode": "memory",
+    }
+    assert vad.calls == 0 and model.calls == []
+
+
+def test_vad_silence_rejection_never_calls_model():
+    server, model, vad = make_server(segments=[])
+    server.initialize()
+    audio = np.zeros(16000, dtype=np.float32)
+    result = server.transcribe(audio_base64=pcm_b64(audio), audio_format="pcm_s16le", sample_rate=16000)
+    assert result["success"] and result["text"] == ""
+    assert result["vad_segments"] == 0 and result["speech_duration"] == 0.0
+    assert result["inference_ms"] == 0.0
+    assert model.calls == []
+    assert vad.calls == 1
+
+
+def test_outer_silence_trimming_preserves_inner_pauses():
+    # Reference contract: segments [3200..8000] and [9600..16000] keep
+    # audio[3200:16000] — 12,800 of 16,000 samples, pause included
+    # (test_qwen3_asr_server.py:164-205).
+    segments = [{"start": 3200, "end": 8000}, {"start": 9600, "end": 16000}]
+    server, model, _vad = make_server(segments=segments)
+    server.initialize()
+    audio = np.arange(16000, dtype=np.float32) / 16000.0
+    result = server.transcribe(audio_base64=pcm_b64(audio), audio_format="pcm_s16le", sample_rate=16000)
+    assert result["success"]
+    assert len(model.calls) == 1
+    assert model.calls[0].shape == (12800,)
+    assert result["speech_duration"] == 0.8
+    assert result["vad_segments"] == 2
+    assert result["text"] == "你好世界"
+    assert result["raw_text"] == "你好世界"
+    assert result["language"] == "zh"
+    assert result["input_mode"] == "memory"
+
+
+def test_resample_applied_to_non_16k_inline_audio():
+    server, model, _vad = make_server(segments=[{"start": 0, "end": 16000}])
+    server.initialize()
+    audio48 = np.zeros(48000, dtype=np.float32)  # 1 s at 48 kHz
+    result = server.transcribe(
+        audio_base64=pcm_b64(audio48), audio_format="pcm_s16le", sample_rate=48000
+    )
+    assert result["success"]
+    assert result["duration"] == 1.0
+    assert len(model.calls[0]) == 16000
+
+
+def test_missing_path_error_mentions_file_not_found():
+    server, _model, _vad = make_server()
+    server.initialize()
+    result = server.transcribe(audio_path="/definitely/missing.wav")
+    assert result["success"] is False
+    assert "音频文件不存在" in result["error"]
+    assert result["type"] == "transcription_error"
+    assert result["input_mode"] == "path"
+
+
+def test_stats_accumulate():
+    server, _model, _vad = make_server(segments=[{"start": 0, "end": 16000}])
+    server.initialize()
+    audio = np.zeros(16000, dtype=np.float32)
+    for _ in range(3):
+        server.transcribe(audio_base64=pcm_b64(audio), audio_format="pcm_s16le", sample_rate=16000)
+    stats = server.performance_stats()
+    assert stats["transcription_count"] == 3
+    assert stats["vad_calls"] == 3
+    assert stats["total_audio_duration"] == 3.0
+    assert stats["models_loaded"] == {"asr": True, "vad": True, "punc": True}
+
+
+def test_status_shape():
+    server, _model, _vad = make_server()
+    server.initialize()
+    status = server.check_status()
+    assert status["success"] and status["installed"] and status["initialized"]
+    assert status["models"]["asr"] is True
+    assert status["engine"] == "qwen3-asr-0.6b"
+
+
+def test_full_protocol_loop_with_fake_engine():
+    server, _model, _vad = make_server(segments=[{"start": 0, "end": 16000}])
+    audio = np.zeros(16000, dtype=np.float32)
+    lines = [
+        json.dumps(
+            {
+                "action": "transcribe",
+                "request_id": 1,
+                "audio_base64": pcm_b64(audio),
+                "audio_format": "pcm_s16le",
+                "sample_rate": 16000,
+            }
+        ),
+        json.dumps({"action": "stats", "request_id": 2}),
+        json.dumps({"action": "exit", "request_id": 3}),
+    ]
+    stdin = io.StringIO("".join(l + "\n" for l in lines))
+    stdout = io.StringIO()
+    EngineServer(server.hooks(), stdin=stdin, stdout=stdout).run()
+    out = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert out[0]["success"]  # init line
+    assert out[1]["request_id"] == 1 and out[1]["text"] == "你好世界"
+    assert out[1]["input_mode"] == "memory"
+    assert out[2]["stats"]["transcription_count"] == 1
+    assert out[3]["request_id"] == 3
+
+
+def test_unsupported_engine_rejected():
+    with pytest.raises(ValueError):
+        Qwen3EngineServer(engine="whisper-large", model_factory=lambda p: None, vad_factory=FakeVad)
