@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Headline benchmark: Qwen3-ASR offline transcription RTF on one TPU chip.
+
+Measures the full serving path on-device — log-mel → AuT encoder → prompt
+prefill → greedy decode (fixed token budget) — on a 12 s utterance with
+flagship-shaped (0.6B-class) Q8_0 weights, and prints ONE JSON line:
+
+    {"metric": "rtf", "value": <proc_sec / audio_sec>, "unit": ..., "vs_baseline": ...}
+
+``vs_baseline`` is measured against the BASELINE.json north-star target
+RTF = 0.05 (≥20× faster than realtime): vs_baseline > 1 beats the target.
+Weights are synthetic (tiled noise in the exact Q8_0 layout) because real
+checkpoints aren't downloadable in this environment; compute/bandwidth per
+token is identical to the real artifact's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+AUDIO_SECONDS = 12.0  # the reference's streaming window (mod.rs:20)
+DECODE_TOKENS = 40  # ~typical dictation transcript for 12 s of speech
+WARMUP_ITERS = 2
+MEASURE_ITERS = 5
+BASELINE_RTF = 0.05
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as graft
+    from light_whisper_tpu.audio import mel as wmel
+    from light_whisper_tpu.models.qwen3_asr import decoder as dec
+    from light_whisper_tpu.models.qwen3_asr.config import conv_output_length
+    from light_whisper_tpu.models.qwen3_asr.encoder import encode_chunks
+    from light_whisper_tpu.models.qwen3_asr.model import (
+        PROMPT_BUCKET,
+        _build_prompt_embeds,
+        _prefill_padded,
+        bucket_audio_samples,
+        _round_up,
+    )
+
+    cfg = graft._flagship_config()
+    encoder_params, decoder_params = graft._random_params(cfg, quantize_decoder=True)
+
+    sample_rate = 16_000
+    n_samples = int(AUDIO_SECONDS * sample_rate)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(1 << 16).astype(np.float32) * 0.05)
+    audio = np.tile(audio, -(-n_samples // audio.size))[:n_samples]
+
+    prefix_len = 8
+    prefix_ids = list(range(2, 2 + prefix_len))
+    suffix_ids = [3, 4, 5]
+
+    def run_once() -> int:
+        bucket = bucket_audio_samples(len(audio))
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[: len(audio)] = audio
+        mel = wmel.log_mel(padded)
+
+        chunk = cfg.audio.chunk_frames
+        true_frames = wmel.num_mel_frames(len(audio))
+        num_chunks = mel.shape[0] // chunk
+        full, tail = divmod(true_frames, chunk)
+        n_audio = full * cfg.audio.tokens_per_chunk + (conv_output_length(tail) if tail else 0)
+
+        audio_embeds = encode_chunks(
+            cfg.audio, encoder_params, mel, jnp.int32(n_audio), num_chunks
+        )
+
+        ids = prefix_ids + [cfg.audio_token_id] * n_audio + suffix_ids
+        true_len = len(ids)
+        bucket_len = _round_up(true_len, PROMPT_BUCKET)
+        ids_padded = np.full(bucket_len, 0, dtype=np.int32)
+        ids_padded[:true_len] = ids
+
+        embeds = _build_prompt_embeds(
+            decoder_params, jnp.asarray(ids_padded), audio_embeds, jnp.int32(n_audio), prefix_len
+        )
+
+        capacity = 1024
+        while capacity < bucket_len + DECODE_TOKENS:
+            capacity *= 2
+        cache = dec.init_cache(cfg.decoder, capacity)
+        first, cache = _prefill_padded(
+            cfg.decoder, decoder_params, embeds, cache, jnp.int32(true_len - 1)
+        )
+        cache = cache._replace(pos=jnp.int32(true_len))
+        tokens, count, _cache = dec.decode_greedy(
+            cfg.decoder, decoder_params, first, cache, -2, DECODE_TOKENS
+        )
+        return int(jax.device_get(count))
+
+    for _ in range(WARMUP_ITERS):
+        run_once()
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_ITERS):
+        count = run_once()
+    elapsed = (time.perf_counter() - t0) / MEASURE_ITERS
+
+    rtf = elapsed / AUDIO_SECONDS
+    print(
+        json.dumps(
+            {
+                "metric": "rtf",
+                "value": round(rtf, 5),
+                "unit": "proc_sec_per_audio_sec (0.6B-class Q8_0, 12s utterance, 40 decode tokens)",
+                "vs_baseline": round(BASELINE_RTF / rtf, 3),
+                "details": {
+                    "audio_seconds": AUDIO_SECONDS,
+                    "decode_tokens": count,
+                    "wall_seconds": round(elapsed, 4),
+                    "device": str(jax.devices()[0]),
+                    "xrt": round(AUDIO_SECONDS / elapsed, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -173,6 +173,52 @@ def forward(
     return x, KVCache(k=new_k, v=new_v, pos=cache.pos + T)
 
 
+def forward_train(cfg: DecoderConfig, params: Dict, embeds: jax.Array) -> jax.Array:
+    """Cache-free causal forward over a full sequence (training / scoring).
+
+    embeds: [T, D] → hidden states [T, D]. Differentiable; uses the same
+    layer math as :func:`forward` but dense causal attention instead of a
+    cache, which is the natural formulation for fine-tuning.
+    """
+    T = embeds.shape[0]
+    positions = jnp.arange(T)
+    cos, sin = rope_tables(positions, cfg.key_length, cfg.rope_freq_base)
+    hd = cfg.key_length
+    groups = cfg.head_count // cfg.head_count_kv
+    causal = positions[None, :] <= positions[:, None]  # [T, T]
+
+    def layer_fn(x, layer):
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_epsilon)
+        q = apply_linear(layer["q"], h).reshape(T, cfg.head_count, hd)
+        k = apply_linear(layer["k"], h).reshape(T, cfg.head_count_kv, hd)
+        v = apply_linear(layer["v"], h).reshape(T, cfg.head_count_kv, hd)
+        q = rms_norm(q, layer["q_norm"], cfg.rms_epsilon)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_epsilon)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k = jnp.repeat(k, groups, axis=1)
+        v = jnp.repeat(v, groups, axis=1)
+        logits = jnp.einsum(
+            "qhd,khd->hqk", q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * (hd ** -0.5)
+        logits = jnp.where(causal[None], logits, NEG_INF)
+        weights = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum(
+            "hqk,khd->qhd", weights.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        x = x + apply_linear(layer["o"], attn.reshape(T, -1)).astype(x.dtype)
+        h = rms_norm(x, layer["ffn_norm"], cfg.rms_epsilon)
+        gate = apply_linear(layer["gate"], h)
+        up = apply_linear(layer["up"], h)
+        x = x + apply_linear(layer["down"], (jax.nn.silu(gate) * up).astype(x.dtype)).astype(x.dtype)
+        return x, None
+
+    x, _ = jax.lax.scan(layer_fn, embeds, params["layers"])
+    return rms_norm(x, params["final_norm"], cfg.rms_epsilon)
+
+
 def logits_for(cfg: DecoderConfig, params: Dict, hidden: jax.Array) -> jax.Array:
     head = params.get("lm_head")
     if head is not None:

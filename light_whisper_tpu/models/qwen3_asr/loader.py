@@ -4,7 +4,11 @@ Tensor naming follows llama.cpp conventions for the decoder (``token_embd``,
 ``blk.N.attn_q`` …) and an ``aenc.*`` prefix for the audio tower. Q8_0
 tensors are loaded as ``{"q": int8, "s": float16}`` pairs and stay quantized
 in HBM (dequant fuses into the matmul — ``ops.linear``); float tensors are
-cast to bf16 for MXU-friendly compute with f32 accumulation.
+converted to bf16 for MXU-friendly compute with f32 accumulation.
+
+All conversion and layer stacking happens host-side in numpy, followed by a
+single device transfer per leaf — on remote-compiled TPU backends a chain of
+per-tensor on-device casts would pay one compile round trip each.
 
 Layer parameters are stacked along a leading axis so the transformer layer
 loop compiles once as a ``lax.scan`` body.
@@ -25,33 +29,38 @@ from light_whisper_tpu.models.qwen3_asr.config import (
 )
 from light_whisper_tpu.models.qwen3_asr.encoder import sinusoid_positions
 from light_whisper_tpu.models.qwen3_asr.tokenizer import BPETokenizer, tokenizer_from_metadata
+from light_whisper_tpu.utils.numerics import host_bf16, host_f32
 
 
-def _linear_from_tensor(t: gguf.GGUFTensor, bias: Optional[gguf.GGUFTensor] = None) -> Dict:
-    """Build a linear param dict from an (out, in)-oriented GGUF tensor."""
+def _linear_np(t: gguf.GGUFTensor, bias: Optional[gguf.GGUFTensor] = None) -> Dict:
+    """Host-side linear param dict from an (out, in)-oriented GGUF tensor."""
     if t.ggml_type == gguf.GGML_Q8_0:
         q, s = t.q8_0_parts()
-        p = {"q": jnp.asarray(q), "s": jnp.asarray(s)}
+        p = {"q": q, "s": s}
     else:
-        p = {"w": jnp.asarray(t.array().T.astype(np.float32)).astype(jnp.bfloat16)}
+        p = {"w": host_bf16(t.array().T)}
     if bias is not None:
-        p["b"] = jnp.asarray(bias.array().astype(np.float32))
+        p["b"] = host_f32(bias.array())
     return p
 
 
-def _embedding_from_tensor(t: gguf.GGUFTensor) -> Dict:
+def _embedding_np(t: gguf.GGUFTensor) -> Dict:
     if t.ggml_type == gguf.GGML_Q8_0:
         q, s = t.q8_0_parts()
-        return {"q": jnp.asarray(q), "s": jnp.asarray(s)}
-    return {"w": jnp.asarray(t.array().astype(np.float32)).astype(jnp.bfloat16)}
+        return {"q": q, "s": s}
+    return {"w": host_bf16(t.array())}
 
 
-def _vec(t: gguf.GGUFTensor) -> jax.Array:
-    return jnp.asarray(t.array().astype(np.float32))
+def _vec(t: gguf.GGUFTensor) -> np.ndarray:
+    return host_f32(t.array())
 
 
 def _stack_layers(layers: List[Dict]) -> Dict:
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return jax.tree.map(lambda *xs: np.stack(xs), *layers)
+
+
+def _to_device(tree):
+    return jax.tree.map(jnp.asarray, tree)
 
 
 class Qwen3ASRWeights:
@@ -62,8 +71,8 @@ class Qwen3ASRWeights:
         self.metadata: Dict[str, Any] = f.metadata
         self.config: Qwen3ASRConfig = config_from_metadata(f.metadata)
         self.tokenizer: BPETokenizer = tokenizer_from_metadata(f.metadata)
-        self.decoder_params = self._load_decoder(f)
-        self.encoder_params = self._load_encoder(f)
+        self.decoder_params = _to_device(self._load_decoder(f))
+        self.encoder_params = _to_device(self._load_encoder(f))
         f.close()
 
     # ------------------------------------------------------------------
@@ -77,25 +86,25 @@ class Qwen3ASRWeights:
             layers.append(
                 {
                     "attn_norm": _vec(t[p + "attn_norm.weight"]),
-                    "q": _linear_from_tensor(t[p + "attn_q.weight"]),
-                    "k": _linear_from_tensor(t[p + "attn_k.weight"]),
-                    "v": _linear_from_tensor(t[p + "attn_v.weight"]),
-                    "o": _linear_from_tensor(t[p + "attn_output.weight"]),
+                    "q": _linear_np(t[p + "attn_q.weight"]),
+                    "k": _linear_np(t[p + "attn_k.weight"]),
+                    "v": _linear_np(t[p + "attn_v.weight"]),
+                    "o": _linear_np(t[p + "attn_output.weight"]),
                     "q_norm": _vec(t[p + "attn_q_norm.weight"]),
                     "k_norm": _vec(t[p + "attn_k_norm.weight"]),
                     "ffn_norm": _vec(t[p + "ffn_norm.weight"]),
-                    "gate": _linear_from_tensor(t[p + "ffn_gate.weight"]),
-                    "up": _linear_from_tensor(t[p + "ffn_up.weight"]),
-                    "down": _linear_from_tensor(t[p + "ffn_down.weight"]),
+                    "gate": _linear_np(t[p + "ffn_gate.weight"]),
+                    "up": _linear_np(t[p + "ffn_up.weight"]),
+                    "down": _linear_np(t[p + "ffn_down.weight"]),
                 }
             )
         params = {
-            "embed": _embedding_from_tensor(t["token_embd.weight"]),
+            "embed": _embedding_np(t["token_embd.weight"]),
             "layers": _stack_layers(layers),
             "final_norm": _vec(t["output_norm.weight"]),
         }
         if "output.weight" in t and not cfg.tie_word_embeddings:
-            params["lm_head"] = _linear_from_tensor(t["output.weight"])
+            params["lm_head"] = _linear_np(t["output.weight"])
         return params
 
     def _load_encoder(self, f: gguf.GGUFFile) -> Dict:
@@ -104,12 +113,12 @@ class Qwen3ASRWeights:
 
         def conv(name: str) -> Dict:
             return {
-                "w": jnp.asarray(t[f"aenc.{name}.weight"].array().astype(np.float32)),
-                "b": jnp.asarray(t[f"aenc.{name}.bias"].array().astype(np.float32)),
+                "w": host_f32(t[f"aenc.{name}.weight"].array()),
+                "b": host_f32(t[f"aenc.{name}.bias"].array()),
             }
 
         def linear(name: str, bias: bool = True) -> Dict:
-            return _linear_from_tensor(
+            return _linear_np(
                 t[f"aenc.{name}.weight"],
                 t.get(f"aenc.{name}.bias") if bias else None,
             )
@@ -144,7 +153,5 @@ class Qwen3ASRWeights:
             "ln_post": norm("ln_post"),
             "proj1": linear("proj1"),
             "proj2": linear("proj2"),
-            "pos_embd": jnp.asarray(
-                sinusoid_positions(cfg.max_source_positions, cfg.d_model)
-            ),
+            "pos_embd": sinusoid_positions(cfg.max_source_positions, cfg.d_model),
         }

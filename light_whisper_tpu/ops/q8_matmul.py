@@ -1,0 +1,133 @@
+"""Pallas TPU kernel: fused Q8_0 dequant + matmul.
+
+``y[T, out] = x[T, in] @ dequant(q[out, in], s[out, in/32]).T``
+
+This is the engine's hottest op: every decoder/encoder projection multiplies
+activations against Q8_0 weights. Decode steps are HBM-bandwidth-bound, so
+the win over a dequantize-then-matmul graph is that the weights cross
+HBM→VMEM as int8 (half the bytes of bf16); the dequant (cast + per-block
+scale) happens in VMEM right before the MXU contraction.
+
+Grid: (T tiles, out tiles, in tiles) with a VMEM f32 accumulator over the
+reduction dimension (same schedule as the reference tiled-matmul kernel in
+``jax.experimental.pallas.ops.tpu.matmul``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from light_whisper_tpu.formats.gguf import Q8_0_BLOCK
+
+
+def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[...]  # [bo, bk] int8
+    s = s_ref[...]  # [bo, bk // 32] f16
+    bo, bk = q.shape
+    # Per-block scale expansion without a lane-dim repeat: reshape the
+    # quants to expose the block axis, scale, and flatten back.
+    w = q.reshape(bo, bk // Q8_0_BLOCK, Q8_0_BLOCK).astype(jnp.bfloat16)
+    w = (w * s[...].astype(jnp.bfloat16)[:, :, None]).reshape(bo, bk)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...],
+        w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _pick(n: int, preferred: int) -> int:
+    while preferred > 128 and n % preferred != 0:
+        preferred //= 2
+    return preferred if n % preferred == 0 else n
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "block_o", "block_k", "interpret"))
+def _q8_matmul_2d(
+    x: jax.Array,  # [T, in] bf16
+    q: jax.Array,  # [out, in] int8
+    s: jax.Array,  # [out, in // 32] f16
+    block_t: int,
+    block_o: int,
+    block_k: int,
+    interpret: bool = False,
+) -> jax.Array:
+    T = x.shape[0]
+    out_features, in_features = q.shape
+
+    grid = (T // block_t, out_features // block_o, in_features // block_k)
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((T, out_features), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_t, block_k), lambda t, o, k: (t, k)),
+                pl.BlockSpec((block_o, block_k), lambda t, o, k: (o, k)),
+                pl.BlockSpec(
+                    (block_o, block_k // Q8_0_BLOCK), lambda t, o, k: (o, k)
+                ),
+            ],
+            out_specs=pl.BlockSpec((block_t, block_o), lambda t, o, k: (t, o)),
+            scratch_shapes=[pltpu.VMEM((block_t, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * out_features * in_features,
+            bytes_accessed=T * in_features * 2
+            + out_features * in_features
+            + out_features * in_features // Q8_0_BLOCK * 2
+            + T * out_features * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), q, s)
+
+
+def q8_matmul_pallas(x: jax.Array, q: jax.Array, s: jax.Array, interpret: bool = False) -> jax.Array:
+    """Dispatch wrapper: flattens batch dims, picks tile sizes, pads T.
+
+    Falls back assumptions: ``out % 128 == 0`` and ``in % 128 == 0`` (the
+    caller — ``ops.linear`` — routes other shapes to the XLA path).
+    """
+    lead_shape = x.shape[:-1]
+    in_features = x.shape[-1]
+    out_features = q.shape[0]
+    x2 = x.reshape(-1, in_features)
+    T = x2.shape[0]
+
+    block_t = 8 if T <= 8 else _pick(T, 256)
+    if T % block_t != 0 or T < 8:
+        pad_t = -T % max(block_t, 8)
+        x2 = jnp.pad(x2, ((0, pad_t), (0, 0)))
+        T = x2.shape[0]
+        block_t = _pick(T, max(block_t, 8))
+    block_o = _pick(out_features, 512)
+    block_k = _pick(in_features, 512)
+
+    y = _q8_matmul_2d(x2, q, s, block_t, block_o, block_k, interpret)
+    return y[: _prod(lead_shape)].reshape(*lead_shape, out_features)
+
+
+def _prod(shape) -> int:
+    n = 1
+    for s in shape:
+        n *= int(s)
+    return n

@@ -1,0 +1,113 @@
+"""Multi-chip ASR training step (fine-tuning) over a (dp, tp) mesh.
+
+The reference has no training path at all; this is TPU-native surplus: full
+encoder+decoder fine-tuning with data parallelism over ``dp`` and Megatron
+tensor parallelism over ``tp``, expressed as GSPMD sharding annotations —
+XLA derives the all-reduces. Works identically on a virtual host-platform
+mesh (tests / driver dry run) and real ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from light_whisper_tpu.models.qwen3_asr import decoder as dec
+from light_whisper_tpu.models.qwen3_asr.config import Qwen3ASRConfig
+from light_whisper_tpu.models.qwen3_asr.encoder import encode_chunks
+from light_whisper_tpu.parallel.mesh import DATA_AXIS
+from light_whisper_tpu.parallel.sharding import param_specs, shard_params
+
+IGNORE_LABEL = -100
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]  # {"encoder": ..., "decoder": ...}
+    opt_state: Any
+    step: jax.Array
+
+
+def asr_loss(
+    cfg: Qwen3ASRConfig,
+    params: Dict[str, Any],
+    mel: jax.Array,  # [B, frames, mels] — whole chunks
+    ids: jax.Array,  # [B, T] prompt+transcript tokens (audio placeholders)
+    labels: jax.Array,  # [B, T] next-token labels, IGNORE_LABEL outside loss
+    prefix_len: int,
+) -> jax.Array:
+    num_chunks = mel.shape[1] // cfg.audio.chunk_frames
+    n_audio = num_chunks * cfg.audio.tokens_per_chunk
+
+    def example(mel_i, ids_i, labels_i):
+        audio_embeds = encode_chunks(
+            cfg.audio,
+            params["encoder"],
+            mel_i,
+            jnp.int32(n_audio),
+            num_chunks,
+        )
+        token_embeds = dec.embed_tokens(params["decoder"], ids_i).astype(jnp.bfloat16)
+        idx = jnp.arange(ids_i.shape[0])
+        row = jnp.clip(idx - prefix_len, 0, audio_embeds.shape[0] - 1)
+        is_audio = (idx >= prefix_len) & (idx < prefix_len + n_audio)
+        embeds = jnp.where(is_audio[:, None], audio_embeds[row], token_embeds)
+
+        hidden = dec.forward_train(cfg.decoder, params["decoder"], embeds)
+        logits = dec.logits_for(cfg.decoder, params["decoder"], hidden)
+        mask = labels_i != IGNORE_LABEL
+        safe_labels = jnp.where(mask, labels_i, 0)
+        ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        token_ll = jnp.take_along_axis(ll, safe_labels[:, None], axis=-1)[:, 0]
+        return -jnp.sum(jnp.where(mask, token_ll, 0.0)), jnp.sum(mask)
+
+    losses, counts = jax.vmap(example)(mel, ids, labels)
+    return jnp.sum(losses) / jnp.maximum(1, jnp.sum(counts))
+
+
+def make_train_step(
+    cfg: Qwen3ASRConfig,
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+    prefix_len: int,
+):
+    """Build a jitted, mesh-sharded train step: (state, batch) → (state, loss)."""
+
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, mel, ids, labels) -> Tuple[TrainState, jax.Array]:
+        def loss_fn(params):
+            return asr_loss(cfg, params, mel, ids, labels, prefix_len)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def place_batch(mel, ids, labels):
+        return (
+            jax.device_put(mel, batch_sharding),
+            jax.device_put(ids, batch_sharding),
+            jax.device_put(labels, batch_sharding),
+        )
+
+    return train_step, place_batch
+
+
+def init_state(
+    mesh: Mesh,
+    encoder_params: Dict[str, Any],
+    decoder_params: Dict[str, Any],
+    optimizer: optax.GradientTransformation,
+) -> TrainState:
+    params = {
+        "encoder": shard_params(encoder_params, mesh),
+        "decoder": shard_params(decoder_params, mesh),
+    }
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0))
