@@ -78,7 +78,7 @@ def _use_pallas(q: jax.Array) -> bool:
     return (
         out_features >= _PALLAS_MIN_OUT
         and out_features % 128 == 0
-        and in_features % 128 == 0
+        and in_features % 512 == 0  # kernel's fixed reduction tile
     )
 
 

@@ -25,18 +25,19 @@ from jax.experimental.pallas import tpu as pltpu
 from light_whisper_tpu.formats.gguf import Q8_0_BLOCK
 
 
-def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref):
+def _kernel(x_ref, q_ref, st_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = q_ref[...]  # [bo, bk] int8
-    s = s_ref[...]  # [bo, bk // 32] f16
+    # Scales arrive transposed as [bk // 32, bo] so their lane dimension is
+    # the 128-aligned out-features axis (a [bo, bk/32] block would put a
+    # 16-wide tile in the lane dim, which the TPU layout rejects).
+    s = st_ref[...].astype(jnp.bfloat16).T  # [bo, bk // 32]
     bo, bk = q.shape
-    # Per-block scale expansion without a lane-dim repeat: reshape the
-    # quants to expose the block axis, scale, and flatten back.
     w = q.reshape(bo, bk // Q8_0_BLOCK, Q8_0_BLOCK).astype(jnp.bfloat16)
-    w = (w * s[...].astype(jnp.bfloat16)[:, :, None]).reshape(bo, bk)
+    w = (w * s[:, :, None]).reshape(bo, bk)
 
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...],
@@ -68,6 +69,7 @@ def _q8_matmul_2d(
 ) -> jax.Array:
     T = x.shape[0]
     out_features, in_features = q.shape
+    s_t = s.T  # [in // 32, out] — lane dim must be the 128-aligned axis
 
     grid = (T // block_t, out_features // block_o, in_features // block_k)
     return pl.pallas_call(
@@ -80,7 +82,7 @@ def _q8_matmul_2d(
                 pl.BlockSpec((block_t, block_k), lambda t, o, k: (t, k)),
                 pl.BlockSpec((block_o, block_k), lambda t, o, k: (o, k)),
                 pl.BlockSpec(
-                    (block_o, block_k // Q8_0_BLOCK), lambda t, o, k: (o, k)
+                    (block_k // Q8_0_BLOCK, block_o), lambda t, o, k: (k, o)
                 ),
             ],
             out_specs=pl.BlockSpec((block_t, block_o), lambda t, o, k: (t, o)),
@@ -98,7 +100,7 @@ def _q8_matmul_2d(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x.astype(jnp.bfloat16), q, s)
+    )(x.astype(jnp.bfloat16), q, s_t)
 
 
 def q8_matmul_pallas(x: jax.Array, q: jax.Array, s: jax.Array, interpret: bool = False) -> jax.Array:
@@ -120,7 +122,10 @@ def q8_matmul_pallas(x: jax.Array, q: jax.Array, s: jax.Array, interpret: bool =
         T = x2.shape[0]
         block_t = _pick(T, max(block_t, 8))
     block_o = _pick(out_features, 512)
-    block_k = _pick(in_features, 512)
+    # block_k is pinned at 512 so the transposed-scales block has exactly the
+    # f16 minimum sublane tile (512/32 = 16); ops.linear only routes shapes
+    # with in % 512 == 0 here.
+    block_k = 512
 
     y = _q8_matmul_2d(x2, q, s, block_t, block_o, block_k, interpret)
     return y[: _prod(lead_shape)].reshape(*lead_shape, out_features)

@@ -20,10 +20,10 @@ def _case(T, out_f, in_f, seed=0):
 @pytest.mark.parametrize(
     "T,out_f,in_f",
     [
-        (1, 256, 256),  # decode step
-        (8, 512, 384),
+        (1, 256, 512),  # decode step
+        (8, 512, 1024),
         (64, 256, 512),
-        (200, 384, 256),  # T padded to a tile multiple
+        (200, 384, 512),  # T padded to a tile multiple
     ],
 )
 def test_kernel_matches_xla_path(T, out_f, in_f):
@@ -37,17 +37,17 @@ def test_kernel_matches_xla_path(T, out_f, in_f):
 def test_kernel_exact_on_integer_values():
     """With integer activations and power-of-two scales, both paths are exact."""
     rng = np.random.default_rng(1)
-    q = rng.integers(-127, 127, size=(256, 256), dtype=np.int8)
-    s = np.full((256, 256 // 32), 0.5, dtype=np.float16)
-    x = rng.integers(-4, 4, size=(16, 256)).astype(np.float32)
+    q = rng.integers(-127, 127, size=(256, 512), dtype=np.int8)
+    s = np.full((256, 512 // 32), 0.5, dtype=np.float16)
+    x = rng.integers(-4, 4, size=(16, 512)).astype(np.float32)
     got = np.asarray(q8_matmul_pallas(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s), interpret=True))
     want = x @ (q.astype(np.float32) * 0.5).T
     np.testing.assert_allclose(got, want, rtol=0, atol=0)
 
 
 def test_batched_leading_dims():
-    x, q, s = _case(12, 256, 256, seed=2)
-    x3 = x.reshape(3, 4, 256)
+    x, q, s = _case(12, 256, 512, seed=2)
+    x3 = x.reshape(3, 4, 512)
     got = np.asarray(q8_matmul_pallas(x3, q, s, interpret=True))
     want = np.asarray(q8_matmul_xla(x3, q, s))
     assert got.shape == (3, 4, 256)
