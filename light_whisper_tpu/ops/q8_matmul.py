@@ -34,7 +34,8 @@ def _kernel(x_ref, q_ref, st_ref, o_ref, acc_ref):
     # Scales arrive transposed as [bk // 32, bo] so their lane dimension is
     # the 128-aligned out-features axis (a [bo, bk/32] block would put a
     # 16-wide tile in the lane dim, which the TPU layout rejects).
-    s = st_ref[...].astype(jnp.bfloat16).T  # [bo, bk // 32]
+    # f16 → f32 → bf16: Mosaic has no direct f16→bf16 cast.
+    s = st_ref[...].astype(jnp.float32).astype(jnp.bfloat16).T  # [bo, bk // 32]
     bo, bk = q.shape
     w = q.reshape(bo, bk // Q8_0_BLOCK, Q8_0_BLOCK).astype(jnp.bfloat16)
     w = (w * s[:, :, None]).reshape(bo, bk)
