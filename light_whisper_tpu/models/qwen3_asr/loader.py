@@ -36,7 +36,8 @@ def _linear_np(t: gguf.GGUFTensor, bias: Optional[gguf.GGUFTensor] = None) -> Di
     """Host-side linear param dict from an (out, in)-oriented GGUF tensor."""
     if t.ggml_type == gguf.GGML_Q8_0:
         q, s = t.q8_0_parts()
-        p = {"q": q, "s": s}
+        # scales go to bf16: the TPU kernel dialect has no f16 support
+        p = {"q": q, "s": host_bf16(s)}
     else:
         p = {"w": host_bf16(t.array().T)}
     if bias is not None:
@@ -47,7 +48,7 @@ def _linear_np(t: gguf.GGUFTensor, bias: Optional[gguf.GGUFTensor] = None) -> Di
 def _embedding_np(t: gguf.GGUFTensor) -> Dict:
     if t.ggml_type == gguf.GGML_Q8_0:
         q, s = t.q8_0_parts()
-        return {"q": q, "s": s}
+        return {"q": q, "s": host_bf16(s)}
     return {"w": host_bf16(t.array())}
 
 

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from light_whisper_tpu.formats.gguf import Q8_0_BLOCK
 
 
-def _kernel(x_ref, q_ref, st_ref, o_ref, acc_ref):
+def _kernel(x_ref, q_ref, st_ref, expand_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -33,12 +33,19 @@ def _kernel(x_ref, q_ref, st_ref, o_ref, acc_ref):
     q = q_ref[...]  # [bo, bk] int8
     # Scales arrive transposed as [bk // 32, bo] so their lane dimension is
     # the 128-aligned out-features axis (a [bo, bk/32] block would put a
-    # 16-wide tile in the lane dim, which the TPU layout rejects).
-    # f16 → f32 → bf16: Mosaic has no direct f16→bf16 cast.
-    s = st_ref[...].astype(jnp.float32).astype(jnp.bfloat16).T  # [bo, bk // 32]
-    bo, bk = q.shape
-    w = q.reshape(bo, bk // Q8_0_BLOCK, Q8_0_BLOCK).astype(jnp.bfloat16)
-    w = (w * s[:, :, None]).reshape(bo, bk)
+    # 16-wide tile in the lane dim, which the TPU layout rejects). They are
+    # bf16 (converted at load: Mosaic has no f16 support at all).
+    s = st_ref[...].T  # [bo, bk // 32]
+    # Lane-dim block expansion (s[o, k // 32] for every k) is not a legal
+    # Mosaic reshape; express it as a matmul with a constant 0/1 expansion
+    # matrix instead — ~bk/32× fewer FLOPs than the main contraction.
+    s_full = jax.lax.dot_general(
+        s,
+        expand_ref[...],  # [bk // 32, bk]
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # [bo, bk]
+    w = q.astype(jnp.bfloat16) * s_full
 
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...],
@@ -70,7 +77,9 @@ def _q8_matmul_2d(
 ) -> jax.Array:
     T = x.shape[0]
     out_features, in_features = q.shape
-    s_t = s.T  # [in // 32, out] — lane dim must be the 128-aligned axis
+    s_t = s.astype(jnp.bfloat16).T  # [in // 32, out] — lane dim = aligned axis
+    nb = block_k // Q8_0_BLOCK
+    expand = jnp.repeat(jnp.eye(nb, dtype=jnp.bfloat16), Q8_0_BLOCK, axis=1)
 
     grid = (T // block_t, out_features // block_o, in_features // block_k)
     return pl.pallas_call(
@@ -85,6 +94,7 @@ def _q8_matmul_2d(
                 pl.BlockSpec(
                     (block_k // Q8_0_BLOCK, block_o), lambda t, o, k: (k, o)
                 ),
+                pl.BlockSpec((nb, block_k), lambda t, o, k: (0, 0)),
             ],
             out_specs=pl.BlockSpec((block_t, block_o), lambda t, o, k: (t, o)),
             scratch_shapes=[pltpu.VMEM((block_t, block_o), jnp.float32)],
@@ -101,7 +111,7 @@ def _q8_matmul_2d(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x.astype(jnp.bfloat16), q, s_t)
+    )(x.astype(jnp.bfloat16), q, s_t, expand)
 
 
 def q8_matmul_pallas(x: jax.Array, q: jax.Array, s: jax.Array, interpret: bool = False) -> jax.Array:

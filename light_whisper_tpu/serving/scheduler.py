@@ -1,0 +1,136 @@
+"""Multi-stream request scheduling for concurrent serving.
+
+The reference enforces one in-flight engine request by holding a process
+mutex across write+read (``funasr_service.rs:1353-1388``); multi-stream
+concurrency (VAD + ASR + polish pipelines, BASELINE config #5) therefore
+serializes at the engine. This scheduler keeps that serialization (one TPU
+program at a time per model) but adds what a single-process engine can:
+
+- a priority queue — finalize requests preempt interim ticks (a stuck
+  finalize blocks a paste; a delayed interim tick only delays a subtitle),
+- per-stream generations — a new request from the same stream invalidates
+  queued stale ones (the request_id-discard pattern of the protocol, done
+  before wasting device time instead of after),
+- per-request latency stats (p50/p95) for the ``stats`` action.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import itertools
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+PRIORITY_FINALIZE = 0
+PRIORITY_INTERIM = 1
+
+
+@dataclasses.dataclass(order=True)
+class _Job:
+    priority: int
+    seq: int
+    stream: str = dataclasses.field(compare=False)
+    generation: int = dataclasses.field(compare=False)
+    work: Callable[[], Any] = dataclasses.field(compare=False)
+    done: threading.Event = dataclasses.field(compare=False)
+    result: Any = dataclasses.field(compare=False, default=None)
+    error: Optional[BaseException] = dataclasses.field(compare=False, default=None)
+    cancelled: bool = dataclasses.field(compare=False, default=False)
+
+
+class EngineScheduler:
+    def __init__(self) -> None:
+        self._queue: List[_Job] = []
+        self._lock = threading.Lock()
+        self._wakeup = threading.Condition(self._lock)
+        self._generations: Dict[str, int] = {}
+        self._seq = itertools.count()
+        self._latencies: List[float] = []
+        self._running = True
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+
+    def submit(
+        self,
+        stream: str,
+        work: Callable[[], Any],
+        priority: int = PRIORITY_INTERIM,
+        supersede: bool = True,
+    ) -> _Job:
+        """Queue work for a stream. ``supersede`` bumps the stream generation
+        so queued-but-unstarted older requests of that stream are dropped."""
+        with self._lock:
+            if supersede:
+                self._generations[stream] = self._generations.get(stream, 0) + 1
+            generation = self._generations.get(stream, 0)
+            job = _Job(
+                priority=priority,
+                seq=next(self._seq),
+                stream=stream,
+                generation=generation,
+                work=work,
+                done=threading.Event(),
+            )
+            heapq.heappush(self._queue, job)
+            self._wakeup.notify()
+        return job
+
+    def wait(self, job: _Job, timeout: Optional[float] = None) -> Any:
+        if not job.done.wait(timeout):
+            raise TimeoutError("engine request timed out")
+        if job.cancelled:
+            raise RuntimeError("superseded by a newer request on this stream")
+        if job.error is not None:
+            raise job.error
+        return job.result
+
+    def stats(self) -> Dict[str, float]:
+        with self._lock:
+            lat = sorted(self._latencies[-1000:])
+        if not lat:
+            return {"count": 0}
+        return {
+            "count": len(lat),
+            "p50_ms": round(lat[len(lat) // 2] * 1000, 3),
+            "p95_ms": round(lat[int(len(lat) * 0.95)] * 1000, 3),
+        }
+
+    def shutdown(self) -> None:
+        with self._lock:
+            self._running = False
+            self._wakeup.notify()
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def _run(self) -> None:
+        while True:
+            with self._lock:
+                while self._running and not self._queue:
+                    self._wakeup.wait()
+                if not self._running:
+                    # flush: cancel everything still queued
+                    for job in self._queue:
+                        job.cancelled = True
+                        job.done.set()
+                    self._queue.clear()
+                    return
+                job = heapq.heappop(self._queue)
+                stale = job.generation != self._generations.get(job.stream, 0)
+            if stale:
+                job.cancelled = True
+                job.done.set()
+                continue
+            started = time.perf_counter()
+            try:
+                job.result = job.work()
+            except BaseException as exc:  # surfaced via wait()
+                job.error = exc
+            finally:
+                with self._lock:
+                    self._latencies.append(time.perf_counter() - started)
+                job.done.set()

@@ -1,0 +1,206 @@
+"""Streaming session + scheduler behavior."""
+
+import threading
+import time
+import types
+
+import numpy as np
+import pytest
+
+from light_whisper_tpu.serving.scheduler import (
+    PRIORITY_FINALIZE,
+    PRIORITY_INTERIM,
+    EngineScheduler,
+)
+from light_whisper_tpu.serving.streaming import (
+    FINALIZE_REUSE_TAIL_GAP_SECONDS,
+    INTERVAL_BASE_MS,
+    INTERVAL_MAX_MS,
+    INTERVAL_MIN_MS,
+    SAMPLE_RATE,
+    StreamingSession,
+    adapt_interval,
+)
+
+
+class ScriptedTranscriber:
+    """Returns queued texts; records the audio it was given."""
+
+    def __init__(self, texts):
+        self.texts = list(texts)
+        self.calls = []
+
+    def transcribe(self, audio):
+        self.calls.append(np.asarray(audio))
+        text = self.texts.pop(0) if self.texts else ""
+        return types.SimpleNamespace(text=text, language="zh")
+
+
+def seconds(n):
+    return np.zeros(int(n * SAMPLE_RATE), dtype=np.float32)
+
+
+def test_adaptive_interval_reference_parameters():
+    assert adapt_interval(INTERVAL_BASE_MS, 500) == INTERVAL_BASE_MS + 42
+    assert adapt_interval(INTERVAL_BASE_MS, 100) == INTERVAL_BASE_MS - 24
+    assert adapt_interval(INTERVAL_BASE_MS, 300) == INTERVAL_BASE_MS
+    assert adapt_interval(INTERVAL_MAX_MS, 1000) == INTERVAL_MAX_MS
+    assert adapt_interval(INTERVAL_MIN_MS, 10) == INTERVAL_MIN_MS
+
+
+def test_tick_below_min_audio_returns_none():
+    session = StreamingSession(ScriptedTranscriber([]))
+    session.accept(seconds(0.1))
+    assert session.tick() is None
+
+
+def test_tick_stable_tentative_progression():
+    t = ScriptedTranscriber(["今天", "今天天气", "今天天气很好"])
+    session = StreamingSession(t)
+    session.accept(seconds(1))
+    r1 = session.tick()
+    assert (r1.stable, r1.tentative) == ("", "今天")
+    session.accept(seconds(1))
+    r2 = session.tick()
+    assert (r2.stable, r2.tentative) == ("今天", "天气")
+    r3 = session.tick()
+    assert (r3.stable, r3.tentative) == ("今天天气", "很好")
+
+
+def test_window_slides_and_aligns():
+    t = ScriptedTranscriber(["a"] * 10)
+    session = StreamingSession(t)
+    session.accept(seconds(20))
+    session.tick()
+    window = t.calls[0]
+    assert len(window) <= 12 * SAMPLE_RATE
+    # start aligned to whole chunks: 20s buffer → start 8s (already aligned)
+    assert len(window) == 12 * SAMPLE_RATE
+    session.accept(seconds(0.5))
+    session.tick()
+    # start 8.5s → aligned down to 8s → window 12.5s? no: start aligned down
+    # means window grows to ≤ 12 + 1 chunk
+    assert len(t.calls[1]) == 12.5 * SAMPLE_RATE
+
+
+def test_finalize_reuses_interim_cache_when_tail_small():
+    t = ScriptedTranscriber(["你好世界"])
+    session = StreamingSession(t)
+    session.accept(seconds(3))
+    session.tick()
+    session.accept(seconds(FINALIZE_REUSE_TAIL_GAP_SECONDS - 0.05))
+    final = session.finalize()
+    assert final.from_interim_cache
+    assert final.text == "你好世界"
+    assert len(t.calls) == 1  # no re-transcription
+
+
+def test_finalize_retranscribes_on_large_tail():
+    t = ScriptedTranscriber(["partial", "full text"])
+    session = StreamingSession(t)
+    session.accept(seconds(3))
+    session.tick()
+    session.accept(seconds(1.0))  # 1 s tail > 250 ms
+    final = session.finalize()
+    assert not final.from_interim_cache
+    assert final.text == "full text"
+    assert len(t.calls) == 2
+    assert len(t.calls[1]) == 4 * SAMPLE_RATE  # full buffer, not the window
+
+
+def test_finalize_never_reuses_when_buffer_exceeds_window():
+    t = ScriptedTranscriber(["w1", "full"])
+    session = StreamingSession(t)
+    session.accept(seconds(14))
+    session.tick()
+    final = session.finalize()  # no tail, but buffer > window
+    assert not final.from_interim_cache
+    assert final.text == "full"
+
+
+def test_discard_resets_state():
+    t = ScriptedTranscriber(["x", "y"])
+    session = StreamingSession(t)
+    session.accept(seconds(1))
+    session.tick()
+    session.discard()
+    assert session.buffered_samples == 0
+    session.accept(seconds(1))
+    r = session.tick()
+    assert r.stable == ""  # tracker was reset
+
+
+def test_buffer_hard_cap():
+    session = StreamingSession(ScriptedTranscriber([]))
+    session.accept(np.zeros(31 * 60 * SAMPLE_RATE, dtype=np.float32))
+    assert session.buffered_samples == 30 * 60 * SAMPLE_RATE
+
+
+# ---------------------------------------------------------------------------
+# scheduler
+# ---------------------------------------------------------------------------
+
+
+def test_scheduler_runs_jobs_and_reports_stats():
+    s = EngineScheduler()
+    try:
+        job = s.submit("a", lambda: 41 + 1)
+        assert s.wait(job, timeout=5) == 42
+        assert s.stats()["count"] == 1
+    finally:
+        s.shutdown()
+
+
+def test_scheduler_supersede_drops_stale_interim():
+    s = EngineScheduler()
+    try:
+        gate = threading.Event()
+        s.submit("warm", lambda: gate.wait(5))  # occupy the worker
+        j1 = s.submit("stream1", lambda: "old")
+        j2 = s.submit("stream1", lambda: "new")  # supersedes j1
+        gate.set()
+        assert s.wait(j2, timeout=5) == "new"
+        with pytest.raises(RuntimeError):
+            s.wait(j1, timeout=5)
+    finally:
+        s.shutdown()
+
+
+def test_scheduler_priority_finalize_first():
+    s = EngineScheduler()
+    try:
+        gate = threading.Event()
+        order = []
+        s.submit("warm", lambda: gate.wait(5))
+        ji = s.submit("s1", lambda: order.append("interim"), priority=PRIORITY_INTERIM, supersede=False)
+        jf = s.submit("s2", lambda: order.append("final"), priority=PRIORITY_FINALIZE, supersede=False)
+        gate.set()
+        s.wait(ji, timeout=5)
+        s.wait(jf, timeout=5)
+        assert order == ["final", "interim"]
+    finally:
+        s.shutdown()
+
+
+def test_scheduler_propagates_errors():
+    s = EngineScheduler()
+    try:
+        def boom():
+            raise ValueError("nope")
+
+        job = s.submit("x", boom)
+        with pytest.raises(ValueError):
+            s.wait(job, timeout=5)
+    finally:
+        s.shutdown()
+
+
+def test_scheduler_shutdown_cancels_queued():
+    s = EngineScheduler()
+    gate = threading.Event()
+    s.submit("warm", lambda: gate.wait(5))
+    queued = s.submit("y", lambda: "never", supersede=False)
+    s.shutdown()  # flush before gate releases the worker
+    gate.set()
+    with pytest.raises((RuntimeError, TimeoutError)):
+        s.wait(queued, timeout=1)
