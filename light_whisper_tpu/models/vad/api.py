@@ -99,4 +99,21 @@ class FireRedVadTPU:
     def speech_timestamps(self, audio: np.ndarray) -> List[Dict[str, int]]:
         samples = np.asarray(audio, dtype=np.float32).reshape(-1)
         probs = self.probabilities(samples)
+        try:  # native hysteresis segmenter (same semantics, C++)
+            from light_whisper_tpu.native import binding
+
+            if binding.available():
+                o = self.options
+                pairs = binding.vad_segments(
+                    probs,
+                    len(samples),
+                    threshold=o.threshold,
+                    smooth_window=o.smooth_window_frames,
+                    min_speech_ms=o.min_speech_duration_ms,
+                    min_silence_ms=o.min_silence_duration_ms,
+                    pad_ms=o.speech_pad_ms,
+                )
+                return [{"start": s, "end": e} for s, e in pairs]
+        except Exception:
+            pass
         return speech_segments(probs, len(samples), self.options)

@@ -183,7 +183,7 @@ class Qwen3EngineServer:
             audio, duration = decode_inline_audio(audio_base64, audio_format, sample_rate)
             if not isinstance(audio, np.ndarray):
                 raise ValueError("Qwen3-ASR 内存输入仅支持 PCM")
-            audio = resample_linear(audio, sample_rate or SAMPLE_RATE)
+            audio = self._resample(audio, sample_rate or SAMPLE_RATE)
             return np.ascontiguousarray(audio, dtype=np.float32), duration, "memory"
 
         import os
@@ -191,8 +191,17 @@ class Qwen3EngineServer:
         if not audio_path or not os.path.exists(audio_path):
             raise FileNotFoundError(f"音频文件不存在: {audio_path}")
         audio, source_rate = read_audio_file_mono_f32(audio_path)
-        audio = resample_linear(audio, source_rate)
+        audio = self._resample(audio, source_rate)
         return np.ascontiguousarray(audio), len(audio) / float(SAMPLE_RATE), "path"
+
+    @staticmethod
+    def _resample(audio: np.ndarray, source_rate: int) -> np.ndarray:
+        try:  # native resampler when built; numpy parity fallback otherwise
+            from light_whisper_tpu.native import binding
+
+            return binding.resample_linear(audio, source_rate, SAMPLE_RATE)
+        except Exception:
+            return resample_linear(audio, source_rate, SAMPLE_RATE)
 
     def _filter_speech(self, audio: np.ndarray):
         """Trim leading/trailing silence only — inner pauses stay, so the
