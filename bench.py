@@ -47,8 +47,12 @@ def main() -> None:
         _round_up,
     )
 
+    import sys
+
+    t_setup = time.perf_counter()
     cfg = graft._flagship_config()
     encoder_params, decoder_params = graft._random_params(cfg, quantize_decoder=True)
+    print(f"[bench] params ready in {time.perf_counter() - t_setup:.1f}s", file=sys.stderr, flush=True)
 
     sample_rate = 16_000
     n_samples = int(AUDIO_SECONDS * sample_rate)
@@ -99,8 +103,12 @@ def main() -> None:
         )
         return int(jax.device_get(count))
 
-    for _ in range(WARMUP_ITERS):
+    import sys
+
+    for i in range(WARMUP_ITERS):
+        t = time.perf_counter()
         run_once()
+        print(f"[bench] warmup {i}: {time.perf_counter() - t:.1f}s", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_ITERS):

@@ -82,27 +82,28 @@ def _attention(
 ) -> jax.Array:
     """Causal attention of new queries against the full (masked) cache."""
     capacity = k_cache.shape[0]
-    hd = q.shape[-1]
+    T, n_heads, hd = q.shape
+    n_kv = k_cache.shape[1]
     scale = hd ** -0.5
 
-    kq = jnp.repeat(k_cache, head_groups, axis=1)  # [C, Hq, hd]
-    vq = jnp.repeat(v_cache, head_groups, axis=1)
-
+    # Grouped-query attention without materializing repeated K/V: the cache
+    # (the dominant HBM traffic during decode) is read once per step.
+    qg = q.reshape(T, n_kv, head_groups, hd)
     logits = jnp.einsum(
-        "thd,chd->htc", q.astype(jnp.bfloat16), kq.astype(jnp.bfloat16),
+        "tkgd,ckd->kgtc", qg.astype(jnp.bfloat16), k_cache.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
-    ) * scale  # [Hq, T, C]
+    ) * scale  # [Hkv, G, T, C]
 
     key_pos = jnp.arange(capacity)
     mask = key_pos[None, :] <= q_positions[:, None]  # [T, C] causal + validity
-    logits = jnp.where(mask[None, :, :], logits, NEG_INF)
+    logits = jnp.where(mask[None, None, :, :], logits, NEG_INF)
 
     weights = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
-        "htc,chd->thd", weights.astype(jnp.bfloat16), vq.astype(jnp.bfloat16),
+        "kgtc,ckd->tkgd", weights.astype(jnp.bfloat16), v_cache.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
-    return out.astype(q.dtype)  # [T, Hq, hd]
+    return out.reshape(T, n_heads, hd).astype(q.dtype)
 
 
 def _layer_forward(
@@ -196,18 +197,17 @@ def forward_train(cfg: DecoderConfig, params: Dict, embeds: jax.Array) -> jax.Ar
         k = rms_norm(k, layer["k_norm"], cfg.rms_epsilon)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k = jnp.repeat(k, groups, axis=1)
-        v = jnp.repeat(v, groups, axis=1)
+        qg = q.reshape(T, cfg.head_count_kv, groups, hd)
         logits = jnp.einsum(
-            "qhd,khd->hqk", q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            "qkgd,ckd->kgqc", qg.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         ) * (hd ** -0.5)
-        logits = jnp.where(causal[None], logits, NEG_INF)
+        logits = jnp.where(causal[None, None], logits, NEG_INF)
         weights = jax.nn.softmax(logits, axis=-1)
         attn = jnp.einsum(
-            "hqk,khd->qhd", weights.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            "kgqc,ckd->qkgd", weights.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        ).reshape(T, cfg.head_count, hd).astype(x.dtype)
         x = x + apply_linear(layer["o"], attn.reshape(T, -1)).astype(x.dtype)
         h = rms_norm(x, layer["ffn_norm"], cfg.rms_epsilon)
         gate = apply_linear(layer["gate"], h)
