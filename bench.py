@@ -32,6 +32,15 @@ BASELINE_RTF = 0.05
 
 def main() -> None:
     import jax
+
+    # Remote-compiled TPU backends pay minutes of first-compile latency for
+    # this program; persist compiled executables across runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     import __graft_entry__ as graft
