@@ -84,6 +84,56 @@ def _prefill_padded(cfg, params, embeds, cache, last_index):
     return first, cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("caches",))
+def _prefill_batch(cfg, params, embeds, caches, last_indices):
+    """vmapped prefill over a batch of equal-bucket prompts."""
+
+    def one(e, c, idx):
+        hidden, c = dec.forward(cfg, params, e, c)
+        logits = dec.logits_for(cfg, params, hidden[idx][None])
+        return jnp.argmax(logits[-1]).astype(jnp.int32), c
+
+    return jax.vmap(one, in_axes=(0, 0, 0))(embeds, caches, last_indices)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_new_tokens"), donate_argnames=("caches",)
+)
+def _decode_greedy_batch(cfg, params, first_tokens, caches, eos_token_id, max_new_tokens):
+    """Batched greedy decode: all streams step together until every one has
+    emitted EOS (or the budget runs out). Finished streams keep stepping on
+    dead positions — wasted FLOPs bounded by the batch's slowest stream,
+    which is what hardware-efficient batched serving amortizes anyway."""
+
+    B = first_tokens.shape[0]
+
+    def cond(state):
+        _tokens, count, _cur, _caches, done = state
+        return jnp.logical_and(count < max_new_tokens, jnp.logical_not(jnp.all(done)))
+
+    def step(state):
+        tokens, count, current, caches, done = state
+        tokens = tokens.at[:, count].set(jnp.where(done, tokens[:, count], current))
+
+        def one(token, cache):
+            embeds = dec.embed_tokens(params, token[None])
+            hidden, cache = dec.forward(cfg, params, embeds, cache)
+            logits = dec.logits_for(cfg, params, hidden[-1:])
+            return jnp.argmax(logits[-1]).astype(jnp.int32), cache
+
+        next_tokens, caches = jax.vmap(one)(current, caches)
+        newly_done = next_tokens == eos_token_id
+        return tokens, count + 1, next_tokens, caches, jnp.logical_or(done, newly_done)
+
+    tokens0 = jnp.full((B, max_new_tokens), -1, dtype=jnp.int32)  # -1 = unused
+    counts0 = jnp.int32(0)
+    done0 = first_tokens == eos_token_id
+    tokens, _count, _cur, caches, done = jax.lax.while_loop(
+        cond, step, (tokens0, counts0, first_tokens.astype(jnp.int32), caches, done0)
+    )
+    return tokens, caches
+
+
 class Qwen3ASRModel:
     def __init__(
         self,
@@ -196,6 +246,101 @@ class Qwen3ASRModel:
                     break
         text = self.tokenizer.decode(generated).strip()
         return TranscriptionResult(text=text, language=language, tokens=generated)
+
+    def transcribe_batch(self, audios: List[np.ndarray]) -> List[TranscriptionResult]:
+        """Batched greedy transcription of several utterances on one chip.
+
+        All streams are padded into one shape bucket and stepped together —
+        the multi-stream serving path (BASELINE configs #2/#5). Results match
+        per-stream :meth:`transcribe` output for the same bucket shapes.
+        """
+        if not audios:
+            return []
+        if len(audios) == 1:
+            return [self.transcribe(audios[0])]
+
+        audios = [np.asarray(a, dtype=np.float32).reshape(-1) for a in audios]
+        bucket = max(bucket_audio_samples(len(a)) for a in audios)
+
+        embeds_list = []
+        n_audio_list = []
+        for audio in audios:
+            padded = np.zeros(bucket, dtype=np.float32)
+            padded[: len(audio)] = audio
+            embeds, _ = self._encode_padded(padded, true_samples=len(audio))
+            embeds_list.append(embeds)
+            n_audio_list.append(self._audio_tokens_for(len(audio)))
+
+        prompt_lens = [
+            len(self.prefix_ids) + n + len(self.suffix_ids) for n in n_audio_list
+        ]
+        bucket_len = _round_up(max(prompt_lens), PROMPT_BUCKET)
+        ids_padded = np.full((len(audios), bucket_len), self.config.pad_token_id, np.int32)
+        for row, n_audio in enumerate(n_audio_list):
+            ids = (
+                self.prefix_ids
+                + [self.config.audio_token_id] * n_audio
+                + self.suffix_ids
+            )
+            ids_padded[row, : len(ids)] = ids
+
+        embeds = jnp.stack(
+            [
+                _build_prompt_embeds(
+                    self.decoder_params,
+                    jnp.asarray(ids_padded[row]),
+                    embeds_list[row],
+                    jnp.int32(n_audio_list[row]),
+                    len(self.prefix_ids),
+                )
+                for row in range(len(audios))
+            ]
+        )
+
+        capacity = 1024
+        while capacity < bucket_len + self.max_new_tokens:
+            capacity *= 2
+        caches = jax.vmap(lambda _: dec.init_cache(self.config.decoder, capacity, self.cache_dtype))(
+            jnp.arange(len(audios))
+        )
+        firsts, caches = _prefill_batch(
+            self.config.decoder,
+            self.decoder_params,
+            embeds,
+            caches,
+            jnp.asarray([l - 1 for l in prompt_lens], dtype=jnp.int32),
+        )
+        caches = caches._replace(pos=jnp.asarray(prompt_lens, dtype=jnp.int32))
+
+        tokens, _caches = _decode_greedy_batch(
+            self.config.decoder,
+            self.decoder_params,
+            firsts,
+            caches,
+            self.config.eos_token_id,
+            self.max_new_tokens,
+        )
+        tokens_np = np.asarray(tokens)
+        results = []
+        for row in range(len(audios)):
+            generated = [int(t) for t in tokens_np[row] if t >= 0]
+            results.append(self._parse_output(generated))
+        return results
+
+    def _encode_padded(self, padded: np.ndarray, true_samples: int):
+        mel_full = wmel.log_mel(padded)
+        embeds, _ = encode_audio(self.config.audio, self.encoder_params, np.asarray(mel_full))
+        return embeds, self._audio_tokens_for(true_samples)
+
+    def _audio_tokens_for(self, n_samples: int) -> int:
+        from light_whisper_tpu.models.qwen3_asr.config import conv_output_length
+
+        true_frames = wmel.num_mel_frames(n_samples)
+        chunk = self.config.audio.chunk_frames
+        full_chunks, tail = divmod(true_frames, chunk)
+        return full_chunks * self.config.audio.tokens_per_chunk + (
+            conv_output_length(tail) if tail else 0
+        )
 
     def warmup(self) -> None:
         rng = np.random.default_rng(0)

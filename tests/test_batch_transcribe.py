@@ -1,0 +1,51 @@
+"""Batched multi-stream transcription vs per-stream decoding."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+from helpers.tiny_model import write_tiny_model
+
+from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("model") / "tiny.gguf")
+    write_tiny_model(path, quantize=False)
+    return Qwen3ASRModel(path, max_new_tokens=10)
+
+
+def test_batch_matches_sequential_same_bucket(model):
+    rng = np.random.default_rng(0)
+    audios = [
+        (rng.standard_normal(8000) * 0.3).astype(np.float32) for _ in range(3)
+    ]
+    sequential = [model.transcribe(a) for a in audios]
+    batched = model.transcribe_batch(audios)
+    assert [r.tokens for r in batched] == [r.tokens for r in sequential]
+    assert [r.text for r in batched] == [r.text for r in sequential]
+
+
+def test_batch_mixed_lengths_smoke(model):
+    rng = np.random.default_rng(1)
+    audios = [
+        (rng.standard_normal(8000) * 0.3).astype(np.float32),
+        (rng.standard_normal(17000) * 0.3).astype(np.float32),
+    ]
+    results = model.transcribe_batch(audios)
+    assert len(results) == 2
+    for r in results:
+        assert isinstance(r.text, str)
+        assert all(t >= 0 for t in r.tokens)
+
+
+def test_batch_singleton_and_empty(model):
+    assert model.transcribe_batch([]) == []
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+    single = model.transcribe_batch([audio])
+    assert single[0].tokens == model.transcribe(audio).tokens
