@@ -29,6 +29,10 @@ from light_whisper_tpu.runtime.server import CLEANUP_EVERY_N, EngineServer, Serv
 
 SAMPLE_RATE = 16_000
 MIN_DURATION_SECONDS = 0.5
+# Above this, transcription goes through the VAD-segmented long-form path
+# (windows batched on device) instead of a single giant context. Can be
+# forced either way per request via options={"long_form": bool}.
+LONG_FORM_THRESHOLD_SECONDS = 120.0
 
 
 def _default_model_factory(model_path: str):
@@ -264,6 +268,13 @@ class Qwen3EngineServer:
                     "input_mode": input_mode,
                 }
 
+            options = options or {}
+            use_long_form = options.get(
+                "long_form", duration > LONG_FORM_THRESHOLD_SECONDS
+            )
+            if use_long_form and hasattr(self.model, "transcribe_batch"):
+                return self._transcribe_long_form(audio, duration, input_mode, hot_words)
+
             audio, vad_segments, vad_ms = self._filter_speech(audio)
             speech_duration = len(audio) / float(SAMPLE_RATE)
             if not vad_segments:
@@ -316,6 +327,38 @@ class Qwen3EngineServer:
                 "type": "transcription_error",
                 "input_mode": input_mode,
             }
+
+    def _transcribe_long_form(self, audio, duration, input_mode, hot_words):
+        from light_whisper_tpu.serving.longform import transcribe_long_form
+
+        started = time.perf_counter()
+        result = transcribe_long_form(self.model, self.vad, audio)
+        total_ms = (time.perf_counter() - started) * 1000
+        self._vad_calls += 1
+        self.transcription_count += 1
+        self._total_inference_ms += total_ms
+
+        if result.num_windows == 0:
+            self._vad_rejected += 1
+        text = self._correct_hot_words(result.text, hot_words)
+        self._maybe_cleanup(duration)
+        return {
+            "success": True,
+            "text": text,
+            "raw_text": result.text,
+            "confidence": 0.0,
+            "duration": duration,
+            "speech_duration": round(result.speech_seconds, 3),
+            "language": result.language,
+            "engine": self.engine,
+            "model_type": self.engine,
+            "backend": self.backend,
+            "input_mode": input_mode,
+            "vad_segments": result.num_windows,
+            "vad_ms": 0.0,
+            "inference_ms": round(total_ms, 3),
+            "long_form": True,
+        }
 
     # ------------------------------------------------------------------
 

@@ -1,0 +1,115 @@
+"""Long-form audio: VAD-driven segmentation → (batched) ASR → joined text.
+
+BASELINE config #3. The reference feeds whole recordings to one GGUF session
+call (bounded by its 32k KV context and a 30-minute capture cap); for long
+recordings the TPU build instead:
+
+1. runs FireRedVAD over the full audio (one jitted pass — cheap),
+2. groups speech segments into windows of at most ``max_window_seconds``,
+   cutting only at segment boundaries (inner pauses inside a window are
+   preserved, exactly like the short-utterance path trims only outer
+   silence),
+3. transcribes the windows as one batch (``transcribe_batch``) so decode
+   cost amortizes across the whole recording,
+4. joins the texts (ASCII boundaries get a space; CJK joins directly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+SAMPLE_RATE = 16_000
+DEFAULT_MAX_WINDOW_SECONDS = 28.0
+DEFAULT_PAD_SECONDS = 0.12
+
+
+@dataclasses.dataclass
+class LongFormResult:
+    text: str
+    language: str
+    num_windows: int
+    speech_seconds: float
+
+
+def plan_windows(
+    segments: Sequence[Dict[str, int]],
+    audio_len: int,
+    max_window_seconds: float = DEFAULT_MAX_WINDOW_SECONDS,
+    pad_seconds: float = DEFAULT_PAD_SECONDS,
+) -> List[Tuple[int, int]]:
+    """Group VAD segments into transcription windows ≤ max_window_seconds.
+
+    Consecutive segments merge while the span start→end stays under the
+    budget; an oversized single segment is split at the budget boundary.
+    """
+    max_samples = int(max_window_seconds * SAMPLE_RATE)
+    pad = int(pad_seconds * SAMPLE_RATE)
+
+    windows: List[Tuple[int, int]] = []
+    current: Tuple[int, int] | None = None
+    for seg in segments:
+        start, end = int(seg["start"]), int(seg["end"])
+        if current is None:
+            current = (start, end)
+        elif end - current[0] <= max_samples:
+            current = (current[0], end)
+        else:
+            windows.append(current)
+            current = (start, end)
+    if current is not None:
+        windows.append(current)
+
+    # split any window that alone exceeds the budget
+    bounded: List[Tuple[int, int]] = []
+    for start, end in windows:
+        while end - start > max_samples:
+            bounded.append((start, start + max_samples))
+            start += max_samples
+        bounded.append((start, end))
+
+    return [
+        (max(0, s - pad), min(audio_len, e + pad)) for s, e in bounded if e > s
+    ]
+
+
+def _join_texts(texts: Sequence[str]) -> str:
+    out = ""
+    for text in texts:
+        text = text.strip()
+        if not text:
+            continue
+        if out and (out[-1].isascii() and out[-1].isalnum()) and text[0].isascii():
+            out += " " + text
+        else:
+            out += text
+    return out
+
+
+def transcribe_long_form(
+    model,
+    vad,
+    audio: np.ndarray,
+    max_window_seconds: float = DEFAULT_MAX_WINDOW_SECONDS,
+) -> LongFormResult:
+    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+    segments = vad.speech_timestamps(audio)
+    if not segments:
+        return LongFormResult(text="", language="unknown", num_windows=0, speech_seconds=0.0)
+
+    windows = plan_windows(segments, len(audio), max_window_seconds)
+    clips = [audio[s:e] for s, e in windows]
+    speech_seconds = sum(len(c) for c in clips) / SAMPLE_RATE
+
+    results = model.transcribe_batch(clips)
+    language = next(
+        (r.language for r in results if r.language not in ("", "unknown")), "unknown"
+    )
+    return LongFormResult(
+        text=_join_texts([r.text for r in results]),
+        language=language,
+        num_windows=len(windows),
+        speech_seconds=speech_seconds,
+    )

@@ -219,3 +219,33 @@ def test_full_protocol_loop_with_fake_engine():
 def test_unsupported_engine_rejected():
     with pytest.raises(ValueError):
         Qwen3EngineServer(engine="whisper-large", model_factory=lambda p: None, vad_factory=FakeVad)
+
+
+def test_long_form_option_routes_through_batched_pipeline():
+    class BatchModel(FakeModel):
+        def transcribe_batch(self, clips):
+            self.calls.append([len(c) for c in clips])
+            return [
+                types.SimpleNamespace(text=f"seg{i}", language="zh", tokens=[])
+                for i in range(len(clips))
+            ]
+
+    model = BatchModel()
+    segments = [
+        {"start": 0, "end": 16000},
+        {"start": 32000, "end": 48000},
+    ]
+    server, _m, _v = make_server(segments=segments, model=model)
+    server.initialize()
+    audio = np.zeros(4 * 16000, dtype=np.float32)
+    result = server.transcribe(
+        audio_base64=pcm_b64(audio),
+        audio_format="pcm_s16le",
+        sample_rate=16000,
+        options={"long_form": True},
+    )
+    assert result["success"] and result.get("long_form") is True
+    # both VAD segments fit one ≤28 s window → a single batched clip
+    assert result["text"] == "seg0"
+    assert result["vad_segments"] == 1
+    assert model.calls == [[48000]]  # batch path, one merged window
