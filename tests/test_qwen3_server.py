@@ -248,4 +248,4 @@ def test_long_form_option_routes_through_batched_pipeline():
     # both VAD segments fit one ≤28 s window → a single batched clip
     assert result["text"] == "seg0"
     assert result["vad_segments"] == 1
-    assert model.calls == [[48000]]  # batch path, one merged window
+    assert model.calls == [[49920]]  # one merged window + 120 ms pad
