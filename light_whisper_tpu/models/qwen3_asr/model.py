@@ -84,6 +84,45 @@ def _prefill_padded(cfg, params, embeds, cache, last_index):
     return first, cache
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_chunks", "mel_frames", "prefix_len"),
+    donate_argnames=("cache",),
+)
+def _encode_and_prefill(
+    cfg,
+    encoder_params,
+    decoder_params,
+    waveform,  # [bucket] f32, zero-padded
+    n_audio,  # int32: valid audio tokens
+    ids,  # [L_bucket] int32 prompt with audio placeholders, end-padded
+    last_index,  # int32: true prompt length - 1
+    cache,
+    num_chunks: int,
+    mel_frames: int,
+    prefix_len: int,
+):
+    """Whole pre-decode pipeline in ONE dispatch: log-mel → AuT encoder →
+    prompt embedding splice → decoder prefill → first-token argmax.
+
+    Keeping this fused matters doubly on remote-attached TPUs, where every
+    dispatch pays tunnel latency on top of the usual host sync.
+    """
+    from light_whisper_tpu.audio.mel import _log_mel_impl
+    from light_whisper_tpu.models.qwen3_asr.encoder import encode_chunks
+
+    mel = _log_mel_impl(waveform, mel_frames)
+    chunk = cfg.audio.chunk_frames
+    mel = jnp.pad(mel, ((0, num_chunks * chunk - mel.shape[0]), (0, 0)))
+    audio_embeds = encode_chunks(cfg.audio, encoder_params, mel, n_audio, num_chunks)
+
+    embeds = _build_prompt_embeds(decoder_params, ids, audio_embeds, n_audio, prefix_len)
+    hidden, cache = dec.forward(cfg.decoder, decoder_params, embeds, cache)
+    logits = dec.logits_for(cfg.decoder, decoder_params, hidden[last_index][None])
+    first = jnp.argmax(logits[-1]).astype(jnp.int32)
+    return first, cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("caches",))
 def _prefill_batch(cfg, params, embeds, caches, last_indices):
     """vmapped prefill over a batch of equal-bucket prompts."""
@@ -172,27 +211,13 @@ class Qwen3ASRModel:
         # Buffers are donated into prefill/decode, so always start fresh.
         return dec.init_cache(self.config.decoder, capacity, self.cache_dtype)
 
-    def _encode_audio(self, audio: np.ndarray) -> Tuple[jax.Array, int]:
-        bucket = bucket_audio_samples(len(audio))
-        padded = np.zeros(bucket, dtype=np.float32)
-        padded[: len(audio)] = audio
-        mel_full = wmel.log_mel(padded)
-        true_frames = wmel.num_mel_frames(len(audio))
-        embeds, _ = encode_audio(self.config.audio, self.encoder_params, np.asarray(mel_full))
-        # Valid tokens follow from the *true* frame count, not the bucket.
-        from light_whisper_tpu.models.qwen3_asr.config import conv_output_length
-
-        chunk = self.config.audio.chunk_frames
-        full_chunks, tail = divmod(true_frames, chunk)
-        n_tokens = full_chunks * self.config.audio.tokens_per_chunk + (
-            conv_output_length(tail) if tail else 0
-        )
-        return embeds, n_tokens
-
     def transcribe(self, audio: np.ndarray) -> TranscriptionResult:
         """Greedy transcription of float32 mono 16 kHz audio."""
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
-        audio_embeds, n_audio = self._encode_audio(audio)
+        bucket = bucket_audio_samples(len(audio))
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[: len(audio)] = audio
+        n_audio = self._audio_tokens_for(len(audio))
 
         ids = (
             self.prefix_ids
@@ -204,21 +229,25 @@ class Qwen3ASRModel:
         ids_padded = np.full(bucket_len, self.config.pad_token_id, dtype=np.int32)
         ids_padded[:true_len] = ids
 
-        embeds = _build_prompt_embeds(
-            self.decoder_params,
-            jnp.asarray(ids_padded),
-            audio_embeds,
-            jnp.int32(n_audio),
-            len(self.prefix_ids),
-        )
+        from light_whisper_tpu.models.qwen3_asr.config import conv_output_length  # noqa: F401
+
+        mel_frames = wmel.num_mel_frames(bucket)
+        chunk = self.config.audio.chunk_frames
+        num_chunks = max(1, (mel_frames + chunk - 1) // chunk)
 
         cache = self._cache_for(bucket_len + self.max_new_tokens)
-        first, cache = _prefill_padded(
-            self.config.decoder,
+        first, cache = _encode_and_prefill(
+            self.config,
+            self.encoder_params,
             self.decoder_params,
-            embeds,
-            cache,
+            jnp.asarray(padded),
+            jnp.int32(n_audio),
+            jnp.asarray(ids_padded),
             jnp.int32(true_len - 1),
+            cache,
+            num_chunks,
+            mel_frames,
+            len(self.prefix_ids),
         )
         # The padded tail wrote garbage K/V at positions ≥ true_len; decode
         # starts there and overwrites before reading (causal masking keeps
