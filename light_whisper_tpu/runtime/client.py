@@ -1,0 +1,237 @@
+"""Engine process client: spawn, correlate, recover, detect crashes.
+
+Python mirror of the Rust shell's IPC client (``funasr_service.rs``) so the
+engine can be embedded from any host process, not just the Tauri shell:
+
+- spawns the engine child with the reference environment contract
+  (``LIGHT_WHISPER_DATA_DIR`` / ``LIGHT_WHISPER_ASR_ENGINE`` /
+  ``HF_HUB_CACHE``), stderr routed to a log file (``funasr_service.rs:952-972``);
+- waits for the init line within 120 s, skipping noise lines
+  (``:1020-1036``);
+- one in-flight command: a lock is held across write+read, monotonically
+  increasing ``request_id``s, late/mismatched responses discarded
+  (``:1353-1440``);
+- noise-tolerant framing: non-UTF-8 tolerated, non-JSON lines skipped, JSON
+  recovered from mixed lines by brace-slicing (``read_json_response_matching``
+  ``:393-475``);
+- inline PCM transport with sub-0.5 s zero padding (``:1146-1159``) and
+  crash detection on failed IPC (``:1353-1388``);
+- graceful shutdown: ``exit`` then kill after a 2 s grace (``:1578-1634``).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+from typing import Any, Dict, IO, List, Optional
+
+import numpy as np
+
+INIT_TIMEOUT_SECONDS = 120.0
+RESPONSE_TIMEOUT_SECONDS = 60.0
+EXIT_GRACE_SECONDS = 2.0
+MIN_INLINE_SECONDS = 0.5
+
+
+class EngineCrashed(RuntimeError):
+    pass
+
+
+class EngineTimeout(RuntimeError):
+    pass
+
+
+def _extract_json(line: str) -> Optional[Dict[str, Any]]:
+    """Parse a protocol line, recovering JSON embedded in noisy output."""
+    trimmed = line.strip()
+    if not trimmed:
+        return None
+    try:
+        value = json.loads(trimmed)
+        return value if isinstance(value, dict) else None
+    except json.JSONDecodeError:
+        pass
+    start = trimmed.find("{")
+    end = trimmed.rfind("}")
+    if 0 <= start < end:
+        try:
+            value = json.loads(trimmed[start : end + 1])
+            return value if isinstance(value, dict) else None
+        except json.JSONDecodeError:
+            return None
+    return None
+
+
+class EngineClient:
+    """Drives one engine process (or any stdin/stdout pair) over the protocol."""
+
+    def __init__(
+        self,
+        stdin: IO[str],
+        stdout: IO[str],
+        process: Optional[subprocess.Popen] = None,
+    ) -> None:
+        self._stdin = stdin
+        self._stdout = stdout
+        self._process = process
+        self._lock = threading.Lock()
+        self._next_request_id = 1
+        self.init_result: Optional[Dict[str, Any]] = None
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def spawn(
+        cls,
+        engine: str = "qwen3-asr-0.6b",
+        data_dir: Optional[str] = None,
+        hf_cache: Optional[str] = None,
+        command: Optional[List[str]] = None,
+    ) -> "EngineClient":
+        env = dict(os.environ)
+        env["LIGHT_WHISPER_ASR_ENGINE"] = engine
+        if data_dir:
+            env["LIGHT_WHISPER_DATA_DIR"] = data_dir
+        if hf_cache:
+            env["HF_HUB_CACHE"] = hf_cache
+        env.setdefault("PYTHONUTF8", "1")
+
+        argv = command or [
+            sys.executable,
+            "-m",
+            "light_whisper_tpu.runtime.engine_cli",
+            "serve",
+            "--engine",
+            engine,
+        ]
+        stderr_target = subprocess.DEVNULL
+        if data_dir:
+            os.makedirs(data_dir, exist_ok=True)
+            stderr_target = open(os.path.join(data_dir, "funasr_stderr.log"), "ab")
+        process = subprocess.Popen(
+            argv,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=stderr_target,
+            env=env,
+            text=True,
+            encoding="utf-8",
+            errors="replace",
+            bufsize=1,
+        )
+        client = cls(process.stdin, process.stdout, process)
+        client.wait_for_init()
+        return client
+
+    # ------------------------------------------------------------------
+
+    def wait_for_init(self, timeout: float = INIT_TIMEOUT_SECONDS) -> Dict[str, Any]:
+        result = self._read_matching(
+            lambda value: "success" in value and "request_id" not in value,
+            timeout,
+            context="engine init",
+        )
+        self.init_result = result
+        return result
+
+    def _alive(self) -> bool:
+        return self._process is None or self._process.poll() is None
+
+    def _read_matching(self, accept, timeout: float, context: str) -> Dict[str, Any]:
+        deadline = time.monotonic() + timeout
+        while True:
+            if time.monotonic() > deadline:
+                raise EngineTimeout(f"{context}: timed out")
+            line = self._stdout.readline()
+            if not line:
+                if not self._alive():
+                    raise EngineCrashed(f"{context}: engine process exited")
+                raise EngineCrashed(f"{context}: stdout closed")
+            value = _extract_json(line)
+            if value is None:
+                continue  # noise line
+            if accept(value):
+                return value
+            # stale/mismatched response — discard and keep reading
+
+    def request(
+        self, command: Dict[str, Any], timeout: float = RESPONSE_TIMEOUT_SECONDS
+    ) -> Dict[str, Any]:
+        """Send one command and await its correlated response."""
+        with self._lock:
+            request_id = self._next_request_id
+            self._next_request_id += 1
+            payload = dict(command)
+            payload["request_id"] = request_id
+            try:
+                self._stdin.write(json.dumps(payload, ensure_ascii=False) + "\n")
+                self._stdin.flush()
+            except (BrokenPipeError, OSError) as exc:
+                raise EngineCrashed(f"engine stdin closed: {exc}") from exc
+
+            def accept(value: Dict[str, Any]) -> bool:
+                rid = value.get("request_id")
+                if rid is None:
+                    return True  # legacy engine without correlation
+                return rid == request_id
+
+            try:
+                return self._read_matching(accept, timeout, context=payload.get("action", "request"))
+            except EngineCrashed:
+                raise
+            except EngineTimeout:
+                if not self._alive():
+                    raise EngineCrashed("engine crashed while awaiting response")
+                raise
+
+    # ------------------------------------------------------------------
+
+    def transcribe_pcm16(
+        self,
+        samples: np.ndarray,
+        sample_rate: int,
+        hot_words: Optional[List[str]] = None,
+        timeout: float = RESPONSE_TIMEOUT_SECONDS,
+    ) -> Dict[str, Any]:
+        """Inline-PCM transcription, zero-padding inputs below 0.5 s."""
+        samples = np.asarray(samples, dtype="<i2").reshape(-1)
+        min_samples = int(MIN_INLINE_SECONDS * sample_rate)
+        if 0 < len(samples) < min_samples:
+            samples = np.concatenate(
+                [samples, np.zeros(min_samples - len(samples), dtype="<i2")]
+            )
+        command: Dict[str, Any] = {
+            "action": "transcribe",
+            "audio_base64": base64.b64encode(samples.tobytes()).decode(),
+            "audio_format": "pcm_s16le",
+            "sample_rate": sample_rate,
+        }
+        if hot_words:
+            command["hot_words"] = hot_words
+        return self.request(command, timeout)
+
+    def status(self) -> Dict[str, Any]:
+        return self.request({"action": "status"})
+
+    def stats(self) -> Dict[str, Any]:
+        return self.request({"action": "stats"})
+
+    def cleanup(self) -> Dict[str, Any]:
+        return self.request({"action": "cleanup"})
+
+    def shutdown(self) -> None:
+        """Graceful exit, then kill after the grace period."""
+        try:
+            self.request({"action": "exit"}, timeout=EXIT_GRACE_SECONDS)
+        except (EngineCrashed, EngineTimeout, OSError):
+            pass
+        if self._process is not None:
+            try:
+                self._process.wait(timeout=EXIT_GRACE_SECONDS)
+            except subprocess.TimeoutExpired:
+                self._process.kill()

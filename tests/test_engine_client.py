@@ -1,0 +1,179 @@
+"""Engine client protocol robustness over in-memory pipes.
+
+Mirrors the Rust client's pinned behaviors (``funasr_service.rs:1978-2072``):
+noise-line skipping, mixed-line JSON recovery, non-UTF8 tolerance,
+stale-request_id rejection, legacy no-request_id acceptance.
+"""
+
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from light_whisper_tpu.runtime.client import (
+    EngineClient,
+    EngineCrashed,
+    EngineTimeout,
+    _extract_json,
+)
+
+
+class ScriptedStdout:
+    """Feeds pre-scripted lines, then blocks or EOFs."""
+
+    def __init__(self, lines, eof=True):
+        self.lines = list(lines)
+        self.eof = eof
+
+    def readline(self):
+        if self.lines:
+            return self.lines.pop(0)
+        return "" if self.eof else ""
+
+
+def make_client(out_lines):
+    stdin = io.StringIO()
+    stdout = ScriptedStdout(out_lines)
+    return EngineClient(stdin, stdout), stdin
+
+
+def test_extract_json_variants():
+    assert _extract_json('{"a": 1}') == {"a": 1}
+    assert _extract_json("") is None
+    assert _extract_json("random noise") is None
+    assert _extract_json('some lib spew {"ok": true} trailing') == {"ok": True}
+    assert _extract_json("[1,2,3]") is None  # non-object JSON is not a response
+    assert _extract_json("brace { but not json }") is None
+
+
+def test_init_skips_noise_lines():
+    client, _ = make_client(
+        [
+            "loading CUDA kernels...\n",
+            "\n",
+            'WARNING blah {"not": "matching"?\n',
+            '{"success": true, "engine": "qwen3-asr-0.6b"}\n',
+        ]
+    )
+    result = client.wait_for_init(timeout=5)
+    assert result["success"] is True
+
+
+def test_request_correlates_and_discards_stale():
+    client, stdin = make_client(
+        [
+            '{"success": true, "text": "stale", "request_id": 99}\n',
+            '{"success": true, "text": "fresh", "request_id": 1}\n',
+        ]
+    )
+    result = client.request({"action": "status"}, timeout=5)
+    assert result["text"] == "fresh"
+    sent = json.loads(stdin.getvalue())
+    assert sent["request_id"] == 1
+
+
+def test_legacy_response_without_request_id_accepted():
+    client, _ = make_client(['{"success": true, "text": "legacy"}\n'])
+    result = client.request({"action": "status"}, timeout=5)
+    assert result["text"] == "legacy"
+
+
+def test_mixed_line_json_recovery():
+    client, _ = make_client(
+        ['[third-party noise] {"success": true, "request_id": 1} \n']
+    )
+    assert client.request({"action": "status"}, timeout=5)["success"] is True
+
+
+def test_eof_raises_crash():
+    client, _ = make_client([])
+    with pytest.raises(EngineCrashed):
+        client.request({"action": "status"}, timeout=5)
+
+
+def test_request_ids_are_monotonic():
+    client, stdin = make_client(
+        [
+            '{"success": true, "request_id": 1}\n',
+            '{"success": true, "request_id": 2}\n',
+        ]
+    )
+    client.request({"action": "status"}, timeout=5)
+    client.request({"action": "stats"}, timeout=5)
+    lines = stdin.getvalue().splitlines()
+    assert [json.loads(l)["request_id"] for l in lines] == [1, 2]
+
+
+def test_short_pcm_zero_padded():
+    client, stdin = make_client(['{"success": true, "request_id": 1}\n'])
+    samples = np.ones(1000, dtype="<i2")  # 1000 < 8000 (0.5 s @ 16 kHz)
+    client.transcribe_pcm16(samples, 16000)
+    sent = json.loads(stdin.getvalue())
+    import base64
+
+    decoded = np.frombuffer(base64.b64decode(sent["audio_base64"]), dtype="<i2")
+    assert len(decoded) == 8000
+    assert (decoded[:1000] == 1).all() and (decoded[1000:] == 0).all()
+
+
+def test_end_to_end_against_real_server_over_pipes():
+    """Client ↔ real EngineServer wired through OS pipes in one process."""
+    import os
+
+    import types
+
+    from light_whisper_tpu.runtime.qwen3_server import Qwen3EngineServer
+    from light_whisper_tpu.runtime.server import EngineServer
+
+    class FakeModel:
+        def transcribe(self, audio):
+            return types.SimpleNamespace(text="hello", language="en", tokens=[])
+
+        def warmup(self):
+            pass
+
+    class FakeVad:
+        def __init__(self, segments):
+            self.segments = segments
+
+        def speech_timestamps(self, audio):
+            return self.segments
+
+        def warmup(self):
+            pass
+
+    # build server with fakes
+    c2s_r, c2s_w = os.pipe()
+    s2c_r, s2c_w = os.pipe()
+    server_stdin = os.fdopen(c2s_r, "r")
+    server_stdout = os.fdopen(s2c_w, "w")
+    client_stdin = os.fdopen(c2s_w, "w")
+    client_stdout = os.fdopen(s2c_r, "r")
+
+    engine = Qwen3EngineServer(
+        engine="qwen3-asr-0.6b",
+        model_factory=lambda p: FakeModel(),
+        vad_factory=lambda: FakeVad([{"start": 0, "end": 16000}]),
+        model_path="/fake/m.gguf",
+    )
+    server = EngineServer(engine.hooks(), stdin=server_stdin, stdout=server_stdout)
+    thread = threading.Thread(target=server.run, daemon=True)
+    thread.start()
+
+    client = EngineClient(client_stdin, client_stdout)
+    init = client.wait_for_init(timeout=10)
+    assert init["success"]
+
+    samples = (np.zeros(16000) * 32767).astype("<i2")
+    result = client.transcribe_pcm16(samples, 16000, hot_words=["JAX"])
+    assert result["success"] and result["input_mode"] == "memory"
+    assert result["request_id"] == 1
+
+    stats = client.stats()
+    assert stats["stats"]["transcription_count"] == 1
+
+    client.shutdown()
+    thread.join(timeout=5)
+    assert not thread.is_alive()
