@@ -179,7 +179,12 @@ class Qwen3ASRModel:
         gguf_path: str,
         max_new_tokens: int = 448,
         cache_dtype=jnp.bfloat16,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``tp`` axis —
+        parameters shard Megatron-style (attention heads / FFN columns) and
+        XLA inserts the per-block all-reduces over ICI. The KV cache shards
+        on its KV-head axis. Single-chip serving passes ``mesh=None``."""
         weights = Qwen3ASRWeights(gguf_path)
         self.config: Qwen3ASRConfig = weights.config
         self.tokenizer = weights.tokenizer
@@ -187,6 +192,22 @@ class Qwen3ASRModel:
         self.encoder_params = weights.encoder_params
         self.max_new_tokens = max_new_tokens
         self.cache_dtype = cache_dtype
+        self.mesh = mesh
+        self._cache_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from light_whisper_tpu.parallel.sharding import shard_params
+
+            tp = mesh.shape.get("tp", 1)
+            if self.config.decoder.head_count_kv % tp != 0:
+                raise ValueError(
+                    f"tp={tp} must divide kv heads {self.config.decoder.head_count_kv}"
+                )
+            self.decoder_params = shard_params(self.decoder_params, mesh)
+            self.encoder_params = shard_params(self.encoder_params, mesh)
+            # cache [L, C, Hkv, hd] → shard the KV-head axis
+            self._cache_sharding = NamedSharding(mesh, P(None, None, "tp", None))
 
         template = weights.metadata.get("tokenizer.chat_template") or DEFAULT_TEMPLATE
         if "{audio}" not in template:
@@ -209,7 +230,14 @@ class Qwen3ASRModel:
                 f"{self.config.decoder.context_length}"
             )
         # Buffers are donated into prefill/decode, so always start fresh.
-        return dec.init_cache(self.config.decoder, capacity, self.cache_dtype)
+        cache = dec.init_cache(self.config.decoder, capacity, self.cache_dtype)
+        if self._cache_sharding is not None:
+            cache = dec.KVCache(
+                k=jax.device_put(cache.k, self._cache_sharding),
+                v=jax.device_put(cache.v, self._cache_sharding),
+                pos=cache.pos,
+            )
+        return cache
 
     def transcribe(self, audio: np.ndarray) -> TranscriptionResult:
         """Greedy transcription of float32 mono 16 kHz audio."""

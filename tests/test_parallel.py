@@ -129,3 +129,37 @@ def test_checkpoint_roundtrip(tmp_path):
     save_train_state(path, state)
     restored = restore_train_state(path, jax.device_get(state))
     assert tree_equal(jax.device_get(state), restored)
+
+
+def test_mesh_sharded_inference_matches_single_device(tmp_path):
+    """Tiny model on a tp=2 mesh must produce the same transcript tokens."""
+    sys.path.insert(0, "tests")
+    from helpers.tiny_model import write_tiny_model
+
+    from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path, quantize=False)
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+
+    plain = Qwen3ASRModel(path, max_new_tokens=8).transcribe(audio)
+
+    mesh = make_mesh(dp=4, tp=2)  # tiny model has 2 kv heads
+    sharded_model = Qwen3ASRModel(path, max_new_tokens=8, mesh=mesh)
+    sharded = sharded_model.transcribe(audio)
+    assert sharded.tokens == plain.tokens
+
+
+def test_mesh_rejects_indivisible_tp(tmp_path):
+    sys.path.insert(0, "tests")
+    from helpers.tiny_model import write_tiny_model
+
+    from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+
+    path = str(tmp_path / "tiny2.gguf")
+    write_tiny_model(path, quantize=False)
+    mesh = make_mesh(dp=1, tp=8)  # 8 does not divide 2 kv heads
+    with pytest.raises(ValueError):
+        Qwen3ASRModel(path, mesh=mesh)
