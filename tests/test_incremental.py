@@ -1,0 +1,78 @@
+"""Incremental KV-prefix-reuse decoding vs full re-prefill."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+from helpers.tiny_model import write_tiny_model
+
+from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+from light_whisper_tpu.serving.incremental import IncrementalTranscriber
+from light_whisper_tpu.serving.streaming import StreamingSession
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("model") / "tiny.gguf")
+    write_tiny_model(path, quantize=False)
+    return Qwen3ASRModel(path, max_new_tokens=8)
+
+
+def test_incremental_matches_full_on_growing_audio(model):
+    rng = np.random.default_rng(0)
+    # window_tokens = 52 → a complete attention group needs 4 s of audio;
+    # grow past it so the incremental path actually reuses a stable prefix.
+    full_audio = (rng.standard_normal(16000 * 9) * 0.3).astype(np.float32)
+
+    inc = IncrementalTranscriber(model, max_new_tokens=8)
+    results_inc = []
+    results_full = []
+    for seconds in (3, 5, 7, 9):
+        window = full_audio[: seconds * 16000]
+        results_inc.append(inc.transcribe_window(window, window_start_sample=0))
+        results_full.append(model.transcribe(window))
+
+    for r_inc, r_full in zip(results_inc, results_full):
+        assert r_inc.tokens == r_full.tokens
+
+    assert inc.full_prefills == 1
+    assert inc.incremental_prefills == 3
+
+
+def test_window_slide_forces_full_prefill(model):
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(16000 * 6) * 0.3).astype(np.float32)
+    inc = IncrementalTranscriber(model, max_new_tokens=8)
+    inc.transcribe_window(audio[:80000], window_start_sample=0)
+    # slide: start moved → stable prefix invalid
+    r = inc.transcribe_window(audio[16000:], window_start_sample=16000)
+    assert inc.full_prefills == 2
+    want = model.transcribe(audio[16000:])
+    assert r.tokens == want.tokens
+
+
+def test_reset_clears_state(model):
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(16000 * 5) * 0.3).astype(np.float32)
+    inc = IncrementalTranscriber(model, max_new_tokens=8)
+    inc.transcribe_window(audio, window_start_sample=0)
+    inc.reset()
+    inc.transcribe_window(audio, window_start_sample=0)
+    assert inc.full_prefills == 2
+
+
+def test_streaming_session_with_incremental_transcriber(model):
+    rng = np.random.default_rng(3)
+    inc = IncrementalTranscriber(model, max_new_tokens=8)
+    session = StreamingSession(inc)
+    session.accept((rng.standard_normal(16000 * 5) * 0.3).astype(np.float32))
+    r1 = session.tick()
+    assert r1 is not None
+    session.accept((rng.standard_normal(16000) * 0.3).astype(np.float32))
+    r2 = session.tick()
+    assert isinstance(r2.text, str)
+    final = session.finalize()
+    assert final.from_interim_cache
