@@ -125,6 +125,47 @@ def main() -> None:
     elapsed = (time.perf_counter() - t0) / MEASURE_ITERS
 
     rtf = elapsed / AUDIO_SECONDS
+
+    # --- streaming end-of-speech → text latency -------------------------
+    # Simulate the dictation hot path: a warm incremental session holds a
+    # 10 s window; speech ends with one final 0.5 s delta; the tick that
+    # turns it into text is the user-visible finalize latency.
+    from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+    from light_whisper_tpu.serving.incremental import IncrementalTranscriber
+
+    model = Qwen3ASRModel.__new__(Qwen3ASRModel)
+    model.config = cfg
+    model.decoder_params = decoder_params
+    model.encoder_params = encoder_params
+    model.max_new_tokens = DECODE_TOKENS
+    model.cache_dtype = jnp.bfloat16
+    model.mesh = None
+    model._cache_sharding = None
+    model.prefix_ids = prefix_ids
+    model.suffix_ids = suffix_ids
+    model._caches = {}
+
+    class _NoEosTokenizer:
+        tokens = []
+
+        def decode(self, ids, skip_special=True):
+            return ""
+
+    model.tokenizer = _NoEosTokenizer()
+
+    inc = IncrementalTranscriber(model, max_new_tokens=48)
+    eos_samples = []
+    base = audio[: 10 * sample_rate]
+    for trial in range(7):
+        inc.reset()
+        inc.transcribe_window(base, window_start_sample=0)  # warm session
+        grown = audio[: 10 * sample_rate + 8000]
+        t1 = time.perf_counter()
+        inc.transcribe_window(grown, window_start_sample=0)
+        eos_samples.append((time.perf_counter() - t1) * 1000)
+    eos_samples.sort()
+    p50_eos_ms = eos_samples[len(eos_samples) // 2]
+    print(f"[bench] eos latencies: {[round(v) for v in eos_samples]}", file=sys.stderr, flush=True)
     print(
         json.dumps(
             {
@@ -138,6 +179,8 @@ def main() -> None:
                     "wall_seconds": round(elapsed, 4),
                     "device": str(jax.devices()[0]),
                     "xrt": round(AUDIO_SECONDS / elapsed, 1),
+                    "p50_end_of_speech_to_text_ms": round(p50_eos_ms, 1),
+                    "eos_target_ms": 300,
                 },
             }
         )
