@@ -13,6 +13,16 @@ ENGINE_CHOICES = ["qwen3-asr-0.6b", "qwen3-asr-1.7b"]
 
 
 def cmd_serve(engine: str) -> None:
+    import os
+
+    # Some deployments preload a TPU plugin through sitecustomize and force
+    # the platform via jax.config (env vars lose). Honor an explicit CPU
+    # request before any backend initializes.
+    if os.environ.get("LIGHT_WHISPER_FORCE_CPU") or os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from light_whisper_tpu.runtime.logging_util import setup_rotating_logger
     from light_whisper_tpu.runtime.qwen3_server import Qwen3EngineServer
 

@@ -112,8 +112,14 @@ class Qwen3EngineServer:
     # ------------------------------------------------------------------
 
     def _resolve_model_path(self) -> Optional[str]:
+        import os
+
         if self._explicit_model_path:
             return self._explicit_model_path
+        # Explicit override for self-hosted / converted artifacts and tests.
+        override = os.environ.get("LIGHT_WHISPER_MODEL_PATH")
+        if override:
+            return override if os.path.isfile(override) else None
         return find_snapshot_file(self.model_config["repo_id"], self.model_config["filename"])
 
     def initialize(self) -> Dict[str, Any]:
