@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Build a distributable engine archive with staged atomic output.
+
+Counterpart of the reference's packaging pipeline
+(``scripts/build_engine.py`` + ``build.rs``): produce one compressed archive
+a shell can download/extract, with
+
+- a staged build directory renamed into place only when complete (a crash
+  mid-build can never leave a half-written archive where a consumer looks),
+- a ``.version`` fingerprint (sha256 of the archive) written next to it, the
+  marker install-side code compares before atomically swapping engine dirs,
+- an exclusion list keeping the bundle lean (tests, caches, build residue).
+
+Usage:
+    python scripts/package_engine.py --out dist/engine.tar.xz
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+import tarfile
+import tempfile
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+EXCLUDE_DIRS = {
+    "__pycache__",
+    ".git",
+    ".jax_cache",
+    ".pytest_cache",
+    "tests",
+    "build",
+    "dist",
+    "*.egg-info",
+}
+EXCLUDE_SUFFIXES = (".pyc", ".pyo", ".o", ".log")
+INCLUDE_TOP = ("light_whisper_tpu", "pyproject.toml", "README.md")
+
+
+def _want(path: str) -> bool:
+    parts = path.split(os.sep)
+    for part in parts:
+        if part in EXCLUDE_DIRS or part.endswith(".egg-info"):
+            return False
+    return not path.endswith(EXCLUDE_SUFFIXES)
+
+
+def sha256_file(path: str) -> str:
+    digest = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            digest.update(chunk)
+    return digest.hexdigest()
+
+
+def build_archive(out_path: str, source_root: str = REPO_ROOT) -> str:
+    """Create the archive atomically; returns its sha256 fingerprint."""
+    out_dir = os.path.dirname(os.path.abspath(out_path)) or "."
+    os.makedirs(out_dir, exist_ok=True)
+
+    # Stage in the destination directory so the final rename is same-device
+    # atomic (the reference stages next to the target for the same reason).
+    fd, staging = tempfile.mkstemp(prefix=".engine-staging-", dir=out_dir)
+    os.close(fd)
+    try:
+        with tarfile.open(staging, "w:xz") as tar:
+            for top in INCLUDE_TOP:
+                src = os.path.join(source_root, top)
+                if not os.path.exists(src):
+                    continue
+                if os.path.isfile(src):
+                    tar.add(src, arcname=top)
+                    continue
+                for root, dirs, files in os.walk(src):
+                    dirs[:] = [d for d in dirs if _want(d)]
+                    for name in files:
+                        full = os.path.join(root, name)
+                        rel = os.path.relpath(full, source_root)
+                        if _want(rel):
+                            tar.add(full, arcname=rel)
+        fingerprint = sha256_file(staging)
+        os.replace(staging, out_path)
+    except BaseException:
+        try:
+            os.remove(staging)
+        except OSError:
+            pass
+        raise
+
+    version_path = out_path + ".version"
+    tmp_version = version_path + ".tmp"
+    with open(tmp_version, "w", encoding="utf-8") as f:
+        f.write(fingerprint + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_version, version_path)
+    return fingerprint
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--out", default="dist/light-whisper-tpu-engine.tar.xz")
+    args = parser.parse_args()
+    fingerprint = build_archive(args.out)
+    size = os.path.getsize(args.out)
+    print(f"wrote {args.out} ({size} bytes, sha256={fingerprint})")
+
+
+if __name__ == "__main__":
+    main()
