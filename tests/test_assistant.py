@@ -82,3 +82,31 @@ def test_search_failure_degrades_gracefully():
 
     session = AssistantSession(endpoint, transport=transport, search_fn=broken_search)
     assert session.ask("what's the weather today") == "ok"
+
+
+# -- selection actions -------------------------------------------------------
+
+
+def test_selection_actions():
+    import pytest
+
+    from light_whisper_tpu.llm.selection import run_selection_action
+
+    endpoint = endpoint_for_config("cerebras")
+    transport = FakeTransport(["Bonjour le monde"])
+    result = run_selection_action(
+        endpoint, "translate", "Hello world", target_language="French", transport=transport
+    )
+    assert result.text == "Bonjour le monde"
+    assert result.replace_selection
+    assert "French" in transport.bodies[0]["messages"][0]["content"]
+    assert "<selection>Hello world</selection>" in transport.bodies[0]["messages"][1]["content"]
+
+    transport2 = FakeTransport(["It prints hi."])
+    explain = run_selection_action(endpoint, "explain", "print('hi')", transport=transport2)
+    assert not explain.replace_selection
+
+    with pytest.raises(ValueError):
+        run_selection_action(endpoint, "dance", "x", transport=FakeTransport([""]))
+    with pytest.raises(ValueError):
+        run_selection_action(endpoint, "explain", "   ", transport=FakeTransport([""]))
