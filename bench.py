@@ -59,7 +59,8 @@ def main() -> None:
     import sys
 
     t_setup = time.perf_counter()
-    cfg = graft._flagship_config()
+    model_size = os.environ.get("BENCH_MODEL", "0.6b")
+    cfg = graft._flagship_config(model_size)
     encoder_params, decoder_params = graft._random_params(cfg, quantize_decoder=True)
     print(f"[bench] params ready in {time.perf_counter() - t_setup:.1f}s", file=sys.stderr, flush=True)
 
@@ -171,7 +172,7 @@ def main() -> None:
             {
                 "metric": "rtf",
                 "value": round(rtf, 5),
-                "unit": "proc_sec_per_audio_sec (0.6B-class Q8_0, 12s utterance, 40 decode tokens)",
+                "unit": f"proc_sec_per_audio_sec ({model_size} Q8_0, 12s utterance, 40 decode tokens)",
                 "vs_baseline": round(BASELINE_RTF / rtf, 3),
                 "details": {
                     "audio_seconds": AUDIO_SECONDS,
