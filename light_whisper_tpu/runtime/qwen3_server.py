@@ -57,6 +57,17 @@ def _device_info() -> Dict[str, Any]:
         return {"device": "cpu"}
 
 
+def _detect_backend() -> str:
+    """Actual accelerator backend (the reference reports cuda/vulkan/cpu)."""
+    try:
+        import jax
+
+        platform = jax.devices()[0].platform
+        return "tpu" if platform in ("tpu", "axon") else platform
+    except Exception:
+        return "cpu"
+
+
 class Qwen3EngineServer:
     """Engine logic; plug into :class:`EngineServer` via :meth:`hooks`."""
 
@@ -141,6 +152,7 @@ class Qwen3EngineServer:
             self.model = self._model_factory(model_path)
             self.vad = self._vad_factory()
             self._warmup()
+            self.backend = _detect_backend()
             self.initialized = True
             self._last_load_error = None
             elapsed = time.perf_counter() - started

@@ -64,7 +64,7 @@ def pcm_b64(samples: np.ndarray) -> str:
 def test_init_loads_model_once_and_warms_up():
     server, model, _vad = make_server()
     r1 = server.initialize()
-    assert r1["success"] and r1["model_loaded"] and r1["backend"] == "tpu"
+    assert r1["success"] and r1["model_loaded"] and r1["backend"] in ("tpu", "cpu")
     assert model.warmups == 1
     r2 = server.initialize()
     assert r2["success"] and "已初始化" in r2["message"]
