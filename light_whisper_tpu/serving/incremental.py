@@ -133,6 +133,18 @@ class IncrementalTranscriber:
     def transcribe_window(
         self, window: np.ndarray, window_start_sample: int = 0
     ) -> TranscriptionResult:
+        try:
+            return self._transcribe_window(window, window_start_sample)
+        except Exception:
+            # The cache buffers are donated into prefill/decode; an exception
+            # mid-tick may leave them consumed. Drop the session state so the
+            # next tick starts from a fresh cache instead of a dead buffer.
+            self.reset()
+            raise
+
+    def _transcribe_window(
+        self, window: np.ndarray, window_start_sample: int
+    ) -> TranscriptionResult:
         model = self.model
         cfg = model.config
         window = np.asarray(window, dtype=np.float32).reshape(-1)
