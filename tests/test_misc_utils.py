@@ -74,3 +74,55 @@ def test_error_taxonomy():
     assert structured(RuntimeError("x"))["code"] == "OTHER_ERROR"
     d = AppError("m", details={"status": 404}).to_dict()
     assert d["details"] == {"status": 404}
+
+
+# -- updater -----------------------------------------------------------------
+
+
+def test_version_comparison():
+    from light_whisper_tpu.utils.updater import is_version_newer, parse_version
+
+    assert is_version_newer("v1.5.6", "1.5.5")
+    assert is_version_newer("2.0", "1.9.9")
+    assert not is_version_newer("1.5.5", "1.5.5")
+    assert not is_version_newer("1.5.4", "1.5.5")
+    assert is_version_newer("1.5.5.1", "1.5.5")
+    assert parse_version("v1.2.3-rc1") == [1, 2, 31]  # digits-only fallback
+
+
+def test_release_url_allowlist():
+    from light_whisper_tpu.utils.errors import AppError
+    from light_whisper_tpu.utils.updater import validate_release_url
+
+    validate_release_url("https://github.com/sypsyp97/light-whisper/releases")
+    for bad in (
+        "http://github.com/x",
+        "https://evil.example/releases",
+        "https://github.com.evil.example/x",
+    ):
+        with pytest.raises(AppError):
+            validate_release_url(bad)
+
+
+def test_check_update_with_fake_transport():
+    from light_whisper_tpu.utils.updater import check_app_update
+
+    class T:
+        def get_json(self, url):
+            return {
+                "tag_name": "v9.9.9",
+                "body": "big release",
+                "published_at": "2026-01-01T00:00:00Z",
+                "html_url": "https://github.com/x/releases/v9.9.9",
+            }
+
+    info = check_app_update(transport=T(), current_version="1.0.0")
+    assert info.available and info.latest_version == "9.9.9"
+    assert info.notes == "big release"
+
+    class Same(T):
+        def get_json(self, url):
+            return {"tag_name": "v1.0.0", "body": "notes", "html_url": "u"}
+
+    info2 = check_app_update(transport=Same(), current_version="1.0.0")
+    assert not info2.available and info2.notes is None
