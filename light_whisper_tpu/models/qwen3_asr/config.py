@@ -19,7 +19,7 @@ Architecture family (Qwen3-Omni "AuT" audio tower + Qwen3 dense LM):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 ARCH = "qwen3asr"
 

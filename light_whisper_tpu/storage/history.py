@@ -24,7 +24,7 @@ import os
 import re
 import sqlite3
 import time
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 SCHEMA_VERSION = 2
 MAX_PAGE_SIZE = 200
