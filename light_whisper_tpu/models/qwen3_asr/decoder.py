@@ -106,6 +106,20 @@ def _attention(
     return out.reshape(T, n_heads, hd).astype(q.dtype)
 
 
+def _split_qkv(cfg: DecoderConfig, qkv: jax.Array, T: int):
+    """Split a fused [T, (Hq+2·Hkv)·hd] projection into q/k/v head tensors.
+
+    q/k/v are stored fused (one kernel launch instead of three — launch
+    count dominates decode steps with 28 scanned layers)."""
+    hd = cfg.key_length
+    qdim = cfg.head_count * hd
+    kvdim = cfg.head_count_kv * hd
+    q = qkv[:, :qdim].reshape(T, cfg.head_count, hd)
+    k = qkv[:, qdim : qdim + kvdim].reshape(T, cfg.head_count_kv, hd)
+    v = qkv[:, qdim + kvdim :].reshape(T, cfg.head_count_kv, hd)
+    return q, k, v
+
+
 def _layer_forward(
     cfg: DecoderConfig,
     layer: Dict[str, jax.Array],
@@ -121,9 +135,7 @@ def _layer_forward(
     groups = cfg.head_count // cfg.head_count_kv
 
     h = rms_norm(x, layer["attn_norm"], cfg.rms_epsilon)
-    q = apply_linear(layer["q"], h).reshape(T, cfg.head_count, hd)
-    k = apply_linear(layer["k"], h).reshape(T, cfg.head_count_kv, hd)
-    v = apply_linear(layer["v"], h).reshape(T, cfg.head_count_kv, hd)
+    q, k, v = _split_qkv(cfg, apply_linear(layer["qkv"], h), T)
 
     q = rms_norm(q, layer["q_norm"], cfg.rms_epsilon)
     k = rms_norm(k, layer["k_norm"], cfg.rms_epsilon)
@@ -142,8 +154,8 @@ def _layer_forward(
     x = x + apply_linear(layer["o"], attn.reshape(T, -1)).astype(x.dtype)
 
     h = rms_norm(x, layer["ffn_norm"], cfg.rms_epsilon)
-    gate = apply_linear(layer["gate"], h)
-    up = apply_linear(layer["up"], h)
+    gateup = apply_linear(layer["gateup"], h)
+    gate, up = jnp.split(gateup, 2, axis=-1)
     x = x + apply_linear(layer["down"], (jax.nn.silu(gate) * up).astype(x.dtype)).astype(x.dtype)
     return x, k_cache, v_cache
 
@@ -190,9 +202,7 @@ def forward_train(cfg: DecoderConfig, params: Dict, embeds: jax.Array) -> jax.Ar
 
     def layer_fn(x, layer):
         h = rms_norm(x, layer["attn_norm"], cfg.rms_epsilon)
-        q = apply_linear(layer["q"], h).reshape(T, cfg.head_count, hd)
-        k = apply_linear(layer["k"], h).reshape(T, cfg.head_count_kv, hd)
-        v = apply_linear(layer["v"], h).reshape(T, cfg.head_count_kv, hd)
+        q, k, v = _split_qkv(cfg, apply_linear(layer["qkv"], h), T)
         q = rms_norm(q, layer["q_norm"], cfg.rms_epsilon)
         k = rms_norm(k, layer["k_norm"], cfg.rms_epsilon)
         q = apply_rope(q, cos, sin)
@@ -210,8 +220,8 @@ def forward_train(cfg: DecoderConfig, params: Dict, embeds: jax.Array) -> jax.Ar
         ).reshape(T, cfg.head_count, hd).astype(x.dtype)
         x = x + apply_linear(layer["o"], attn.reshape(T, -1)).astype(x.dtype)
         h = rms_norm(x, layer["ffn_norm"], cfg.rms_epsilon)
-        gate = apply_linear(layer["gate"], h)
-        up = apply_linear(layer["up"], h)
+        gateup = apply_linear(layer["gateup"], h)
+        gate, up = jnp.split(gateup, 2, axis=-1)
         x = x + apply_linear(layer["down"], (jax.nn.silu(gate) * up).astype(x.dtype)).astype(x.dtype)
         return x, None
 
@@ -222,17 +232,25 @@ def forward_train(cfg: DecoderConfig, params: Dict, embeds: jax.Array) -> jax.Ar
 def logits_for(cfg: DecoderConfig, params: Dict, hidden: jax.Array) -> jax.Array:
     head = params.get("lm_head")
     if head is not None:
-        return apply_linear(head, hidden)
-    embed = params["embed"]
-    if "q" in embed:
-        # Tied Q8_0 embedding doubles as the output head ([V, D] = [out, in]).
-        return apply_linear(embed, hidden)
-    return jax.lax.dot_general(
-        hidden.astype(jnp.bfloat16),
-        embed["w"].astype(jnp.bfloat16),  # [V, D]
-        dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        logits = apply_linear(head, hidden)
+    else:
+        embed = params["embed"]
+        if "q" in embed:
+            # Tied Q8_0 embedding doubles as the output head ([V, D] = [out, in]).
+            logits = apply_linear(embed, hidden)
+        else:
+            logits = jax.lax.dot_general(
+                hidden.astype(jnp.bfloat16),
+                embed["w"].astype(jnp.bfloat16),  # [V, D]
+                dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    if logits.shape[-1] > cfg.vocab_size:
+        # The embedding rows are padded to a kernel-friendly tile multiple;
+        # padded slots must never win the argmax.
+        slot = jnp.arange(logits.shape[-1])
+        logits = jnp.where(slot >= cfg.vocab_size, NEG_INF, logits)
+    return logits
 
 
 def embed_tokens(params: Dict, ids: jax.Array) -> jax.Array:

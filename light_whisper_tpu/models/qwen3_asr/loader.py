@@ -45,11 +45,40 @@ def _linear_np(t: gguf.GGUFTensor, bias: Optional[gguf.GGUFTensor] = None) -> Di
     return p
 
 
+VOCAB_PAD_MULTIPLE = 1024  # logits matmul tiles best on 1024-row multiples
+
+
+def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
+    pad = -arr.shape[0] % multiple
+    if pad == 0:
+        return arr
+    return np.concatenate([arr, np.zeros((pad, *arr.shape[1:]), arr.dtype)], axis=0)
+
+
 def _embedding_np(t: gguf.GGUFTensor) -> Dict:
+    """Embedding rows are padded to a tile multiple (the tied logits matmul
+    over the raw 151936-row vocab would force 128-row kernel tiles);
+    ``logits_for`` masks the padded slots out of the argmax."""
     if t.ggml_type == gguf.GGML_Q8_0:
         q, s = t.q8_0_parts()
-        return {"q": q, "s": host_bf16(s)}
-    return {"w": host_bf16(t.array())}
+        return {
+            "q": _pad_rows(q, VOCAB_PAD_MULTIPLE),
+            "s": _pad_rows(host_bf16(s), VOCAB_PAD_MULTIPLE),
+        }
+    return {"w": _pad_rows(host_bf16(t.array()), VOCAB_PAD_MULTIPLE)}
+
+
+def _fuse_linears_np(parts: List[Dict]) -> Dict:
+    """Concatenate (out, in)-oriented linears along out-features.
+
+    One fused projection = one kernel launch; kernel-launch count dominates
+    decode steps (28 scanned layers × projections per layer)."""
+    if "q" in parts[0]:
+        return {
+            "q": np.concatenate([p["q"] for p in parts], axis=0),
+            "s": np.concatenate([p["s"] for p in parts], axis=0),
+        }
+    return {"w": np.concatenate([p["w"] for p in parts], axis=1)}  # [in, out]
 
 
 def _vec(t: gguf.GGUFTensor) -> np.ndarray:
@@ -87,15 +116,23 @@ class Qwen3ASRWeights:
             layers.append(
                 {
                     "attn_norm": _vec(t[p + "attn_norm.weight"]),
-                    "q": _linear_np(t[p + "attn_q.weight"]),
-                    "k": _linear_np(t[p + "attn_k.weight"]),
-                    "v": _linear_np(t[p + "attn_v.weight"]),
+                    "qkv": _fuse_linears_np(
+                        [
+                            _linear_np(t[p + "attn_q.weight"]),
+                            _linear_np(t[p + "attn_k.weight"]),
+                            _linear_np(t[p + "attn_v.weight"]),
+                        ]
+                    ),
                     "o": _linear_np(t[p + "attn_output.weight"]),
                     "q_norm": _vec(t[p + "attn_q_norm.weight"]),
                     "k_norm": _vec(t[p + "attn_k_norm.weight"]),
                     "ffn_norm": _vec(t[p + "ffn_norm.weight"]),
-                    "gate": _linear_np(t[p + "ffn_gate.weight"]),
-                    "up": _linear_np(t[p + "ffn_up.weight"]),
+                    "gateup": _fuse_linears_np(
+                        [
+                            _linear_np(t[p + "ffn_gate.weight"]),
+                            _linear_np(t[p + "ffn_up.weight"]),
+                        ]
+                    ),
                     "down": _linear_np(t[p + "ffn_down.weight"]),
                 }
             )

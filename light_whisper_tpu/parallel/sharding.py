@@ -21,7 +21,7 @@ from light_whisper_tpu.parallel.mesh import MODEL_AXIS
 
 # Leaf-name → (dense spec, q8 spec) for projections, keyed by whether the
 # layer shards out-features or in-features.
-_OUT_SHARDED = {"q", "k", "v", "gate", "up", "fc1"}
+_OUT_SHARDED = {"q", "k", "v", "qkv", "gate", "up", "gateup", "fc1"}
 _IN_SHARDED = {"o", "down", "fc2"}
 
 

@@ -129,8 +129,10 @@ def test_convert_roundtrip(tmp_path):
     assert len(weights.tokenizer.tokens) == 262
     assert "<|im_start|>" in weights.tokenizer.special_tokens
 
-    # spot-check one weight round trip (loader transposes dense to [in, out])
-    got = np.asarray(weights.decoder_params["layers"]["gate"]["w"][0], dtype=np.float32)
+    # spot-check one weight round trip (loader transposes dense to [in, out]
+    # and fuses gate|up along out-features)
+    ffn = weights.config.decoder.feed_forward_length
+    got = np.asarray(weights.decoder_params["layers"]["gateup"]["w"][0, :, :ffn], dtype=np.float32)
     want = tensors["blk.0.ffn_gate.weight"].T
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-3)
 
@@ -143,4 +145,4 @@ def test_convert_quantized(tmp_path):
     convert(str(tmp_path), out, quantize=True)
     weights = Qwen3ASRWeights(out)
     assert "q" in weights.decoder_params["embed"]
-    assert weights.decoder_params["layers"]["gate"]["q"].dtype == np.int8
+    assert weights.decoder_params["layers"]["gateup"]["q"].dtype == np.int8
