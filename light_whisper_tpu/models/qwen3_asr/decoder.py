@@ -34,15 +34,19 @@ NEG_INF = -1e30
 
 
 class KVCache(NamedTuple):
-    """Static-shape per-layer key/value buffers plus the write position."""
+    """Static-shape per-layer key/value buffers plus the write position.
 
-    k: jax.Array  # [L, C, Hkv, hd]
-    v: jax.Array  # [L, C, Hkv, hd]
+    Layout is head-major (``[L, Hkv, C, hd]``) so the decode-attention
+    kernel can stream each head's keys/values contiguously without a
+    per-step transpose of the whole cache."""
+
+    k: jax.Array  # [L, Hkv, C, hd]
+    v: jax.Array  # [L, Hkv, C, hd]
     pos: jax.Array  # int32 scalar: number of valid positions
 
 
 def init_cache(cfg: DecoderConfig, capacity: int, dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.block_count, capacity, cfg.head_count_kv, cfg.key_length)
+    shape = (cfg.block_count, cfg.head_count_kv, capacity, cfg.key_length)
     return KVCache(
         k=jnp.zeros(shape, dtype=dtype),
         v=jnp.zeros(shape, dtype=dtype),
@@ -73,24 +77,44 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def _use_attention_kernel(T: int, n_heads: int, hd: int, capacity: int, n_kv: int) -> bool:
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    from light_whisper_tpu.ops.decode_attention import usable
+
+    return usable(T, n_heads, hd, capacity, n_kv)
+
+
 def _attention(
     q: jax.Array,  # [T, Hq, hd]
-    k_cache: jax.Array,  # [C, Hkv, hd]
-    v_cache: jax.Array,  # [C, Hkv, hd]
+    k_cache: jax.Array,  # [Hkv, C, hd]
+    v_cache: jax.Array,  # [Hkv, C, hd]
     q_positions: jax.Array,  # [T] absolute positions of the queries
     head_groups: int,
 ) -> jax.Array:
     """Causal attention of new queries against the full (masked) cache."""
-    capacity = k_cache.shape[0]
-    T, n_heads, hd = q.shape
-    n_kv = k_cache.shape[1]
+    n_kv, capacity, hd = k_cache.shape
+    T, n_heads, _ = q.shape
     scale = hd ** -0.5
+
+    if _use_attention_kernel(T, n_heads, hd, capacity, n_kv):
+        from light_whisper_tpu.ops.decode_attention import decode_attention_pallas
+
+        return decode_attention_pallas(q, k_cache, v_cache, q_positions).astype(q.dtype)
 
     # Grouped-query attention without materializing repeated K/V: the cache
     # (the dominant HBM traffic during decode) is read once per step.
-    qg = q.reshape(T, n_kv, head_groups, hd)
+    # Head-major ordering keeps both contractions canonical batched matmuls
+    # (batch = kv head), which every backend's dot path supports.
+    qg = (
+        q.reshape(T, n_kv, head_groups, hd).transpose(1, 2, 0, 3)
+    )  # [Hkv, G, T, hd]
     logits = jnp.einsum(
-        "tkgd,ckd->kgtc", qg.astype(jnp.bfloat16), k_cache.astype(jnp.bfloat16),
+        "kgtd,kcd->kgtc", qg.astype(jnp.bfloat16), k_cache.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ) * scale  # [Hkv, G, T, C]
 
@@ -100,10 +124,10 @@ def _attention(
 
     weights = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
-        "kgtc,ckd->tkgd", weights.astype(jnp.bfloat16), v_cache.astype(jnp.bfloat16),
+        "kgtc,kcd->kgtd", weights.astype(jnp.bfloat16), v_cache.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
-    )
-    return out.reshape(T, n_heads, hd).astype(q.dtype)
+    )  # [Hkv, G, T, hd]
+    return out.transpose(2, 0, 1, 3).reshape(T, n_heads, hd).astype(q.dtype)
 
 
 def _split_qkv(cfg: DecoderConfig, qkv: jax.Array, T: int):
@@ -142,11 +166,12 @@ def _layer_forward(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    # cache is head-major: write the (small) new K/V transposed to [Hkv, T, hd]
     k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k.astype(k_cache.dtype), (pos, 0, 0)
+        k_cache, k.transpose(1, 0, 2).astype(k_cache.dtype), (0, pos, 0)
     )
     v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v.astype(v_cache.dtype), (pos, 0, 0)
+        v_cache, v.transpose(1, 0, 2).astype(v_cache.dtype), (0, pos, 0)
     )
 
     q_positions = pos + jnp.arange(T)

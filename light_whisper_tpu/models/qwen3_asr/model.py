@@ -206,8 +206,8 @@ class Qwen3ASRModel:
                 )
             self.decoder_params = shard_params(self.decoder_params, mesh)
             self.encoder_params = shard_params(self.encoder_params, mesh)
-            # cache [L, C, Hkv, hd] → shard the KV-head axis
-            self._cache_sharding = NamedSharding(mesh, P(None, None, "tp", None))
+            # cache [L, Hkv, C, hd] → shard the KV-head axis
+            self._cache_sharding = NamedSharding(mesh, P(None, "tp", None, None))
 
         template = weights.metadata.get("tokenizer.chat_template") or DEFAULT_TEMPLATE
         if "{audio}" not in template:

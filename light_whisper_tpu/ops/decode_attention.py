@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: grouped-query decode attention over the KV cache.
+
+One launch per layer computes mask → QK^T → softmax → ·V for a handful of
+query positions against the full cache bucket. During greedy decoding the
+XLA expression of the same math is ~6-8 separate kernels per scanned layer;
+at 28 layers the launch overhead alone costs milliseconds per token, which
+is why this exists (decode is otherwise HBM-bound, see DEVNOTES).
+
+Grid: one program per KV head; each program streams its [C, hd] K/V slices
+into VMEM and serves all of the head's query groups at once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, pos_ref, o_ref):
+    # q: [1, G*T, hd] — this kv-head's query groups; k/v: [1, C, hd];
+    # pos: [G*T, 1] absolute query positions (causal+validity bound).
+    q = q_ref[0]  # [GT, hd]
+    k = k_ref[0]  # [C, hd]
+    v = v_ref[0]
+    hd = q.shape[-1]
+
+    logits = jax.lax.dot_general(
+        q.astype(jnp.bfloat16),
+        k.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (hd ** -0.5)  # [GT, C]
+
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(key_pos <= pos_ref[...], logits, NEG_INF)
+
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    weights = jnp.exp(logits)
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+
+    o_ref[0] = jax.lax.dot_general(
+        weights.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_pallas(
+    q: jax.Array,  # [T, Hq, hd]
+    k_cache: jax.Array,  # [Hkv, C, hd] (head-major)
+    v_cache: jax.Array,  # [Hkv, C, hd]
+    q_positions: jax.Array,  # [T] int32
+    interpret: bool = False,
+) -> jax.Array:
+    T, n_heads, hd = q.shape
+    n_kv, C, _ = k_cache.shape
+    groups = n_heads // n_kv
+
+    # [T, Hkv, G, hd] → [Hkv, G*T, hd]: all of one kv-head's queries together.
+    q_heads = q.reshape(T, n_kv, groups, hd).transpose(1, 2, 0, 3).reshape(n_kv, groups * T, hd)
+    k_heads = k_cache  # already head-major [Hkv, C, hd]
+    v_heads = v_cache
+    pos = jnp.tile(q_positions.astype(jnp.int32), groups)[:, None]  # [G*T, 1]
+
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((n_kv, groups * T, hd), jnp.float32),
+        grid=(n_kv,),
+        in_specs=[
+            pl.BlockSpec((1, groups * T, hd), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, hd), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, hd), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups * T, 1), lambda h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, groups * T, hd), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q_heads, k_heads, v_heads, pos)
+
+    # [Hkv, G*T, hd] → [T, Hq, hd]
+    return (
+        out.reshape(n_kv, groups, T, hd).transpose(2, 0, 1, 3).reshape(T, n_heads, hd)
+    )
+
+
+def usable(T: int, n_heads: int, hd: int, capacity: int, n_kv: int) -> bool:
+    """Shape gate: small query counts, lane-aligned dims, VMEM-sized cache."""
+    groups_t = (n_heads // max(1, n_kv)) * T
+    per_head_bytes = 2 * capacity * hd * 2  # K+V bf16
+    return (
+        hd % 128 == 0
+        and capacity % 128 == 0
+        and groups_t >= 8
+        and T <= 64
+        and per_head_bytes <= 8 * 1024 * 1024
+    )
