@@ -22,7 +22,7 @@ converted from llama.cpp ordering need the loader's permutation adapter.
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -311,17 +311,22 @@ def decode_greedy(
     cache: KVCache,
     eos_token_id: int,
     max_new_tokens: int,
+    budget: Optional[jax.Array] = None,  # dynamic cap ≤ max_new_tokens
 ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """On-device greedy loop. Returns (tokens [max_new], count, cache).
 
     ``tokens[:count]`` are the generated ids excluding EOS. One jit dispatch
     decodes the whole utterance (reference: the C++ session loops in native
-    code for the same reason).
+    code for the same reason). ``budget`` lets speculative callers shrink
+    the step count without a recompile (array sizes stay ``max_new_tokens``).
     """
+    limit = jnp.int32(max_new_tokens) if budget is None else jnp.minimum(
+        jnp.int32(max_new_tokens), budget.astype(jnp.int32)
+    )
 
     def cond(state):
         _tokens, count, token, _cache, done = state
-        return jnp.logical_and(jnp.logical_not(done), count < max_new_tokens)
+        return jnp.logical_and(jnp.logical_not(done), count < limit)
 
     def step(state):
         tokens, count, token, cache, _done = state

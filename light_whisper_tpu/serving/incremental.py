@@ -41,6 +41,7 @@ from light_whisper_tpu.models.qwen3_asr.model import (
 
 SEGMENT_BUCKET = 64
 INTERIM_MAX_NEW_TOKENS = 96
+DRAFT_TOKENS = 64  # previous-tick transcript tokens verified per tick
 
 
 @functools.partial(
@@ -56,17 +57,30 @@ def _encode_prefill_segment(
     n_audio,  # int32: total valid audio tokens in the window
     stable,  # int32: audio tokens already resident in the cache
     suffix_ids,  # [S] int32
+    draft_ids,  # [Db] int32: previous tick's transcript (speculative draft)
+    n_draft,  # int32: valid draft tokens (0 disables verification)
     cache,  # pos must already equal prefix_len + stable
     num_chunks: int,
     mel_frames: int,
     prefix_len: int,
     seg_bucket: int,
 ):
-    """One-dispatch incremental tick pre-decode: mel → encoder → tail-segment
-    embeds (unstable audio + suffix) → prefill from the rollback position.
+    """One-dispatch incremental tick pre-decode with draft verification.
 
-    Fusing matters on remote-attached TPUs where each dispatch pays tunnel
-    latency — this is the difference between ~2 and ~5 round trips per tick.
+    mel → encoder → segment embeds (unstable audio tail + suffix + draft) →
+    prefill from the rollback position → greedy acceptance of the draft.
+
+    The draft is the *previous tick's* transcript: consecutive 12 s windows
+    mostly share their text, and greedy decoding is deterministic, so
+    verifying the whole draft in this single teacher-forced pass (one weights
+    read) replaces most of the per-token decode loop while remaining
+    **greedy-exact** — positions after the first mismatch are recomputed by
+    the normal loop. Returns (next_token, accepted, cache); the caller sets
+    ``cache.pos = true_len + accepted`` (stale K/V beyond it are overwritten
+    by the decode loop before any read).
+
+    Fusing one dispatch also matters on remote-attached TPUs where every
+    dispatch pays tunnel latency.
     """
     from light_whisper_tpu.audio.mel import _log_mel_impl
     from light_whisper_tpu.models.qwen3_asr.encoder import encode_chunks
@@ -77,24 +91,42 @@ def _encode_prefill_segment(
     audio_embeds = encode_chunks(cfg.audio, encoder_params, mel, n_audio, num_chunks)
 
     S = suffix_ids.shape[0]
+    Db = draft_ids.shape[0]
     seg_audio = n_audio - stable
-    seg_true = seg_audio + S
+    first_index = seg_audio + S - 1  # logits here predict the first token
+
+    token_ids = jnp.concatenate([suffix_ids, draft_ids]).astype(jnp.int32)
+    token_embeds = dec.embed_tokens(decoder_params, token_ids).astype(jnp.bfloat16)
 
     idx = jnp.arange(seg_bucket)
     audio_row = jnp.clip(stable + idx, 0, audio_embeds.shape[0] - 1)
-    suffix_row = jnp.clip(idx - seg_audio, 0, S - 1)
-    suffix_embeds = dec.embed_tokens(decoder_params, suffix_ids).astype(jnp.bfloat16)
+    token_row = jnp.clip(idx - seg_audio, 0, S + Db - 1)
     is_audio = idx < seg_audio
     embeds = jnp.where(
         is_audio[:, None],
         audio_embeds.astype(jnp.bfloat16)[audio_row],
-        suffix_embeds[suffix_row],
+        token_embeds[token_row],
     )
 
     hidden, cache = dec.forward(cfg.decoder, decoder_params, embeds, cache)
-    logits = dec.logits_for(cfg.decoder, decoder_params, hidden[seg_true - 1][None])
-    first = jnp.argmax(logits[-1]).astype(jnp.int32)
-    return first, cache
+    logits = dec.logits_for(cfg.decoder, decoder_params, hidden)
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [seg_bucket]
+
+    first = preds[first_index]
+    # expected[i] for draft position i: first for i==0, else the model's
+    # prediction at the previous draft position.
+    draft_pos = first_index + 1 + jnp.arange(Db)
+    expected = jnp.where(
+        jnp.arange(Db) == 0, first, preds[jnp.clip(draft_pos - 1, 0, seg_bucket - 1)]
+    )
+    match = (draft_ids == expected) & (jnp.arange(Db) < n_draft)
+    accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
+    next_token = jnp.where(
+        accepted == 0,
+        first,
+        preds[jnp.clip(first_index + accepted, 0, seg_bucket - 1)],
+    ).astype(jnp.int32)
+    return next_token, accepted, cache
 
 
 class IncrementalTranscriber:
@@ -109,8 +141,11 @@ class IncrementalTranscriber:
         self._cache_capacity = 0
         self._window_start: Optional[int] = None
         self._stable_tokens = 0
+        self._last_generated: list = []
         self.full_prefills = 0
         self.incremental_prefills = 0
+        self.draft_tokens_offered = 0
+        self.draft_tokens_accepted = 0
 
     # ------------------------------------------------------------------
 
@@ -118,6 +153,7 @@ class IncrementalTranscriber:
         self._cache = None
         self._window_start = None
         self._stable_tokens = 0
+        self._last_generated = []
 
     def _ensure_cache(self, needed: int) -> None:
         capacity = 512
@@ -160,7 +196,7 @@ class IncrementalTranscriber:
         prefix_len = len(model.prefix_ids)
         suffix_len = len(model.suffix_ids)
         true_len = prefix_len + n_audio + suffix_len
-        self._ensure_cache(true_len + self.max_new_tokens)
+        self._ensure_cache(true_len + DRAFT_TOKENS + self.max_new_tokens)
 
         can_extend = (
             self._window_start == window_start_sample
@@ -189,13 +225,19 @@ class IncrementalTranscriber:
                 prefix_len,
             )
             self.full_prefills += 1
+            accepted = 0
+            draft: list = []
         else:
-            # One fused dispatch: encode + tail-segment prefill from rollback.
+            # One fused dispatch: encode + tail-segment prefill from rollback,
+            # with the previous tick's transcript verified as a draft.
             stable = self._stable_tokens
-            seg_true = (n_audio - stable) + suffix_len
+            draft = self._last_generated[:DRAFT_TOKENS]
+            draft_padded = np.zeros(DRAFT_TOKENS, dtype=np.int32)
+            draft_padded[: len(draft)] = draft
+            seg_true = (n_audio - stable) + suffix_len + DRAFT_TOKENS
             seg_bucket = _round_up(max(1, seg_true), SEGMENT_BUCKET)
             cache = self._cache._replace(pos=jnp.int32(prefix_len + stable))
-            first, cache = _encode_prefill_segment(
+            first, accepted_dev, cache = _encode_prefill_segment(
                 cfg,
                 model.encoder_params,
                 model.decoder_params,
@@ -203,15 +245,20 @@ class IncrementalTranscriber:
                 jnp.int32(n_audio),
                 jnp.int32(stable),
                 jnp.asarray(np.asarray(model.suffix_ids, dtype=np.int32)),
+                jnp.asarray(draft_padded),
+                jnp.int32(len(draft)),
                 cache,
                 num_chunks,
                 mel_frames,
                 prefix_len,
                 seg_bucket,
             )
+            accepted = int(accepted_dev)
             self.incremental_prefills += 1
+            self.draft_tokens_offered += len(draft)
+            self.draft_tokens_accepted += accepted
 
-        cache = cache._replace(pos=jnp.int32(true_len))
+        cache = cache._replace(pos=jnp.int32(true_len + accepted))
         tokens, count, cache = dec.decode_greedy(
             cfg.decoder,
             model.decoder_params,
@@ -219,13 +266,17 @@ class IncrementalTranscriber:
             cache,
             cfg.eos_token_id,
             self.max_new_tokens,
+            budget=jnp.int32(max(0, self.max_new_tokens - accepted)),
         )
         self._cache = cache
         self._window_start = window_start_sample
         # Tokens inside complete attention-window groups are final.
         self._stable_tokens = (n_audio // self._window_tokens) * self._window_tokens
 
-        generated = [int(t) for t in np.asarray(tokens)[: int(count)]]
+        generated = list(draft[:accepted]) + [
+            int(t) for t in np.asarray(tokens)[: int(count)]
+        ]
+        self._last_generated = generated
         return model._parse_output(generated)
 
     # StreamingSession duck-type: plain transcribe = full window, start 0.

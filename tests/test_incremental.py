@@ -76,3 +76,27 @@ def test_streaming_session_with_incremental_transcriber(model):
     assert isinstance(r2.text, str)
     final = session.finalize()
     assert final.from_interim_cache
+
+
+def test_speculative_draft_acceptance(model):
+    """The previous tick's transcript must be verified (greedy-exact) and
+    mostly accepted on the next tick."""
+    rng = np.random.default_rng(9)
+    audio = (rng.standard_normal(16000 * 8) * 0.3).astype(np.float32)
+    inc = IncrementalTranscriber(model, max_new_tokens=8)
+
+    r1 = inc.transcribe_window(audio[: 16000 * 6], window_start_sample=0)
+    r2 = inc.transcribe_window(audio[: 16000 * 8], window_start_sample=0)
+    # exact greedy equivalence with a fresh non-speculative transcribe
+    want = model.transcribe(audio[: 16000 * 8])
+    assert r2.tokens == want.tokens
+    assert inc.draft_tokens_offered > 0
+    # budget respected even when the draft is fully accepted
+    assert len(r2.tokens) <= 8
+
+
+def test_speculation_disabled_on_first_tick(model):
+    rng = np.random.default_rng(10)
+    inc = IncrementalTranscriber(model, max_new_tokens=8)
+    inc.transcribe_window((rng.standard_normal(16000 * 5) * 0.3).astype(np.float32), 0)
+    assert inc.draft_tokens_offered == 0  # full prefill path has no draft
