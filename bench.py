@@ -75,20 +75,20 @@ def main() -> None:
     suffix_ids = [3, 4, 5]
 
     def run_once() -> int:
+        # Mirrors Qwen3ASRModel.transcribe: one fused pre-decode dispatch
+        # (mel → encoder → splice → prefill) + one on-device greedy loop.
+        from light_whisper_tpu.models.qwen3_asr.model import _encode_and_prefill
+
         bucket = bucket_audio_samples(len(audio))
         padded = np.zeros(bucket, dtype=np.float32)
         padded[: len(audio)] = audio
-        mel = wmel.log_mel(padded)
 
         chunk = cfg.audio.chunk_frames
+        mel_frames = wmel.num_mel_frames(bucket)
         true_frames = wmel.num_mel_frames(len(audio))
-        num_chunks = mel.shape[0] // chunk
+        num_chunks = max(1, (mel_frames + chunk - 1) // chunk)
         full, tail = divmod(true_frames, chunk)
         n_audio = full * cfg.audio.tokens_per_chunk + (conv_output_length(tail) if tail else 0)
-
-        audio_embeds = encode_chunks(
-            cfg.audio, encoder_params, mel, jnp.int32(n_audio), num_chunks
-        )
 
         ids = prefix_ids + [cfg.audio_token_id] * n_audio + suffix_ids
         true_len = len(ids)
@@ -96,16 +96,22 @@ def main() -> None:
         ids_padded = np.full(bucket_len, 0, dtype=np.int32)
         ids_padded[:true_len] = ids
 
-        embeds = _build_prompt_embeds(
-            decoder_params, jnp.asarray(ids_padded), audio_embeds, jnp.int32(n_audio), prefix_len
-        )
-
         capacity = 1024
         while capacity < bucket_len + DECODE_TOKENS:
             capacity *= 2
         cache = dec.init_cache(cfg.decoder, capacity)
-        first, cache = _prefill_padded(
-            cfg.decoder, decoder_params, embeds, cache, jnp.int32(true_len - 1)
+        first, cache = _encode_and_prefill(
+            cfg,
+            encoder_params,
+            decoder_params,
+            jnp.asarray(padded),
+            jnp.int32(n_audio),
+            jnp.asarray(ids_padded),
+            jnp.int32(true_len - 1),
+            cache,
+            num_chunks,
+            mel_frames,
+            prefix_len,
         )
         cache = cache._replace(pos=jnp.int32(true_len))
         tokens, count, _cache = dec.decode_greedy(
