@@ -33,6 +33,7 @@ DEFAULT_ALIGNMENT = 32
 # ggml tensor type ids (subset used by Qwen3-ASR Q8_0 artifacts).
 GGML_F32 = 0
 GGML_F16 = 1
+GGML_Q4_0 = 2
 GGML_Q8_0 = 8
 GGML_I8 = 24
 GGML_I16 = 25
@@ -43,6 +44,8 @@ GGML_BF16 = 30
 
 Q8_0_BLOCK = 32
 Q8_0_BLOCK_BYTES = 2 + Q8_0_BLOCK  # f16 scale + 32 int8 quants
+Q4_0_BLOCK = 32
+Q4_0_BLOCK_BYTES = 2 + Q4_0_BLOCK // 2  # f16 scale + 16 nibble-pair bytes
 
 _SIMPLE_TYPE_NP = {
     GGML_F32: np.dtype("<f4"),
@@ -123,6 +126,55 @@ def _q8_0_from_bytes(raw: np.ndarray, shape: Tuple[int, ...]) -> Tuple[np.ndarra
     return q, d
 
 
+def _q4_0_from_bytes(raw: np.ndarray, shape: Tuple[int, ...]) -> Tuple[np.ndarray, np.ndarray]:
+    """Unpack block_q4_0 into (int8 quants in [-8, 7], f16 scales).
+
+    ggml nibble order: byte j of a block holds element j (low nibble) and
+    element j+16 (high nibble). The int8 expansion lets Q4_0 artifacts flow
+    through the same fused dequant-matmul path as Q8_0 (a true int4 kernel is
+    future bandwidth work — Mosaic forbids the lane-dim repack in-kernel).
+    """
+    n_elems = int(np.prod(shape)) if shape else 1
+    nblocks = n_elems // Q4_0_BLOCK
+    rec = raw[: nblocks * Q4_0_BLOCK_BYTES].reshape(nblocks, Q4_0_BLOCK_BYTES)
+    d = rec[:, :2].copy().view("<f2").reshape(*shape[:-1], shape[-1] // Q4_0_BLOCK)
+    packed = rec[:, 2:]  # [nblocks, 16]
+    q = np.empty((nblocks, Q4_0_BLOCK), dtype=np.int8)
+    q[:, :16] = (packed & 0x0F).astype(np.int8) - 8
+    q[:, 16:] = (packed >> 4).astype(np.int8) - 8
+    return q.reshape(shape), d
+
+
+def quantize_q4_0(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Quantize along the last axis into packed Q4_0 (writer/test support).
+
+    ggml reference: ``d = -absmax/8`` when the extreme value is negative
+    (so the extreme maps to index 0) — here the simpler symmetric
+    ``d = absmax/8`` with clamping, matching round-trip within one step.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    if x.shape[-1] % Q4_0_BLOCK != 0:
+        raise ValueError(f"last dim {x.shape[-1]} not divisible by {Q4_0_BLOCK}")
+    blocks = x.reshape(-1, Q4_0_BLOCK)
+    absmax = np.max(np.abs(blocks), axis=-1)
+    d = (absmax / 8.0).astype(np.float16)
+    inv = np.where(d > 0, 1.0 / np.where(d > 0, d.astype(np.float32), 1.0), 0.0)
+    q = np.clip(np.rint(blocks * inv[:, None]), -8, 7).astype(np.int8)
+    d_shaped = d.reshape(*x.shape[:-1], x.shape[-1] // Q4_0_BLOCK)
+    return q.reshape(x.shape), d_shaped
+
+
+def _q4_0_to_bytes(q: np.ndarray, d: np.ndarray) -> bytes:
+    nblocks = q.size // Q4_0_BLOCK
+    blocks = (q.reshape(nblocks, Q4_0_BLOCK).astype(np.int16) + 8).astype(np.uint8)
+    packed = (blocks[:, :16] | (blocks[:, 16:] << 4)).astype(np.uint8)
+    out = np.empty(nblocks * Q4_0_BLOCK_BYTES, dtype=np.uint8)
+    rec = out.reshape(nblocks, Q4_0_BLOCK_BYTES)
+    rec[:, :2] = np.asarray(d, dtype="<f2").reshape(-1, 1).view(np.uint8).reshape(nblocks, 2)
+    rec[:, 2:] = packed
+    return out.tobytes()
+
+
 # ---------------------------------------------------------------------------
 # Reader
 # ---------------------------------------------------------------------------
@@ -154,17 +206,23 @@ class GGUFTensor:
         if self.ggml_type == GGML_Q8_0:
             q, d = _q8_0_from_bytes(self.raw(), self.shape)
             return dequantize_q8_0(q, d)
+        if self.ggml_type == GGML_Q4_0:
+            q, d = _q4_0_from_bytes(self.raw(), self.shape)
+            return dequantize_q8_0(q, d)  # same q·d semantics
         raise NotImplementedError(f"ggml type {self.ggml_type}")
 
     def q8_0_parts(self) -> Tuple[np.ndarray, np.ndarray]:
         """Return (int8 quants, f16 scales) without dequantizing.
 
         This is the TPU loading path: int8 quants ship to HBM as-is and the
-        dequant fuses into the matmul kernel (``ops.q8_matmul``).
+        dequant fuses into the matmul kernel (``ops.q8_matmul``). Q4_0
+        tensors unpack to int8 quants with the same block-scale semantics.
         """
-        if self.ggml_type != GGML_Q8_0:
-            raise ValueError(f"{self.name} is not Q8_0")
-        return _q8_0_from_bytes(self.raw(), self.shape)
+        if self.ggml_type == GGML_Q8_0:
+            return _q8_0_from_bytes(self.raw(), self.shape)
+        if self.ggml_type == GGML_Q4_0:
+            return _q4_0_from_bytes(self.raw(), self.shape)
+        raise ValueError(f"{self.name} is not a supported quantized type")
 
 
 class GGUFFile:
@@ -272,6 +330,10 @@ def tensor_nbytes(shape: Sequence[int], ggml_type: int) -> int:
         if shape and shape[-1] % Q8_0_BLOCK != 0:
             raise ValueError("Q8_0 tensor last dim must be a multiple of 32")
         return n // Q8_0_BLOCK * Q8_0_BLOCK_BYTES
+    if ggml_type == GGML_Q4_0:
+        if shape and shape[-1] % Q4_0_BLOCK != 0:
+            raise ValueError("Q4_0 tensor last dim must be a multiple of 32")
+        return n // Q4_0_BLOCK * Q4_0_BLOCK_BYTES
     raise NotImplementedError(f"ggml type {ggml_type}")
 
 
@@ -354,6 +416,9 @@ def write_gguf(
         if ggml_type == GGML_Q8_0:
             q, d = quantize_q8_0(arr.astype(np.float32))
             payload = _q8_0_to_bytes(q, d)
+        elif ggml_type == GGML_Q4_0:
+            q, d = quantize_q4_0(arr.astype(np.float32))
+            payload = _q4_0_to_bytes(q, d)
         elif ggml_type == GGML_F16:
             payload = arr.astype("<f2").tobytes()
         elif ggml_type == GGML_F32:

@@ -97,3 +97,33 @@ def test_gguf_rejects_non_gguf(tmp_path):
     p.write_bytes(b"NOPE" + b"\x00" * 64)
     with pytest.raises(ValueError):
         gguf.read_gguf(str(p))
+
+
+def test_q4_0_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((8, 64)).astype(np.float32)
+    path = str(tmp_path / "q4.gguf")
+    gguf.write_gguf(path, {}, {"w": (w, gguf.GGML_Q4_0)})
+    f = gguf.read_gguf(path)
+    t = f.tensors["w"]
+    assert t.ggml_type == gguf.GGML_Q4_0
+    # 4-bit symmetric [-8,7]: worst case is the clipped positive extreme,
+    # error ≤ one scale step (absmax/8).
+    back = t.array()
+    absmax = np.abs(w.reshape(8, 2, 32)).max(axis=-1, keepdims=True)
+    bound = np.broadcast_to(absmax / 8 * 1.05 + 1e-3, (8, 2, 32)).reshape(8, 64)
+    assert np.all(np.abs(back - w) <= bound)
+    # int8 expansion path feeds the shared kernel layout
+    q, d = t.q8_0_parts()
+    assert q.dtype == np.int8 and q.min() >= -8 and q.max() <= 7
+    np.testing.assert_array_equal(gguf.dequantize_q8_0(q, d), back)
+
+
+def test_q4_0_nibble_order():
+    """ggml packs element j in the low nibble and j+16 in the high nibble."""
+    x = np.arange(-8, 8, 0.5, dtype=np.float32).reshape(1, 32)  # -8..7.5
+    q, d = gguf.quantize_q4_0(x * 1.0)
+    raw = np.frombuffer(gguf._q4_0_to_bytes(q, d), dtype=np.uint8)
+    q2, d2 = gguf._q4_0_from_bytes(raw, (1, 32))
+    np.testing.assert_array_equal(q, q2)
+    np.testing.assert_array_equal(np.asarray(d, np.float16), np.asarray(d2))
