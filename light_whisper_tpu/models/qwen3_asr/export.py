@@ -38,6 +38,7 @@ def write_model(
     tokenizer_meta: Optional[Dict[str, Any]] = None,
     quantize: bool = True,
     extra_metadata: Optional[Dict[str, Any]] = None,
+    quant_type: int = gguf.GGML_Q8_0,  # or gguf.GGML_Q4_0
 ) -> None:
     metadata = metadata_from_config(cfg)
     if tokenizer_meta:
@@ -49,7 +50,7 @@ def write_model(
     for name, arr in tensors.items():
         arr = np.asarray(arr)
         if quantize and _should_quantize(name, arr):
-            spec[name] = (arr, gguf.GGML_Q8_0)
+            spec[name] = (arr, quant_type)
         else:
             spec[name] = arr.astype(np.float32)
     gguf.write_gguf(path, metadata, spec)

@@ -203,3 +203,32 @@ def test_tokenizer_byte_fallback_roundtrip():
     ids2 = tok.encode("<|im_start|>user\nhi<|im_end|>")
     assert ids2[0] == 257 and ids2[-1] == 258
     assert tok.decode(ids2) == "user\nhi"
+
+
+def test_q4_0_model_loads_and_transcribes(tmp_path):
+    """A Q4_0-quantized artifact flows through loader + engine end to end."""
+    from helpers.tiny_model import tiny_config, tiny_tensors, tiny_vocab
+    from light_whisper_tpu.formats import gguf as gguf_mod
+    from light_whisper_tpu.models.qwen3_asr.export import write_model
+
+    cfg = tiny_config()
+    tokens, types = tiny_vocab()
+    path = str(tmp_path / "tiny_q4.gguf")
+    write_model(
+        path,
+        cfg,
+        tiny_tensors(cfg),
+        tokenizer_meta={
+            "tokenizer.ggml.tokens": tokens,
+            "tokenizer.ggml.token_type": types,
+            "tokenizer.ggml.merges": [],
+            "tokenizer.chat_template": "<|im_start|>user\n{audio}<|im_end|>\n<|im_start|>assistant\n",
+        },
+        quantize=True,
+        quant_type=gguf_mod.GGML_Q4_0,
+    )
+    model = Qwen3ASRModel(path, max_new_tokens=6)
+    assert "q" in model.decoder_params["embed"]
+    audio = (np.random.default_rng(11).standard_normal(8000) * 0.3).astype(np.float32)
+    result = model.transcribe(audio)
+    assert all(0 <= t < cfg.decoder.vocab_size for t in result.tokens)
