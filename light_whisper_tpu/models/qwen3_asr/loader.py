@@ -34,8 +34,8 @@ from light_whisper_tpu.utils.numerics import host_bf16, host_f32
 
 def _linear_np(t: gguf.GGUFTensor, bias: Optional[gguf.GGUFTensor] = None) -> Dict:
     """Host-side linear param dict from an (out, in)-oriented GGUF tensor."""
-    if t.ggml_type == gguf.GGML_Q8_0:
-        q, s = t.q8_0_parts()
+    if t.ggml_type in (gguf.GGML_Q8_0, gguf.GGML_Q4_0):
+        q, s = t.q8_0_parts()  # Q4_0 expands to int8 quants + same scales
         # scales go to bf16: the TPU kernel dialect has no f16 support
         p = {"q": q, "s": host_bf16(s)}
     else:
@@ -59,7 +59,7 @@ def _embedding_np(t: gguf.GGUFTensor) -> Dict:
     """Embedding rows are padded to a tile multiple (the tied logits matmul
     over the raw 151936-row vocab would force 128-row kernel tiles);
     ``logits_for`` masks the padded slots out of the argmax."""
-    if t.ggml_type == gguf.GGML_Q8_0:
+    if t.ggml_type in (gguf.GGML_Q8_0, gguf.GGML_Q4_0):
         q, s = t.q8_0_parts()
         return {
             "q": _pad_rows(q, VOCAB_PAD_MULTIPLE),
