@@ -47,11 +47,8 @@ def main() -> None:
     from light_whisper_tpu.audio import mel as wmel
     from light_whisper_tpu.models.qwen3_asr import decoder as dec
     from light_whisper_tpu.models.qwen3_asr.config import conv_output_length
-    from light_whisper_tpu.models.qwen3_asr.encoder import encode_chunks
     from light_whisper_tpu.models.qwen3_asr.model import (
         PROMPT_BUCKET,
-        _build_prompt_embeds,
-        _prefill_padded,
         bucket_audio_samples,
         _round_up,
     )
