@@ -15,7 +15,7 @@ Window management, screenshots and event emission stay host-shell concerns.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Tuple
 
 from light_whisper_tpu.llm.client import LlmRequestOptions, send_llm_request
 from light_whisper_tpu.llm.provider import LlmEndpoint, ReasoningMode

@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import re
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 SEARCH_TIMEOUT_SECONDS = 15.0
 GOOGLE_TIMEOUT_SECONDS = 30.0

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from light_whisper_tpu.models.vad.onnx_import import FILTER_TAPS, HIDDEN, NUM_BLOCKS
+from light_whisper_tpu.models.vad.onnx_import import FILTER_TAPS, NUM_BLOCKS
 
 
 def combined_filter(back: jnp.ndarray, ahead: jnp.ndarray) -> jnp.ndarray:

@@ -10,7 +10,7 @@ shardings they were saved with when a mesh is supplied).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

@@ -21,7 +21,7 @@ from light_whisper_tpu.models.qwen3_asr import decoder as dec
 from light_whisper_tpu.models.qwen3_asr.config import Qwen3ASRConfig
 from light_whisper_tpu.models.qwen3_asr.encoder import encode_chunks
 from light_whisper_tpu.parallel.mesh import DATA_AXIS
-from light_whisper_tpu.parallel.sharding import param_specs, shard_params
+from light_whisper_tpu.parallel.sharding import shard_params
 
 IGNORE_LABEL = -100
 
