@@ -96,6 +96,7 @@ class Qwen3EngineServer:
 
         self.model = None
         self.vad = None
+        self._session = None  # streaming session bridge (see _transcribe_model)
         self.initialized = False
         self.transcription_count = 0
         self.total_audio_duration = 0.0
@@ -244,6 +245,34 @@ class Qwen3EngineServer:
             return np.empty(0, dtype=np.float32), 0, vad_ms
         return np.ascontiguousarray(audio[start:end]), len(segments), vad_ms
 
+    def _transcribe_model(self, audio: np.ndarray):
+        """Route through the streaming session when this request extends the
+        previous one (the shell's interim loop re-sends a growing window
+        every 140-460 ms, ``interim.rs:21-196``) — the session rolls its KV
+        prefix back and self-speculatively verifies the previous transcript,
+        so only new speech costs decode steps. Prefix equality is checked
+        byte-for-byte; anything else resets to a full prefill, which is
+        exactly the stateless behavior. Greedy-exact either way."""
+        session = self._streaming_session()
+        if session is None:
+            return self.model.transcribe(audio)
+        return session.transcribe_extending(audio)
+
+    def _streaming_session(self):
+        import os
+
+        if os.environ.get("LIGHT_WHISPER_DISABLE_SESSION_REUSE"):
+            return None
+        if self._session is None:
+            try:
+                from light_whisper_tpu.serving.session_bridge import SessionBridge
+
+                self._session = SessionBridge(self.model)
+            except Exception:
+                # e.g. injected fake models without the real param trees
+                self._session = False
+        return self._session or None
+
     def _correct_hot_words(self, text: str, hot_words: Optional[List[str]]) -> str:
         if not text or not hot_words or not self._apply_hot_words:
             return text
@@ -313,7 +342,7 @@ class Qwen3EngineServer:
                 }
 
             started = time.perf_counter()
-            result = self.model.transcribe(audio)
+            result = self._transcribe_model(audio)
             inference_ms = (time.perf_counter() - started) * 1000
             self._total_inference_ms += inference_ms
             self.transcription_count += 1

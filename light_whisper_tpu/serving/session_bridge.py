@@ -1,0 +1,57 @@
+"""Protocol-level streaming session reuse.
+
+The reference shell drives its interim loop by re-sending the (VAD-trimmed)
+rolling window through plain ``transcribe`` commands — the C++ engine's
+persistent KV session is what made that cheap. This bridge restores (and
+beats) that property for the TPU engine without any protocol change:
+
+- if the incoming audio **byte-exactly extends** the previous request's
+  audio, the incremental transcriber continues its KV prefix and verifies
+  the previous transcript speculatively (greedy-exact);
+- any other audio resets the session — identical results to a stateless
+  ``transcribe`` with a fresh cache.
+
+The prefix check is a memcmp over the overlap (sub-millisecond for ≤30 min
+of 16 kHz float32); VAD trim offsets shifting between ticks simply fail the
+check and reset, so correctness never depends on VAD stability.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from light_whisper_tpu.serving.incremental import IncrementalTranscriber
+
+
+class SessionBridge:
+    def __init__(self, model) -> None:
+        self.model = model
+        self._inc = IncrementalTranscriber(model, max_new_tokens=model.max_new_tokens)
+        self._prev: Optional[np.ndarray] = None
+        self.session_hits = 0
+        self.session_resets = 0
+
+    def _extends_previous(self, audio: np.ndarray) -> bool:
+        prev = self._prev
+        return (
+            prev is not None
+            and len(audio) >= len(prev)
+            and np.array_equal(audio[: len(prev)], prev)
+        )
+
+    def transcribe_extending(self, audio: np.ndarray):
+        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        if self._extends_previous(audio):
+            self.session_hits += 1
+        else:
+            self._inc.reset()
+            self.session_resets += 1
+        result = self._inc.transcribe_window(audio, window_start_sample=0)
+        self._prev = audio
+        return result
+
+    def reset(self) -> None:
+        self._inc.reset()
+        self._prev = None

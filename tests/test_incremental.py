@@ -100,3 +100,98 @@ def test_speculation_disabled_on_first_tick(model):
     inc = IncrementalTranscriber(model, max_new_tokens=8)
     inc.transcribe_window((rng.standard_normal(16000 * 5) * 0.3).astype(np.float32), 0)
     assert inc.draft_tokens_offered == 0  # full prefill path has no draft
+
+
+def test_server_session_bridge_matches_stateless(model, tmp_path):
+    """Protocol-level session reuse must be invisible in results."""
+    from light_whisper_tpu.runtime.qwen3_server import Qwen3EngineServer
+    from light_whisper_tpu.serving.session_bridge import SessionBridge
+
+    class PassVad:
+        def speech_timestamps(self, audio):
+            return [{"start": 0, "end": len(audio)}]
+
+        def warmup(self):
+            pass
+
+    server = Qwen3EngineServer(
+        engine="qwen3-asr-0.6b",
+        model_factory=lambda p: model,
+        vad_factory=PassVad,
+        model_path="/fake/m.gguf",
+        apply_hot_words=False,
+    )
+    server.initialize()
+
+    import base64
+
+    rng = np.random.default_rng(12)
+    audio = (rng.standard_normal(16000 * 7) * 0.3).astype(np.float32)
+
+    def send(samples):
+        pcm = np.clip(samples * 32768, -32768, 32767).astype("<i2")
+        return server.transcribe(
+            audio_base64=base64.b64encode(pcm.tobytes()).decode(),
+            audio_format="pcm_s16le",
+            sample_rate=16000,
+        )
+
+    r1 = send(audio[: 16000 * 5])
+    r2 = send(audio[: 16000 * 7])  # extends → session hit
+    bridge = server._session
+    assert isinstance(bridge, SessionBridge)
+    assert bridge.session_hits >= 1
+
+    # quantization to int16 on the wire loses the float prefix property only
+    # if re-encoding differs — same pipeline, so prefix holds; results must
+    # equal a stateless transcribe of the same decoded audio.
+    decoded = np.frombuffer(
+        np.clip(audio[: 16000 * 7] * 32768, -32768, 32767).astype("<i2").tobytes(),
+        dtype="<i2",
+    ).astype(np.float32) / 32768.0
+    want = model.transcribe(decoded)
+    assert r2["text"] == want.text
+
+    # unrelated audio resets, still correct
+    other = (np.random.default_rng(13).standard_normal(16000 * 3) * 0.3).astype(np.float32)
+    r3 = send(other)
+    assert bridge.session_resets >= 2  # first request + this one
+    assert r3["success"]
+
+
+def test_fake_models_fall_back_without_session(model):
+    from light_whisper_tpu.runtime.qwen3_server import Qwen3EngineServer
+
+    class Fake:
+        def transcribe(self, audio):
+            import types
+
+            return types.SimpleNamespace(text="x", language="en", tokens=[])
+
+        def warmup(self):
+            pass
+
+    class PassVad:
+        def speech_timestamps(self, audio):
+            return [{"start": 0, "end": len(audio)}]
+
+        def warmup(self):
+            pass
+
+    server = Qwen3EngineServer(
+        engine="qwen3-asr-0.6b",
+        model_factory=lambda p: Fake(),
+        vad_factory=PassVad,
+        model_path="/fake/m.gguf",
+    )
+    server.initialize()
+    import base64
+
+    pcm = np.zeros(16000, dtype="<i2")
+    r = server.transcribe(
+        audio_base64=base64.b64encode(pcm.tobytes()).decode(),
+        audio_format="pcm_s16le",
+        sample_rate=16000,
+    )
+    assert r["success"] and r["text"] == "x"
+    assert server._session is False  # bridge unavailable for fakes
