@@ -76,14 +76,6 @@ def _build_prompt_embeds(params, ids, audio_embeds, n_audio, prefix_len: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def _prefill_padded(cfg, params, embeds, cache, last_index):
-    hidden, cache = dec.forward(cfg, params, embeds, cache)
-    logits = dec.logits_for(cfg, params, hidden[last_index][None])
-    first = jnp.argmax(logits[-1]).astype(jnp.int32)
-    return first, cache
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_chunks", "mel_frames", "prefix_len"),
@@ -256,8 +248,6 @@ class Qwen3ASRModel:
         bucket_len = _round_up(true_len, PROMPT_BUCKET)
         ids_padded = np.full(bucket_len, self.config.pad_token_id, dtype=np.int32)
         ids_padded[:true_len] = ids
-
-        from light_whisper_tpu.models.qwen3_asr.config import conv_output_length  # noqa: F401
 
         mel_frames = wmel.num_mel_frames(bucket)
         chunk = self.config.audio.chunk_frames
