@@ -38,6 +38,14 @@ class _Job:
     result: Any = dataclasses.field(compare=False, default=None)
     error: Optional[BaseException] = dataclasses.field(compare=False, default=None)
     cancelled: bool = dataclasses.field(compare=False, default=False)
+    # Batch-coalescing fields: jobs sharing a batch_key that are queued at
+    # the moment one of them starts run as ONE batch_runner call.
+    batch_key: Optional[str] = dataclasses.field(compare=False, default=None)
+    payload: Any = dataclasses.field(compare=False, default=None)
+    batch_runner: Optional[Callable[[List[Any]], List[Any]]] = dataclasses.field(
+        compare=False, default=None
+    )
+    max_batch: int = dataclasses.field(compare=False, default=8)
 
 
 class EngineScheduler:
@@ -74,6 +82,42 @@ class EngineScheduler:
                 generation=generation,
                 work=work,
                 done=threading.Event(),
+            )
+            heapq.heappush(self._queue, job)
+            self._wakeup.notify()
+        return job
+
+    def submit_batchable(
+        self,
+        stream: str,
+        payload: Any,
+        batch_key: str,
+        batch_runner: Callable[[List[Any]], List[Any]],
+        priority: int = PRIORITY_INTERIM,
+        supersede: bool = True,
+        max_batch: int = 8,
+    ) -> _Job:
+        """Queue work that may coalesce with other queued jobs of the same
+        ``batch_key``: when the worker reaches any of them, it drains up to
+        ``max_batch`` live same-key jobs and runs ``batch_runner(payloads)``
+        once, distributing results positionally. Hardware-efficient
+        multi-stream serving: concurrent interim ticks become ONE
+        ``transcribe_batch`` dispatch instead of N sequential ones."""
+        with self._lock:
+            if supersede:
+                self._generations[stream] = self._generations.get(stream, 0) + 1
+            generation = self._generations.get(stream, 0)
+            job = _Job(
+                priority=priority,
+                seq=next(self._seq),
+                stream=stream,
+                generation=generation,
+                work=lambda: batch_runner([payload])[0],  # solo fallback
+                done=threading.Event(),
+                batch_key=batch_key,
+                payload=payload,
+                batch_runner=batch_runner,
+                max_batch=max_batch,
             )
             heapq.heappush(self._queue, job)
             self._wakeup.notify()
@@ -121,11 +165,30 @@ class EngineScheduler:
                     return
                 job = heapq.heappop(self._queue)
                 stale = job.generation != self._generations.get(job.stream, 0)
+                members: List[_Job] = []
+                if not stale and job.batch_key is not None:
+                    members = self._drain_batch_members(job)
             if stale:
                 job.cancelled = True
                 job.done.set()
                 continue
             started = time.perf_counter()
+            if members:
+                batch = [job, *members]
+                try:
+                    results = job.batch_runner([j.payload for j in batch])
+                    for j, res in zip(batch, results):
+                        j.result = res
+                except BaseException as exc:  # surfaced via wait()
+                    for j in batch:
+                        j.error = exc
+                finally:
+                    elapsed = time.perf_counter() - started
+                    with self._lock:
+                        self._latencies.extend([elapsed] * len(batch))
+                    for j in batch:
+                        j.done.set()
+                continue
             try:
                 job.result = job.work()
             except BaseException as exc:  # surfaced via wait()
@@ -134,3 +197,26 @@ class EngineScheduler:
                 with self._lock:
                     self._latencies.append(time.perf_counter() - started)
                 job.done.set()
+
+    def _drain_batch_members(self, lead: _Job) -> List[_Job]:
+        """Pull queued live jobs sharing ``lead.batch_key`` (lock held).
+
+        One queued job per stream: with supersede semantics only the newest
+        generation is live anyway, and a stream's requests must stay ordered."""
+        members: List[_Job] = []
+        taken_streams = {lead.stream}
+        kept: List[_Job] = []
+        while self._queue and len(members) + 1 < lead.max_batch:
+            other = heapq.heappop(self._queue)
+            if (
+                other.batch_key == lead.batch_key
+                and other.stream not in taken_streams
+                and other.generation == self._generations.get(other.stream, 0)
+            ):
+                members.append(other)
+                taken_streams.add(other.stream)
+            else:
+                kept.append(other)
+        for j in kept:
+            heapq.heappush(self._queue, j)
+        return members

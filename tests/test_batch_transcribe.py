@@ -49,3 +49,53 @@ def test_batch_singleton_and_empty(model):
     audio = (rng.standard_normal(8000) * 0.3).astype(np.float32)
     single = model.transcribe_batch([audio])
     assert single[0].tokens == model.transcribe(audio).tokens
+
+
+def test_multistream_concurrent_matches_sequential(model):
+    """Concurrent requests coalesce into one batch and match per-stream output."""
+    import threading
+    import time
+
+    from light_whisper_tpu.serving.multistream import MultiStreamTranscriber
+    from light_whisper_tpu.serving.scheduler import EngineScheduler
+
+    rng = np.random.default_rng(7)
+    audios = [
+        (rng.standard_normal(8000) * 0.3).astype(np.float32) for _ in range(3)
+    ]
+    sequential = [model.transcribe(a) for a in audios]
+
+    scheduler = EngineScheduler()
+    ms = MultiStreamTranscriber(model, scheduler=scheduler)
+    try:
+        # Hold the worker so all three requests are queued together.
+        gate = threading.Event()
+        started = threading.Event()
+        scheduler.submit("hold", lambda: (started.set(), gate.wait(5)))
+        started.wait(5)
+
+        results = [None] * 3
+        batch_calls = []
+        orig = ms._run_batch
+
+        def counting(payloads):
+            batch_calls.append(len(payloads))
+            return orig(payloads)
+
+        ms._run_batch = counting
+
+        def call(i):
+            results[i] = ms.transcribe(f"stream{i}", audios[i], timeout=120)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        time.sleep(0.3)  # let all three enqueue behind the gate
+        gate.set()
+        for t in threads:
+            t.join(timeout=120)
+
+        assert batch_calls == [3]
+        assert [r.tokens for r in results] == [r.tokens for r in sequential]
+    finally:
+        scheduler.shutdown()

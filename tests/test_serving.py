@@ -204,3 +204,121 @@ def test_scheduler_shutdown_cancels_queued():
     gate.set()
     with pytest.raises((RuntimeError, TimeoutError)):
         s.wait(queued, timeout=1)
+
+
+# ---------------------------------------------------------------------------
+# Batch coalescing
+
+
+def _gate_worker(s):
+    """Block the worker so subsequently queued jobs pile up."""
+    gate = threading.Event()
+    started = threading.Event()
+
+    def hold():
+        started.set()
+        gate.wait(5)
+
+    s.submit("warmhold", hold)
+    started.wait(5)
+    return gate
+
+
+def test_scheduler_coalesces_batchable_jobs():
+    s = EngineScheduler()
+    calls = []
+
+    def runner(payloads):
+        calls.append(list(payloads))
+        return [p * 10 for p in payloads]
+
+    try:
+        gate = _gate_worker(s)
+        jobs = [
+            s.submit_batchable(f"stream{i}", i + 1, "k", runner) for i in range(3)
+        ]
+        gate.set()
+        results = [s.wait(j, timeout=5) for j in jobs]
+        assert results == [10, 20, 30]
+        assert len(calls) == 1 and sorted(calls[0]) == [1, 2, 3]
+    finally:
+        s.shutdown()
+
+
+def test_scheduler_batchable_runs_solo_when_alone():
+    s = EngineScheduler()
+    calls = []
+
+    def runner(payloads):
+        calls.append(list(payloads))
+        return [p + 1 for p in payloads]
+
+    try:
+        job = s.submit_batchable("only", 41, "k", runner)
+        assert s.wait(job, timeout=5) == 42
+        assert calls == [[41]]
+    finally:
+        s.shutdown()
+
+
+def test_scheduler_batch_excludes_same_stream_and_stale():
+    s = EngineScheduler()
+    calls = []
+
+    def runner(payloads):
+        calls.append(list(payloads))
+        return [p for p in payloads]
+
+    try:
+        gate = _gate_worker(s)
+        old = s.submit_batchable("a", "a-old", "k", runner)
+        new = s.submit_batchable("a", "a-new", "k", runner)  # supersedes old
+        other = s.submit_batchable("b", "b-1", "k", runner)
+        gate.set()
+        assert s.wait(new, timeout=5) == "a-new"
+        assert s.wait(other, timeout=5) == "b-1"
+        with pytest.raises(RuntimeError):
+            s.wait(old, timeout=5)
+        # one batch of exactly the two live jobs, stale "a-old" excluded
+        assert len(calls) == 1 and sorted(calls[0]) == ["a-new", "b-1"]
+    finally:
+        s.shutdown()
+
+
+def test_scheduler_batch_respects_max_batch():
+    s = EngineScheduler()
+    calls = []
+
+    def runner(payloads):
+        calls.append(list(payloads))
+        return list(payloads)
+
+    try:
+        gate = _gate_worker(s)
+        jobs = [
+            s.submit_batchable(f"s{i}", i, "k", runner, max_batch=2)
+            for i in range(4)
+        ]
+        gate.set()
+        for i, j in enumerate(jobs):
+            assert s.wait(j, timeout=5) == i
+        assert [len(c) for c in calls] == [2, 2]
+    finally:
+        s.shutdown()
+
+
+def test_scheduler_batch_error_propagates_to_all_members():
+    s = EngineScheduler()
+
+    def runner(payloads):
+        raise ValueError("batch boom")
+
+    try:
+        gate = _gate_worker(s)
+        jobs = [s.submit_batchable(f"e{i}", i, "k", runner) for i in range(2)]
+        gate.set()
+        for j in jobs:
+            with pytest.raises(ValueError):
+                s.wait(j, timeout=5)
+    finally:
+        s.shutdown()
