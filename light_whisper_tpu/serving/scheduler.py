@@ -56,6 +56,8 @@ class EngineScheduler:
         self._generations: Dict[str, int] = {}
         self._seq = itertools.count()
         self._latencies: List[float] = []
+        self._batches = 0
+        self._batched_jobs = 0
         self._running = True
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -72,6 +74,8 @@ class EngineScheduler:
         """Queue work for a stream. ``supersede`` bumps the stream generation
         so queued-but-unstarted older requests of that stream are dropped."""
         with self._lock:
+            if not self._running:
+                raise RuntimeError("engine scheduler is shut down")
             if supersede:
                 self._generations[stream] = self._generations.get(stream, 0) + 1
             generation = self._generations.get(stream, 0)
@@ -104,6 +108,8 @@ class EngineScheduler:
         multi-stream serving: concurrent interim ticks become ONE
         ``transcribe_batch`` dispatch instead of N sequential ones."""
         with self._lock:
+            if not self._running:
+                raise RuntimeError("engine scheduler is shut down")
             if supersede:
                 self._generations[stream] = self._generations.get(stream, 0) + 1
             generation = self._generations.get(stream, 0)
@@ -135,12 +141,15 @@ class EngineScheduler:
     def stats(self) -> Dict[str, float]:
         with self._lock:
             lat = sorted(self._latencies[-1000:])
+            batches, batched_jobs = self._batches, self._batched_jobs
         if not lat:
             return {"count": 0}
         return {
             "count": len(lat),
             "p50_ms": round(lat[len(lat) // 2] * 1000, 3),
             "p95_ms": round(lat[int(len(lat) * 0.95)] * 1000, 3),
+            "batches": batches,
+            "batched_jobs": batched_jobs,
         }
 
     def shutdown(self) -> None:
@@ -186,6 +195,8 @@ class EngineScheduler:
                     elapsed = time.perf_counter() - started
                     with self._lock:
                         self._latencies.extend([elapsed] * len(batch))
+                        self._batches += 1
+                        self._batched_jobs += len(batch)
                     for j in batch:
                         j.done.set()
                 continue

@@ -322,3 +322,28 @@ def test_scheduler_batch_error_propagates_to_all_members():
                 s.wait(j, timeout=5)
     finally:
         s.shutdown()
+
+
+def test_scheduler_rejects_submit_after_shutdown():
+    s = EngineScheduler()
+    s.shutdown()
+    with pytest.raises(RuntimeError, match="shut down"):
+        s.submit("x", lambda: 1)
+    with pytest.raises(RuntimeError, match="shut down"):
+        s.submit_batchable("x", 1, "k", lambda p: p)
+
+
+def test_scheduler_stats_count_batches():
+    s = EngineScheduler()
+    try:
+        gate = _gate_worker(s)
+        jobs = [
+            s.submit_batchable(f"c{i}", i, "k", lambda p: list(p)) for i in range(3)
+        ]
+        gate.set()
+        for j in jobs:
+            s.wait(j, timeout=5)
+        stats = s.stats()
+        assert stats["batches"] == 1 and stats["batched_jobs"] == 3
+    finally:
+        s.shutdown()
