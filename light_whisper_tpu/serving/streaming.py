@@ -103,20 +103,33 @@ class StreamingSession:
             self._buffer = self._buffer[-MAX_BUFFER_SAMPLES:]
 
     def _window(self) -> np.ndarray:
-        """Last ≤12 s, start aligned down to a whole encoder chunk."""
+        return self._window_with_start()[0]
+
+    def _window_with_start(self):
+        """(last ≤12 s window, its buffer offset); start aligned down to a
+        whole encoder chunk."""
         n = len(self._buffer)
         if n <= self._window_samples:
-            return self._buffer
+            return self._buffer, 0
         start = n - self._window_samples
         start -= start % self._align
-        return self._buffer[start:]
+        return self._buffer[start:], start
 
     def tick(self) -> Optional[InterimResult]:
         if len(self._buffer) < int(MIN_FIRST_TICK_SECONDS * SAMPLE_RATE):
             return None
-        window = self._window()
+        window, start = self._window_with_start()
         started = time.perf_counter()
-        result = self._transcriber.transcribe(window)
+        # A KV-reusing transcriber must know where the window starts: once
+        # the buffer outgrows the window, the start slides and the cached
+        # audio-token prefix describes different samples — it must detect
+        # that via the start offset and fall back to a full prefill.
+        if hasattr(self._transcriber, "transcribe_window"):
+            result = self._transcriber.transcribe_window(
+                window, window_start_sample=start
+            )
+        else:
+            result = self._transcriber.transcribe(window)
         tick_ms = (time.perf_counter() - started) * 1000
 
         self._interval_ms = adapt_interval(self._interval_ms, tick_ms)

@@ -195,3 +195,27 @@ def test_fake_models_fall_back_without_session(model):
     )
     assert r["success"] and r["text"] == "x"
     assert server._session is False  # bridge unavailable for fakes
+
+
+def test_streaming_session_slide_passes_window_start(model):
+    """Once the buffer outgrows the window, the session must convey the slid
+    window start so the KV-reusing transcriber full-prefills instead of
+    reusing cached audio tokens that describe different samples."""
+    rng = np.random.default_rng(11)
+    inc = IncrementalTranscriber(model, max_new_tokens=8)
+    session = StreamingSession(inc)
+
+    session.accept((rng.standard_normal(16000 * 11) * 0.3).astype(np.float32))
+    session.tick()  # start 0 → full prefill
+    session.accept((rng.standard_normal(16000 * 3) * 0.3).astype(np.float32))
+    r2 = session.tick()  # window slid → MUST full-prefill again
+
+    assert inc.full_prefills == 2
+    window = session._window()
+    want = model.transcribe(window)
+    assert r2.text == want.text
+
+    # a tick whose aligned start did not move may extend incrementally
+    session.accept((rng.standard_normal(1600) * 0.3).astype(np.float32))
+    session.tick()
+    assert inc.incremental_prefills >= 1
