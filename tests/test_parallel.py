@@ -163,3 +163,50 @@ def test_mesh_rejects_indivisible_tp(tmp_path):
     mesh = make_mesh(dp=1, tp=8)  # 8 does not divide 2 kv heads
     with pytest.raises(ValueError):
         Qwen3ASRModel(path, mesh=mesh)
+
+
+def test_sequence_parallel_encoder_matches_single_device(tmp_path):
+    """encode_chunks_sp over an 8-way sp mesh == unsharded encode_chunks."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "tests")
+    from helpers.tiny_model import write_tiny_model
+
+    from light_whisper_tpu.models.qwen3_asr.loader import Qwen3ASRWeights
+    from light_whisper_tpu.models.qwen3_asr.encoder import encode_chunks
+    from light_whisper_tpu.parallel.encoder_sp import (
+        encode_chunks_sp,
+        make_sp_mesh,
+        replicate_params,
+    )
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path, quantize=False)
+    weights = Qwen3ASRWeights(path)
+    acfg = weights.config.audio
+
+    num_chunks = 8
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal(
+        (num_chunks * acfg.chunk_frames, acfg.num_mel_bins)
+    ).astype(np.float32)
+    valid = num_chunks * acfg.tokens_per_chunk - 3
+
+    want = np.asarray(
+        encode_chunks(acfg, weights.encoder_params, jnp.asarray(mel), jnp.int32(valid), num_chunks)
+    )
+
+    mesh = make_sp_mesh()
+    assert mesh.shape == {"sp": 8}
+    params = replicate_params(weights.encoder_params, mesh)
+    got_arr = encode_chunks_sp(acfg, params, mel, valid, num_chunks, mesh)
+    got = np.asarray(got_arr)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        got[:valid].astype(np.float32), want[:valid].astype(np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+    with pytest.raises(ValueError):
+        encode_chunks_sp(acfg, params, mel[: 7 * acfg.chunk_frames], valid, 7, mesh)
