@@ -36,6 +36,7 @@ INIT_TIMEOUT_SECONDS = 120.0
 RESPONSE_TIMEOUT_SECONDS = 60.0
 EXIT_GRACE_SECONDS = 2.0
 MIN_INLINE_SECONDS = 0.5
+MAX_AUDIO_BYTES = 64 * 1024 * 1024  # raw-audio IPC cap (commands/funasr.rs:17-25)
 
 
 class EngineCrashed(RuntimeError):
@@ -198,8 +199,15 @@ class EngineClient:
         hot_words: Optional[List[str]] = None,
         timeout: float = RESPONSE_TIMEOUT_SECONDS,
     ) -> Dict[str, Any]:
-        """Inline-PCM transcription, zero-padding inputs below 0.5 s."""
+        """Inline-PCM transcription, zero-padding inputs below 0.5 s.
+
+        Rejects raw audio above the 64 MB IPC cap (~33 min @16 kHz mono)
+        before spending base64/transport work, like the reference shell."""
         samples = np.asarray(samples, dtype="<i2").reshape(-1)
+        if samples.nbytes > MAX_AUDIO_BYTES:
+            raise ValueError(
+                f"audio too large: {samples.nbytes} bytes > {MAX_AUDIO_BYTES} cap"
+            )
         min_samples = int(MIN_INLINE_SECONDS * sample_rate)
         if 0 < len(samples) < min_samples:
             samples = np.concatenate(

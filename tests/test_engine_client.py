@@ -177,3 +177,16 @@ def test_end_to_end_against_real_server_over_pipes():
     client.shutdown()
     thread.join(timeout=5)
     assert not thread.is_alive()
+
+
+def test_transcribe_rejects_oversized_audio():
+    """64 MB raw-audio IPC cap (reference commands/funasr.rs:17-25)."""
+    import numpy as np
+    import pytest
+
+    from light_whisper_tpu.runtime.client import MAX_AUDIO_BYTES, EngineClient
+
+    client = EngineClient.__new__(EngineClient)  # no process needed: cap precedes IO
+    too_big = np.zeros(MAX_AUDIO_BYTES // 2 + 1, dtype="<i2")
+    with pytest.raises(ValueError, match="audio too large"):
+        client.transcribe_pcm16(too_big, 16000)
