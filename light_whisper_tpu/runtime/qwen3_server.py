@@ -421,6 +421,14 @@ class Qwen3EngineServer:
         gc.collect()
 
     def performance_stats(self) -> Dict[str, Any]:
+        import os
+
+        # Truthful: extending-window requests ride the self-speculative
+        # session path unless disabled or unsupported (fake models).
+        speculative = (
+            not os.environ.get("LIGHT_WHISPER_DISABLE_SESSION_REUSE")
+            and self._session is not False
+        )
         return {
             "transcription_count": self.transcription_count,
             "total_audio_duration": round(self.total_audio_duration, 2),
@@ -433,7 +441,7 @@ class Qwen3EngineServer:
             "initialized": self.initialized,
             "engine": self.engine,
             "backend": self.backend,
-            "speculative_decoding": False,
+            "speculative_decoding": speculative,
             "models_loaded": {
                 "asr": self.model is not None,
                 "vad": self.vad is not None,
