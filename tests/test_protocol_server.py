@@ -133,3 +133,36 @@ def test_failing_initialize_still_emits_init_line():
 def test_bool_request_id_is_not_an_id():
     out = run_server([json.dumps({"action": "status", "request_id": True})])
     assert "request_id" not in out[1]
+
+
+def test_fuzz_garbage_never_kills_the_loop():
+    """50 adversarial lines → one response each (or skip for blanks), then a
+    normal command still works. The loop must never die from a request
+    (reference contract: server_common.py:339-437)."""
+    import random
+
+    rng = random.Random(42)
+    garbage = []
+    for _ in range(50):
+        kind = rng.randrange(6)
+        if kind == 0:
+            garbage.append("".join(chr(rng.randrange(32, 0x2FFF)) for _ in range(rng.randrange(1, 80))))
+        elif kind == 1:  # valid JSON, wrong shape
+            garbage.append(json.dumps(rng.choice([[], 42, "str", None, True, {"no_action": 1}])))
+        elif kind == 2:  # huge / weird request ids
+            garbage.append(json.dumps({"action": "status", "request_id": rng.choice([2**63, -1, 0.5, "x", None])}))
+        elif kind == 3:  # unknown actions with nested junk
+            garbage.append(json.dumps({"action": "x" * rng.randrange(1, 200), "payload": {"a": [1, {"b": None}]}}))
+        elif kind == 4:  # truncated / mixed JSON
+            s = json.dumps({"action": "transcribe", "audio_base64": "!!!not-base64!!!", "audio_format": "pcm_s16le", "sample_rate": 16000})
+            garbage.append(s[: rng.randrange(1, len(s))] if rng.random() < 0.5 else "noise " + s)
+        else:  # blank-ish
+            garbage.append(rng.choice(["", " ", "\t"]))
+
+    lines = garbage + [json.dumps({"action": "status", "request_id": 777})]
+    responses = run_server(lines)
+
+    final = [r for r in responses if r.get("request_id") == 777]
+    assert len(final) == 1 and final[0]["success"] is True
+    # every response is a JSON object with a boolean success field
+    assert all(isinstance(r, dict) and isinstance(r.get("success"), bool) for r in responses[1:])
