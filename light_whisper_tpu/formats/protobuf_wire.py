@@ -42,13 +42,19 @@ def iter_fields(data: bytes) -> Iterator[Field]:
         if wire == WIRE_VARINT:
             value, pos = read_varint(data, pos)
         elif wire == WIRE_I64:
+            if pos + 8 > end:
+                raise ValueError(f"truncated i64 field {field} at offset {pos}")
             value = data[pos : pos + 8]
             pos += 8
         elif wire == WIRE_LEN:
             length, pos = read_varint(data, pos)
+            if pos + length > end:
+                raise ValueError(f"truncated length-delimited field {field} at offset {pos}")
             value = data[pos : pos + length]
             pos += length
         elif wire == WIRE_I32:
+            if pos + 4 > end:
+                raise ValueError(f"truncated i32 field {field} at offset {pos}")
             value = data[pos : pos + 4]
             pos += 4
         else:
