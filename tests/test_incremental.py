@@ -219,3 +219,29 @@ def test_streaming_session_slide_passes_window_start(model):
     session.accept((rng.standard_normal(1600) * 0.3).astype(np.float32))
     session.tick()
     assert inc.incremental_prefills >= 1
+
+
+def test_randomized_growth_patterns_stay_greedy_exact(model):
+    """Property sweep: any growth pattern (tiny deltas, bucket jumps, window
+    slides) must produce exactly the stateless transcribe of each window."""
+    rng = np.random.default_rng(123)
+    audio = (rng.standard_normal(16000 * 16) * 0.3).astype(np.float32)
+
+    for scenario in range(4):
+        srng = np.random.default_rng(1000 + scenario)
+        inc = IncrementalTranscriber(model, max_new_tokens=8)
+        session = StreamingSession(inc)
+        consumed = 0
+        for tick in range(3):
+            delta = int(srng.choice([800, 4000, 16000, 48000]))
+            session.accept(audio[consumed : consumed + delta])
+            consumed += delta
+            r = session.tick()
+            if r is None:
+                continue
+            window = session._window()
+            want = model.transcribe(window)
+            assert r.text == want.text, (
+                f"scenario {scenario} tick {tick}: {r.text!r} != {want.text!r} "
+                f"(buffered {consumed}, window {len(window)})"
+            )
