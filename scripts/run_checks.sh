@@ -16,13 +16,9 @@ EOF
 echo "== unit + integration tests =="
 python -m pytest tests/ -q
 
-echo "== multi-chip dry run (virtual 8-device mesh) =="
-JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
-python - <<'EOF'
-import jax
-jax.config.update("jax_platforms", "cpu")
-import __graft_entry__ as graft
-graft.dryrun_multichip(8)
-EOF
+echo "== multi-chip dry run (bare invocation, driver conditions) =="
+# No env provisioning on purpose: dryrun_multichip must self-provision the
+# virtual CPU mesh exactly as when the driver calls it (MULTICHIP check).
+python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 echo "All checks passed."

@@ -53,6 +53,42 @@ def test_dryrun_multichip_8_devices():
     graft.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_self_provisions_virtual_mesh():
+    """Driver conditions: a process whose backend initializes with one device
+    must respawn itself onto a virtual n-device CPU mesh (MULTICHIP check).
+
+    ``-S`` skips the sitecustomize so the outer process deterministically
+    lands on a single CPU device; the respawned child goes through the real
+    staged path (sitecustomize + jax.config override)."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "_LWT_DRYRUN_STAGE")
+    }
+    env["JAX_PLATFORMS"] = "cpu"  # honored: -S skips the axon sitecustomize
+    paths = [repo] + [p for p in sys.path if p.endswith("site-packages")]
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-S",
+            "-c",
+            f"import sys; sys.path[:0] = {paths!r}; "
+            "import __graft_entry__ as g; g.dryrun_multichip(4)",
+        ],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip OK" in out.stdout
+
+
 def test_train_step_loss_decreases():
     """A few steps on one fixed batch must reduce the loss (end-to-end grad
     flow through encoder, splice, and decoder)."""
