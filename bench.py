@@ -99,7 +99,7 @@ def main() -> None:
         while capacity < bucket_len + DECODE_TOKENS:
             capacity *= 2
         cache = dec.init_cache(cfg.decoder, capacity)
-        first, cache = _encode_and_prefill(
+        first, cache, _clip_max = _encode_and_prefill(
             cfg,
             encoder_params,
             decoder_params,

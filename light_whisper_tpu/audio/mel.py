@@ -87,8 +87,17 @@ def num_mel_frames(num_samples: int) -> int:
     return num_samples // HOP
 
 
-@functools.partial(jax.jit, static_argnames=("frames",))
-def _log_mel_impl(waveform: jax.Array, frames: int) -> jax.Array:
+def _log_mel_with_max(waveform: jax.Array, frames: int):
+    """Traceable core: (normalized log-mel [frames, 128], clip max scalar).
+
+    The clip max (``jnp.max(log_spec)``) is *clip-global* state: the dynamic
+    clamp floor ``max - 8`` moves when louder audio arrives later, changing
+    every previously computed frame. Streaming callers that cache work keyed
+    on earlier frames must invalidate when this value grows
+    (``serving/incremental.py``). Zero-padded tail frames sit at
+    ``log10(1e-10) = -10`` and never raise the max, so the value is
+    pad-bucket-invariant.
+    """
     pad = N_FFT // 2
     x = jnp.pad(waveform.astype(jnp.float32), (pad, pad), mode="reflect")
 
@@ -100,8 +109,14 @@ def _log_mel_impl(waveform: jax.Array, frames: int) -> jax.Array:
 
     mel = power @ jnp.asarray(whisper_mel_matrix())  # [T, 128]
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
-    log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - 8.0)
-    return (log_spec + 4.0) / 4.0
+    clip_max = jnp.max(log_spec)
+    log_spec = jnp.maximum(log_spec, clip_max - 8.0)
+    return (log_spec + 4.0) / 4.0, clip_max
+
+
+@functools.partial(jax.jit, static_argnames=("frames",))
+def _log_mel_impl(waveform: jax.Array, frames: int) -> jax.Array:
+    return _log_mel_with_max(waveform, frames)[0]
 
 
 def log_mel(waveform) -> jax.Array:

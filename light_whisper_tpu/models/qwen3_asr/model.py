@@ -100,10 +100,10 @@ def _encode_and_prefill(
     Keeping this fused matters doubly on remote-attached TPUs, where every
     dispatch pays tunnel latency on top of the usual host sync.
     """
-    from light_whisper_tpu.audio.mel import _log_mel_impl
+    from light_whisper_tpu.audio.mel import _log_mel_with_max
     from light_whisper_tpu.models.qwen3_asr.encoder import encode_chunks
 
-    mel = _log_mel_impl(waveform, mel_frames)
+    mel, clip_max = _log_mel_with_max(waveform, mel_frames)
     chunk = cfg.audio.chunk_frames
     mel = jnp.pad(mel, ((0, num_chunks * chunk - mel.shape[0]), (0, 0)))
     audio_embeds = encode_chunks(cfg.audio, encoder_params, mel, n_audio, num_chunks)
@@ -112,7 +112,9 @@ def _encode_and_prefill(
     hidden, cache = dec.forward(cfg.decoder, decoder_params, embeds, cache)
     logits = dec.logits_for(cfg.decoder, decoder_params, hidden[last_index][None])
     first = jnp.argmax(logits[-1]).astype(jnp.int32)
-    return first, cache
+    # clip_max lets streaming callers detect when the mel clamp floor moved
+    # (which silently changes every earlier frame — cached KV goes stale).
+    return first, cache, clip_max
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("caches",))
@@ -254,7 +256,7 @@ class Qwen3ASRModel:
         num_chunks = max(1, (mel_frames + chunk - 1) // chunk)
 
         cache = self._cache_for(bucket_len + self.max_new_tokens)
-        first, cache = _encode_and_prefill(
+        first, cache, _clip_max = _encode_and_prefill(
             self.config,
             self.encoder_params,
             self.decoder_params,

@@ -12,6 +12,19 @@ of the TPU build:
    *complete* attention window group (``window_tokens`` post-conv frames)
    are final the moment the group fills and never change afterwards.
 
+Two caveats make "final" conditional, and both are guarded here:
+
+- the mel frontend clamps every frame to ``clip_max - 8`` where ``clip_max``
+  is *per-clip global* (``audio/mel.py``): later, louder audio raises the
+  clamp floor and silently changes previously computed quiet frames. Each
+  tick returns the window's clip max; if it grew past the value the stable
+  prefix was cached under, the tick is redone as a full prefill
+  (``clip_guard_prefills`` counts these);
+- the last mel frames read up to ``N_FFT/2`` samples past the current audio
+  end (zeros this tick, real audio the next), so the stable boundary only
+  covers window groups whose frames' receptive fields lie entirely inside
+  the already-received samples.
+
 Per tick the decoder therefore rolls its KV cache back to
 ``prefix + stable_audio_tokens`` (position rollback is free — stale K/V
 beyond ``pos`` are overwritten before they can be read) and prefills only
@@ -42,6 +55,15 @@ from light_whisper_tpu.models.qwen3_asr.model import (
 SEGMENT_BUCKET = 64
 INTERIM_MAX_NEW_TOKENS = 96
 DRAFT_TOKENS = 64  # previous-tick transcript tokens verified per tick
+# Allowed growth of the per-clip mel clamp floor (log10 units) before cached
+# stable-prefix KV is considered stale. Anchored at the last full prefill, so
+# cumulative drift vs the stalest cached row is bounded by this value. The
+# floor only touches frames ≥8 decades below the clip max (silence floor);
+# 0.05 log10 shifts their normalized values by ≤0.0125 — the same order as
+# the bf16 KV cache's own rounding — while real amplitude onsets move the
+# max by whole decades and always trigger. Stationary noise grows the max by
+# ≲0.02 over a 12 s window (measured), comfortably below the threshold.
+CLIP_MAX_EPS = 0.05
 
 
 @functools.partial(
@@ -82,10 +104,10 @@ def _encode_prefill_segment(
     Fusing one dispatch also matters on remote-attached TPUs where every
     dispatch pays tunnel latency.
     """
-    from light_whisper_tpu.audio.mel import _log_mel_impl
+    from light_whisper_tpu.audio.mel import _log_mel_with_max
     from light_whisper_tpu.models.qwen3_asr.encoder import encode_chunks
 
-    mel = _log_mel_impl(waveform, mel_frames)
+    mel, clip_max = _log_mel_with_max(waveform, mel_frames)
     chunk = cfg.audio.chunk_frames
     mel = jnp.pad(mel, ((0, num_chunks * chunk - mel.shape[0]), (0, 0)))
     audio_embeds = encode_chunks(cfg.audio, encoder_params, mel, n_audio, num_chunks)
@@ -126,7 +148,7 @@ def _encode_prefill_segment(
         first,
         preds[jnp.clip(first_index + accepted, 0, seg_bucket - 1)],
     ).astype(jnp.int32)
-    return next_token, accepted, cache
+    return next_token, accepted, cache, clip_max
 
 
 class IncrementalTranscriber:
@@ -141,9 +163,11 @@ class IncrementalTranscriber:
         self._cache_capacity = 0
         self._window_start: Optional[int] = None
         self._stable_tokens = 0
+        self._clip_max: Optional[float] = None
         self._last_generated: list = []
         self.full_prefills = 0
         self.incremental_prefills = 0
+        self.clip_guard_prefills = 0
         self.draft_tokens_offered = 0
         self.draft_tokens_accepted = 0
 
@@ -153,6 +177,7 @@ class IncrementalTranscriber:
         self._cache = None
         self._window_start = None
         self._stable_tokens = 0
+        self._clip_max = None
         self._last_generated = []
 
     def _ensure_cache(self, needed: int) -> None:
@@ -203,31 +228,13 @@ class IncrementalTranscriber:
             and 0 <= self._stable_tokens <= n_audio
         )
 
-        if not can_extend:
-            # Full fused prefill of prefix + audio + suffix.
-            bucket_len = _round_up(true_len, SEGMENT_BUCKET)
-            ids = np.full(bucket_len, cfg.pad_token_id, dtype=np.int32)
-            ids[:prefix_len] = model.prefix_ids
-            ids[prefix_len : prefix_len + n_audio] = cfg.audio_token_id
-            ids[prefix_len + n_audio : true_len] = model.suffix_ids
-            cache = self._cache._replace(pos=jnp.int32(0))
-            first, cache = _encode_and_prefill(
-                cfg,
-                model.encoder_params,
-                model.decoder_params,
-                jnp.asarray(padded),
-                jnp.int32(n_audio),
-                jnp.asarray(ids),
-                jnp.int32(true_len - 1),
-                cache,
-                num_chunks,
-                mel_frames,
-                prefix_len,
-            )
-            self.full_prefills += 1
-            accepted = 0
-            draft: list = []
-        else:
+        clip_max: Optional[float] = None
+        accepted = 0
+        draft: list = []
+        first = None
+        cache = self._cache
+
+        if can_extend:
             # One fused dispatch: encode + tail-segment prefill from rollback,
             # with the previous tick's transcript verified as a draft.
             stable = self._stable_tokens
@@ -236,8 +243,8 @@ class IncrementalTranscriber:
             draft_padded[: len(draft)] = draft
             seg_true = (n_audio - stable) + suffix_len + DRAFT_TOKENS
             seg_bucket = _round_up(max(1, seg_true), SEGMENT_BUCKET)
-            cache = self._cache._replace(pos=jnp.int32(prefix_len + stable))
-            first, accepted_dev, cache = _encode_prefill_segment(
+            cache = cache._replace(pos=jnp.int32(prefix_len + stable))
+            first, accepted_dev, cache, clip_dev = _encode_prefill_segment(
                 cfg,
                 model.encoder_params,
                 model.decoder_params,
@@ -253,10 +260,47 @@ class IncrementalTranscriber:
                 prefix_len,
                 seg_bucket,
             )
-            accepted = int(accepted_dev)
-            self.incremental_prefills += 1
-            self.draft_tokens_offered += len(draft)
-            self.draft_tokens_accepted += accepted
+            accepted_v, clip_v = jax.device_get((accepted_dev, clip_dev))
+            accepted = int(accepted_v)
+            clip_max = float(clip_v)
+            if self._clip_max is not None and clip_max > self._clip_max + CLIP_MAX_EPS:
+                # Louder audio raised the per-clip mel clamp floor: the KV
+                # cached for the stable prefix was computed under a different
+                # normalization than a stateless run of this window would
+                # use. Discard the tick and redo as a full prefill so the
+                # greedy-exact contract holds.
+                self.clip_guard_prefills += 1
+                can_extend = False
+                accepted = 0
+                draft = []
+            else:
+                self.incremental_prefills += 1
+                self.draft_tokens_offered += len(draft)
+                self.draft_tokens_accepted += accepted
+
+        if not can_extend:
+            # Full fused prefill of prefix + audio + suffix. ``cache`` is the
+            # session's (possibly just-donated-through) buffer storage.
+            bucket_len = _round_up(true_len, SEGMENT_BUCKET)
+            ids = np.full(bucket_len, cfg.pad_token_id, dtype=np.int32)
+            ids[:prefix_len] = model.prefix_ids
+            ids[prefix_len : prefix_len + n_audio] = cfg.audio_token_id
+            ids[prefix_len + n_audio : true_len] = model.suffix_ids
+            cache = cache._replace(pos=jnp.int32(0))
+            first, cache, clip_dev = _encode_and_prefill(
+                cfg,
+                model.encoder_params,
+                model.decoder_params,
+                jnp.asarray(padded),
+                jnp.int32(n_audio),
+                jnp.asarray(ids),
+                jnp.int32(true_len - 1),
+                cache,
+                num_chunks,
+                mel_frames,
+                prefix_len,
+            )
+            self.full_prefills += 1
 
         cache = cache._replace(pos=jnp.int32(true_len + accepted))
         tokens, count, cache = dec.decode_greedy(
@@ -268,16 +312,45 @@ class IncrementalTranscriber:
             self.max_new_tokens,
             budget=jnp.int32(max(0, self.max_new_tokens - accepted)),
         )
+        if clip_max is None:
+            tokens_np, count_v, clip_v = jax.device_get((tokens, count, clip_dev))
+            clip_max = float(clip_v)
+        else:
+            tokens_np, count_v = jax.device_get((tokens, count))
         self._cache = cache
         self._window_start = window_start_sample
-        # Tokens inside complete attention-window groups are final.
-        self._stable_tokens = (n_audio // self._window_tokens) * self._window_tokens
+        if not can_extend or self._clip_max is None:
+            # Anchor at full prefills only: every cached row was computed at
+            # this floor, so the guard bounds drift vs the stalest row rather
+            # than just the previous tick.
+            self._clip_max = clip_max
+        self._stable_tokens = self._stable_boundary(len(window), n_audio)
 
         generated = list(draft[:accepted]) + [
-            int(t) for t in np.asarray(tokens)[: int(count)]
+            int(t) for t in np.asarray(tokens_np)[: int(count_v)]
         ]
         self._last_generated = generated
         return model._parse_output(generated)
+
+    def _stable_boundary(self, n_samples: int, n_audio: int) -> int:
+        """Audio tokens that can never change as the window grows in place.
+
+        Complete block-diagonal attention window groups are final — but only
+        if every mel frame they see is itself final. A mel frame ``i`` reads
+        samples ``[i*HOP - N_FFT/2, i*HOP + N_FFT/2)``; frames whose
+        receptive field extends past ``n_samples`` currently see zero
+        padding that the next tick replaces with real audio, so they (and
+        their window group) are excluded.
+        """
+        cfg = self.model.config.audio
+        group_frames = cfg.chunk_frames * max(1, cfg.n_window_infer // cfg.chunk_frames)
+        frames_final = min(
+            n_samples // wmel.HOP,
+            max(0, (n_samples - wmel.N_FFT // 2) // wmel.HOP + 1),
+        )
+        groups_final = frames_final // group_frames
+        wt = self._window_tokens
+        return min(groups_final * wt, (n_audio // wt) * wt)
 
     # StreamingSession duck-type: plain transcribe = full window, start 0.
     def transcribe(self, audio: np.ndarray) -> TranscriptionResult:

@@ -221,11 +221,66 @@ def test_streaming_session_slide_passes_window_start(model):
     assert inc.incremental_prefills >= 1
 
 
+def test_quiet_then_loud_stays_greedy_exact(model):
+    """ADVICE r1 (high): the mel clamp floor is per-clip global — late loud
+    audio changes previously computed quiet frames, so cached stable-prefix
+    KV goes stale. The clip-max guard must detect it and redo the tick as a
+    full prefill, keeping the incremental output identical to stateless."""
+    rng = np.random.default_rng(7)
+    quiet = (rng.standard_normal(16000 * 6) * 0.002).astype(np.float32)
+    loud = (rng.standard_normal(16000 * 3) * 0.9).astype(np.float32)
+    audio = np.concatenate([quiet, loud])
+
+    inc = IncrementalTranscriber(model, max_new_tokens=8)
+    # Warm the session on the quiet prefix (past one attention group so a
+    # stable prefix actually exists), then extend with the loud tail.
+    r1 = inc.transcribe_window(audio[: 16000 * 6], window_start_sample=0)
+    assert r1.tokens == model.transcribe(audio[: 16000 * 6]).tokens
+    assert inc.incremental_prefills + inc.full_prefills >= 1
+
+    r2 = inc.transcribe_window(audio, window_start_sample=0)
+    want = model.transcribe(audio)
+    assert r2.tokens == want.tokens
+    assert inc.clip_guard_prefills >= 1  # the guard actually fired
+
+    # Steady amplitude afterwards: reuse must resume (no spurious guards).
+    more = np.concatenate([audio, loud[:16000]])
+    guards_before = inc.clip_guard_prefills
+    r3 = inc.transcribe_window(more, window_start_sample=0)
+    assert r3.tokens == model.transcribe(more).tokens
+    assert inc.clip_guard_prefills == guards_before
+    assert inc.incremental_prefills >= 1
+
+
+def test_stable_boundary_excludes_mel_receptive_bleed(model):
+    """Window ends landing within N_FFT/2 of a group boundary must not mark
+    that group stable (its last mel frames still read future samples)."""
+    cfg = model.config.audio
+    inc = IncrementalTranscriber(model, max_new_tokens=8)
+    group_frames = cfg.chunk_frames * max(1, cfg.n_window_infer // cfg.chunk_frames)
+    group_samples = group_frames * 160
+    wt = inc._window_tokens
+
+    # Exactly one group of samples: the group's final frames read past the
+    # end → not yet stable.
+    n_audio = model._audio_tokens_for(group_samples)
+    assert inc._stable_boundary(group_samples, n_audio) == 0
+    # 200 samples later the receptive fields close → the group is final.
+    n_audio2 = model._audio_tokens_for(group_samples + 200)
+    assert inc._stable_boundary(group_samples + 200, n_audio2) == wt
+
+
 def test_randomized_growth_patterns_stay_greedy_exact(model):
     """Property sweep: any growth pattern (tiny deltas, bucket jumps, window
-    slides) must produce exactly the stateless transcribe of each window."""
+    slides) must produce exactly the stateless transcribe of each window.
+
+    Per-second amplitude steps up and down so the per-clip mel max moves
+    between ticks (exercising the clip-max guard), not just constant noise."""
     rng = np.random.default_rng(123)
-    audio = (rng.standard_normal(16000 * 16) * 0.3).astype(np.float32)
+    amp = np.repeat(
+        np.array([0.01, 0.05, 0.3, 0.9] * 4, dtype=np.float32), 16000
+    )
+    audio = (rng.standard_normal(16000 * 16) * amp).astype(np.float32)
 
     for scenario in range(4):
         srng = np.random.default_rng(1000 + scenario)
