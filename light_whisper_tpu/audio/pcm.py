@@ -25,6 +25,34 @@ import numpy as np
 TARGET_SAMPLE_RATE = 16_000
 
 
+def _inline_pcm16(payload: bytes, sample_rate: Optional[int]) -> Tuple[np.ndarray, float]:
+    if not sample_rate or sample_rate <= 0:
+        raise ValueError("PCM 内存音频缺少有效采样率")
+    if len(payload) & 1:
+        raise ValueError("PCM s16le 数据字节数必须为偶数")
+    pcm = np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32768.0
+    return pcm, pcm.size / float(sample_rate)
+
+
+def _inline_wav(payload: bytes, sample_rate: Optional[int]) -> Tuple[io.BytesIO, float]:
+    # Duration comes from the header alone; a malformed header degrades the
+    # duration to 0 but still hands the blob to the backend.
+    duration = 0.0
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as header:
+            if header.getframerate() > 0:
+                duration = header.getnframes() / float(header.getframerate())
+    except Exception:
+        pass
+    return io.BytesIO(payload), duration
+
+
+_INLINE_DECODERS = {
+    "pcm_s16le": _inline_pcm16,
+    "wav": _inline_wav,
+}
+
+
 def decode_inline_audio(
     audio_base64: str,
     audio_format: Optional[str],
@@ -32,43 +60,23 @@ def decode_inline_audio(
 ) -> Tuple[Union[np.ndarray, io.BytesIO], float]:
     """Decode a base64 inline payload into audio + duration (seconds).
 
-    ``pcm_s16le`` returns float32 samples scaled by 1/32768; ``wav`` returns a
-    BytesIO whose duration is read from the header. Mirrors the validation and
-    error strings of the reference decoder so client-side recovery heuristics
-    keep working.
+    ``pcm_s16le`` yields float32 samples scaled by 1/32768; ``wav`` yields a
+    BytesIO with a header-derived duration. The Chinese error strings are
+    wire contract: the reference's Rust client recognizes them to decide
+    transport fallback (``funasr_service.rs:1233-1248``).
     """
     if not audio_base64:
         raise ValueError("缺少内存音频数据")
-
     try:
-        audio_bytes = base64.b64decode(audio_base64, validate=True)
+        payload = base64.b64decode(audio_base64, validate=True)
     except (ValueError, binascii.Error) as exc:
         raise ValueError(f"音频 base64 解码失败: {exc}") from exc
 
     fmt = (audio_format or "pcm_s16le").lower()
-
-    if fmt == "pcm_s16le":
-        if not sample_rate or sample_rate <= 0:
-            raise ValueError("PCM 内存音频缺少有效采样率")
-        if len(audio_bytes) % 2 != 0:
-            raise ValueError("PCM s16le 数据字节数必须为偶数")
-        samples = np.frombuffer(audio_bytes, dtype="<i2")
-        duration = len(samples) / float(sample_rate)
-        return samples.astype(np.float32) / 32768.0, duration
-
-    if fmt == "wav":
-        duration = 0.0
-        try:
-            with io.BytesIO(audio_bytes) as buf:
-                with wave.open(buf, "rb") as reader:
-                    rate = reader.getframerate()
-                    if rate > 0:
-                        duration = reader.getnframes() / float(rate)
-        except Exception:
-            duration = 0.0
-        return io.BytesIO(audio_bytes), duration
-
-    raise ValueError(f"不支持的内存音频格式: {fmt}")
+    decode = _INLINE_DECODERS.get(fmt)
+    if decode is None:
+        raise ValueError(f"不支持的内存音频格式: {fmt}")
+    return decode(payload, sample_rate)
 
 
 def wav_duration_seconds(path: str) -> float:

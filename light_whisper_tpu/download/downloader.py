@@ -1,27 +1,29 @@
 """Model downloader: HF cache layout, byte-range resume, verified manifests.
 
-Behavioral parity with the reference downloader
-(``download_models.py:136-434``), which the Rust shell drives as a child
-process and whose stdout JSON lines feed the UI progress events:
+Wire/behavior parity targets (the *schema*, not the reference's code shape —
+see ``download_models.py:136-434`` for the behavior being matched):
 
-- progress schema ``{stage, model, progress, overall_progress, completed,
-  total[, error][, message]}``, one line per percent;
-- ``.incomplete`` partials with Range resume; a 416 either completes the file
-  (server says we have all bytes) or restarts from zero; 206 responses are
-  validated against their ``Content-Range`` (start must equal our offset,
-  totals must agree, end must lie inside the file); a 200 after a Range
-  request means the server ignored resume — restart, never append;
-- after the body: declared range end and expected sizes are re-checked, the
-  partial is fsynced and atomically renamed;
-- a completion manifest (``.light_whisper_complete.json``) with per-file
-  size/sha256 is written via fsync + atomic rename — it is the "checkpoint
-  valid" marker both engines validate at load;
-- endpoint fallback hf.co → hf-mirror.com only when the user didn't pin
+- progress lines on stdout with fields ``{stage, model, progress,
+  overall_progress, completed, total[, error][, message]}``, at most one per
+  percent — the Rust shell forwards each line to the UI verbatim;
+- ``.incomplete`` partials resumed via Range requests. A 416 means the
+  server can't serve the range: if it confirms we already hold every byte
+  the partial is promoted, otherwise the partial is untrusted. 206 bodies
+  must match their ``Content-Range`` declaration (offset, totals, end); a
+  200 answer to a ranged request means resume was ignored — start over,
+  never append a full body to a partial;
+- completed files are fsynced then atomically renamed; a repo-level
+  completion manifest (size/sha256 per file) is the durable "checkpoint
+  valid" marker that load-time validation checks;
+- endpoint fallback to the mirror only when the user did not pin
   ``HF_ENDPOINT``.
 
-The HTTP transport is injectable so the protocol edge cases are testable
-offline (the reference does the same with a fake requests layer,
-``test_download_models_regression.py``).
+Architecture: one download attempt is a straight-line function whose
+trust failures raise ``_UntrustedPartial``; ``download_file`` catches that,
+discards the partial, and grants exactly one full-range retry. Range
+bookkeeping lives in pure classifier helpers so every protocol edge case is
+testable without I/O. The HTTP transport is injectable (the offline test
+suite drives the same edge cases through a fake transport).
 """
 
 from __future__ import annotations
@@ -46,8 +48,11 @@ DEFAULT_ENDPOINT = "https://huggingface.co"
 DEFAULT_FALLBACK = "https://hf-mirror.com"
 CHUNK_SIZE = 1 << 20
 
-_CONTENT_RANGE = re.compile(r"^bytes (\d+)-(\d+)/(\d+|\*)$")
-_UNSATISFIED_RANGE = re.compile(r"^bytes \*/(\d+)$")
+PARTIAL_SUFFIX = ".incomplete"
+
+
+# ---------------------------------------------------------------------------
+# transport
 
 
 @dataclasses.dataclass
@@ -77,6 +82,7 @@ class UrllibTransport:
         except urllib.error.HTTPError as err:  # 4xx/5xx still carry headers
             body = err.read() if err.fp else b""
             return HttpResponse(err.code, dict(err.headers or {}), iter([body]))
+
         def chunks():
             while True:
                 block = resp.read(CHUNK_SIZE)
@@ -98,70 +104,155 @@ class UrllibTransport:
             return None
 
 
-class ProgressReporter:
-    """Aggregated per-model progress lines on stdout (UI contract)."""
-
-    def __init__(self, total: int, stream=None) -> None:
-        self.total = total
-        self.completed = 0
-        self.progress: Dict[str, float] = {}
-        self.stream = stream or sys.stdout
-
-    def emit(self, model: str, stage: str, percent: float, error=None, message=None) -> None:
-        if stage == "downloading":
-            self.progress[model] = percent
-        elif stage in ("completed", "error"):
-            self.progress[model] = 100 if stage == "completed" else 0
-            self.completed += 1
-        overall = sum(self.progress.values()) / self.total if self.total else 0
-        status = {
-            "stage": stage,
-            "model": model,
-            "progress": percent,
-            "overall_progress": round(overall, 1),
-            "completed": self.completed,
-            "total": self.total,
-        }
-        if error:
-            status["error"] = error
-        if message:
-            status["message"] = message
-        self.stream.write(json.dumps(status, ensure_ascii=False) + "\n")
-        self.stream.flush()
+# ---------------------------------------------------------------------------
+# range-protocol classifiers (pure; no I/O)
 
 
-def candidate_endpoints() -> List[str]:
-    primary = os.environ.get("HF_ENDPOINT", DEFAULT_ENDPOINT).rstrip("/")
-    endpoints = [primary]
-    fallback = os.environ.get("HF_FALLBACK_ENDPOINT", DEFAULT_FALLBACK).rstrip("/")
-    # A user-pinned HF_ENDPOINT is respected; only auto-fallback otherwise.
-    if "HF_ENDPOINT" not in os.environ and fallback and fallback not in endpoints:
-        endpoints.append(fallback)
-    return endpoints
+class _UntrustedPartial(Exception):
+    """The partial on disk (or the server's story about it) can't be trusted.
+
+    Raising this inside an attempt discards the partial and retries once
+    with a full-range request.
+    """
 
 
-def _parse_content_range(value: Optional[str]) -> Optional[Tuple[int, int, Optional[int]]]:
-    if not value:
+_RANGE_FORM = re.compile(r"bytes\s+(\*|\d+-\d+)/(\*|\d+)")
+
+
+def _content_range(resp: HttpResponse) -> Optional[Tuple[Optional[int], Optional[int], Optional[int]]]:
+    """Parse ``Content-Range`` into (start, end, total); ``*`` fields → None.
+
+    Returns None for a missing or malformed header.
+    """
+    raw = resp.header("Content-Range")
+    if raw is None:
         return None
-    m = _CONTENT_RANGE.fullmatch(value.strip())
-    if not m:
+    m = _RANGE_FORM.fullmatch(raw.strip())
+    if m is None:
         return None
-    start, end, total = m.groups()
-    return int(start), int(end), None if total == "*" else int(total)
+    span, total_s = m.groups()
+    total = None if total_s == "*" else int(total_s)
+    if span == "*":
+        return None, None, total
+    start_s, end_s = span.split("-")
+    return int(start_s), int(end_s), total
 
 
-def _parse_unsatisfied_total(value: Optional[str]) -> Optional[int]:
-    if not value:
-        return None
-    m = _UNSATISFIED_RANGE.fullmatch(value.strip())
-    return int(m.group(1)) if m else None
+def _partial_covers_everything(resp: HttpResponse, offset: int, expected: Optional[int]) -> bool:
+    """A 416 can mean "you already have the whole file". True iff the bytes
+    on disk provably equal the full artifact."""
+    if offset <= 0:
+        return False
+    parsed = _content_range(resp)
+    remote_total = parsed[2] if parsed else None
+    if expected is not None:
+        return offset == expected and remote_total in (None, expected)
+    return remote_total is not None and offset == remote_total
 
 
-def _remove_quiet(path: str) -> None:
+def _accept_206(resp: HttpResponse, offset: int, expected: Optional[int]) -> Tuple[int, int]:
+    """Validate a partial-content answer against our resume offset.
+
+    Returns ``(total, declared_end)`` or raises ``_UntrustedPartial``. The
+    total is the server-declared size when we had no expectation (0 if it
+    stays unknowable — which is itself grounds for distrust on blind
+    resumes, since nothing else bounds the file).
+    """
+    parsed = _content_range(resp)
+    if parsed is None or parsed[0] is None:
+        raise _UntrustedPartial("206 without a parseable Content-Range")
+    start, end, total = parsed
+    if start != offset or end < start:
+        raise _UntrustedPartial(
+            f"range starts at {start}, resume offset is {offset}"
+        )
+    if total is not None and end >= total:
+        raise _UntrustedPartial(f"range end {end} outside declared total {total}")
+    if expected is not None:
+        if total is not None and total != expected:
+            raise _UntrustedPartial(
+                f"server total {total} != expected size {expected}"
+            )
+        return expected, end
+    if total is None:
+        raise _UntrustedPartial("resume without any known total size")
+    return total, end
+
+
+def _declared_length(resp: HttpResponse) -> int:
+    try:
+        return max(0, int(resp.header("Content-Length") or 0))
+    except (TypeError, ValueError):
+        return 0
+
+
+# ---------------------------------------------------------------------------
+# single-file download
+
+
+def _discard(path: str) -> None:
     try:
         os.remove(path)
     except FileNotFoundError:
         pass
+
+
+def _reconcile_existing(dest_path: str, expected: Optional[int]) -> bool:
+    """True if ``dest_path`` already holds the finished artifact.
+
+    A final file of the wrong size is demoted to a resume candidate — unless
+    an even larger partial already exists, in which case the smaller of the
+    two is dropped.
+    """
+    if not os.path.exists(dest_path):
+        return False
+    have = os.path.getsize(dest_path)
+    if (expected is None and have > 0) or have == expected:
+        return True
+    partial = dest_path + PARTIAL_SUFFIX
+    try:
+        existing = os.path.getsize(partial) if os.path.exists(partial) else -1
+        if existing < have:
+            os.replace(dest_path, partial)
+        else:
+            os.remove(dest_path)
+    except OSError:
+        os.remove(dest_path)
+    return False
+
+
+def _resume_offset(partial: str, expected: Optional[int]) -> int:
+    if not os.path.exists(partial):
+        return 0
+    have = os.path.getsize(partial)
+    if expected is not None and have > expected:
+        os.remove(partial)  # longer than the artifact: garbage
+        return 0
+    return have
+
+
+def _pump(
+    resp: HttpResponse,
+    partial: str,
+    offset: int,
+    total: int,
+    on_progress: Optional[Callable[[int, int], None]],
+) -> int:
+    """Stream the body onto disk (append at ``offset``); returns bytes held
+    after the write. The file is fsynced so a crash can't leave the partial
+    longer than its content."""
+    written = offset
+    with open(partial, "ab" if offset else "wb") as f:
+        for block in resp.chunks:
+            if not block:
+                continue
+            f.write(block)
+            written += len(block)
+            if on_progress and total > 0:
+                on_progress(written, total)
+        f.flush()
+        os.fsync(f.fileno())
+    return written
 
 
 def download_file(
@@ -171,163 +262,169 @@ def download_file(
     expected_size: Optional[int] = None,
     on_progress: Optional[Callable[[int, int], None]] = None,
 ) -> None:
-    """Download one file with resume + range validation (see module doc)."""
+    """Fetch one file with resume + range validation (see module doc)."""
     os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
-
     if expected_size is None:
         expected_size = transport.head_size(url)
-
-    if os.path.exists(dest_path):
-        final_size = os.path.getsize(dest_path)
-        if expected_size is None and final_size > 0:
-            return
-        if expected_size is not None and final_size == expected_size:
-            return
-        # Wrong-size artifact: keep the larger candidate as the partial.
-        stale = dest_path + ".incomplete"
-        try:
-            if not os.path.exists(stale) or os.path.getsize(stale) < final_size:
-                os.replace(dest_path, stale)
-            else:
-                os.remove(dest_path)
-        except OSError:
-            os.remove(dest_path)
-
-    tmp_path = dest_path + ".incomplete"
-    downloaded = 0
-    if os.path.exists(tmp_path):
-        downloaded = os.path.getsize(tmp_path)
-        if expected_size is not None and downloaded > expected_size:
-            os.remove(tmp_path)
-            downloaded = 0
-
-    for attempt in range(2):
-        headers = {"Accept-Encoding": "identity"}
-        if downloaded > 0:
-            headers["Range"] = f"bytes={downloaded}-"
-
-        resp = transport.get(url, headers)
-
-        if resp.status == 416:
-            remote_total = _parse_unsatisfied_total(resp.header("Content-Range"))
-            complete = (
-                expected_size is not None
-                and downloaded == expected_size
-                and (remote_total is None or remote_total == expected_size)
-            ) or (
-                expected_size is None
-                and remote_total is not None
-                and downloaded == remote_total
-            )
-            resp.close()
-            if complete and downloaded > 0:
-                os.replace(tmp_path, dest_path)
-                return
-            _remove_quiet(tmp_path)
-            downloaded = 0
-            if attempt == 0:
-                continue
-            raise RuntimeError(f"{dest_path}: server refused a full-range request")
-
-        if resp.status not in (200, 206):
-            resp.close()
-            raise RuntimeError(f"{dest_path}: unexpected status {resp.status}")
-
-        total_size = expected_size or 0
-        declared_end: Optional[int] = None
-
-        if resp.status == 206:
-            parsed = _parse_content_range(resp.header("Content-Range"))
-            ok = parsed is not None
-            if parsed is not None:
-                start, end, total = parsed
-                ok = start == downloaded and end >= start
-                declared_end = end
-                if expected_size is not None and total is not None:
-                    ok = ok and total == expected_size
-                if total is not None:
-                    ok = ok and end < total
-                if expected_size is None:
-                    ok = ok and total is not None
-                    if total is not None:
-                        total_size = total
-            if not ok:
-                resp.close()
-                _remove_quiet(tmp_path)
-                downloaded = 0
-                if attempt == 0:
-                    continue
-                raise RuntimeError(f"{dest_path}: invalid Content-Range")
-            mode = "ab" if downloaded > 0 else "wb"
-        else:  # 200 — server ignored Range; restart, never append.
-            downloaded = 0
-            mode = "wb"
-            if total_size == 0:
-                try:
-                    length = int(resp.header("Content-Length") or 0)
-                except (TypeError, ValueError):
-                    length = 0
-                if length > 0:
-                    total_size = length
-
-        current = downloaded
-        try:
-            with open(tmp_path, mode) as f:
-                for chunk in resp.chunks:
-                    if not chunk:
-                        continue
-                    f.write(chunk)
-                    current += len(chunk)
-                    if on_progress and total_size > 0:
-                        on_progress(current, total_size)
-                f.flush()
-                os.fsync(f.fileno())
-        finally:
-            resp.close()
-
-        if declared_end is not None and current - 1 != declared_end:
-            # Body disagreed with the declared range; partial bytes untrusted.
-            _remove_quiet(tmp_path)
-            downloaded = 0
-            if attempt == 0:
-                continue
-            raise RuntimeError(
-                f"{dest_path}: Content-Range/body mismatch (end={declared_end}, got={current - 1})"
-            )
-        if expected_size is not None and current != expected_size:
-            raise RuntimeError(f"{dest_path}: incomplete ({current} != {expected_size})")
-        if total_size > 0 and current != total_size:
-            raise RuntimeError(f"{dest_path}: incomplete ({current} != {total_size})")
-
-        os.replace(tmp_path, dest_path)
+    if _reconcile_existing(dest_path, expected_size):
         return
 
-    raise RuntimeError(f"{dest_path}: download failed")
+    partial = dest_path + PARTIAL_SUFFIX
+    offset = _resume_offset(partial, expected_size)
+
+    retries = 1
+    while True:
+        try:
+            _fetch_once(url, dest_path, partial, offset, expected_size, transport, on_progress)
+            return
+        except _UntrustedPartial as why:
+            _discard(partial)
+            offset = 0
+            if retries == 0:
+                raise RuntimeError(f"{dest_path}: {why}") from None
+            retries -= 1
+
+
+def _fetch_once(
+    url: str,
+    dest_path: str,
+    partial: str,
+    offset: int,
+    expected: Optional[int],
+    transport,
+    on_progress,
+) -> None:
+    """One request/stream/verify cycle; raises ``_UntrustedPartial`` when the
+    partial must be thrown away before another try."""
+    headers = {"Accept-Encoding": "identity"}
+    if offset > 0:
+        headers["Range"] = f"bytes={offset}-"
+    resp = transport.get(url, headers)
+
+    declared_end: Optional[int] = None
+    try:
+        if resp.status == 416:
+            if _partial_covers_everything(resp, offset, expected):
+                os.replace(partial, dest_path)
+                return
+            raise _UntrustedPartial("server refused a full-range request")
+        if resp.status == 206:
+            total, declared_end = _accept_206(resp, offset, expected)
+        elif resp.status == 200:
+            # Resume ignored (or plain first request): the body is the whole
+            # file, so any partial bytes must be overwritten, not extended.
+            offset = 0
+            total = expected if expected is not None else _declared_length(resp)
+        else:
+            raise RuntimeError(f"{dest_path}: unexpected status {resp.status}")
+
+        written = _pump(resp, partial, offset, total, on_progress)
+    finally:
+        resp.close()
+
+    if declared_end is not None and written - 1 != declared_end:
+        raise _UntrustedPartial(
+            f"body ended at {written - 1}, Content-Range declared {declared_end}"
+        )
+    for bound in (expected, total or None):
+        if bound is not None and written != bound:
+            raise RuntimeError(f"{dest_path}: incomplete ({written} != {bound})")
+
+    os.replace(partial, dest_path)
+
+
+# ---------------------------------------------------------------------------
+# progress reporting (stdout JSON line schema = UI wire contract)
+
+
+class ProgressReporter:
+    """Aggregates per-model percentages into the line schema the shell
+    forwards to the UI."""
+
+    def __init__(self, total: int, stream=None) -> None:
+        self._total = total
+        self._done = 0
+        self._percent: Dict[str, float] = {}
+        self._stream = stream or sys.stdout
+
+    def emit(self, model: str, stage: str, percent: float, error=None, message=None) -> None:
+        terminal = stage in ("completed", "error")
+        if terminal:
+            self._done += 1
+        if stage == "downloading" or terminal:
+            self._percent[model] = 100.0 if stage == "completed" else (
+                0.0 if stage == "error" else percent
+            )
+        overall = (
+            sum(self._percent.values()) / self._total if self._total else 0.0
+        )
+        line = {
+            "stage": stage,
+            "model": model,
+            "progress": percent,
+            "overall_progress": round(overall, 1),
+            "completed": self._done,
+            "total": self._total,
+        }
+        if error:
+            line["error"] = error
+        if message:
+            line["message"] = message
+        print(json.dumps(line, ensure_ascii=False), file=self._stream, flush=True)
+
+
+def candidate_endpoints() -> List[str]:
+    """Primary endpoint, plus the mirror unless the user pinned their own."""
+    pinned = "HF_ENDPOINT" in os.environ
+    primary = os.environ.get("HF_ENDPOINT", DEFAULT_ENDPOINT).rstrip("/")
+    if pinned:
+        return [primary]
+    fallback = os.environ.get("HF_FALLBACK_ENDPOINT", DEFAULT_FALLBACK).rstrip("/")
+    return [primary] + [fallback] * bool(fallback and fallback != primary)
+
+
+# ---------------------------------------------------------------------------
+# repo-level orchestration
+
+
+def _safe_relpath(rel: str) -> str:
+    """Reject rfilenames that would escape the snapshot dir (absolute paths
+    or ``..`` segments) — mirror of the read-side manifest validation."""
+    if not rel or rel.startswith(("/", "\\")) or os.path.isabs(rel):
+        raise ValueError(f"unsafe repo filename {rel!r}")
+    parts = re.split(r"[/\\]", rel)
+    if any(p in ("", ".", "..") for p in parts):
+        raise ValueError(f"unsafe repo filename {rel!r}")
+    return os.path.join(*parts)
+
+
+def _verified_manifest_entry(snapshot_dir: str, item: Dict) -> Dict:
+    rel = item["rfilename"]
+    path = os.path.join(snapshot_dir, _safe_relpath(rel))
+    actual = os.path.getsize(path)
+    size = item.get("size", actual)
+    if size is None:
+        size = actual
+    if actual != size:
+        raise RuntimeError(f"{rel}: size check failed ({actual} != {size})")
+    entry = {"path": rel, "size": size}
+    want_sha = item.get("sha256")
+    if want_sha:
+        got_sha = sha256_file(path)
+        if got_sha.lower() != want_sha.lower():
+            raise RuntimeError(f"{rel}: sha256 mismatch")
+        entry["sha256"] = want_sha
+    return entry
 
 
 def write_completion_manifest(snapshot_dir: str, repo_id: str, commit: str, files: List[Dict]) -> None:
-    entries = []
-    for item in files:
-        rel = item["rfilename"]
-        path = os.path.join(snapshot_dir, rel.replace("/", os.sep))
-        size = item.get("size")
-        actual = os.path.getsize(path)
-        if size is None:
-            size = actual
-        if actual != size:
-            raise RuntimeError(f"{rel}: size check failed ({actual} != {size})")
-        entry = {"path": rel, "size": size}
-        expected_sha = item.get("sha256")
-        if expected_sha:
-            actual_sha = sha256_file(path)
-            if actual_sha.lower() != expected_sha.lower():
-                raise RuntimeError(f"{rel}: sha256 mismatch")
-            entry["sha256"] = expected_sha
-        entries.append(entry)
-
-    manifest = {"repo_id": repo_id, "commit_hash": commit, "files": entries}
-    tmp = os.path.join(snapshot_dir, MANIFEST_NAME + ".tmp")
+    manifest = {
+        "repo_id": repo_id,
+        "commit_hash": commit,
+        "files": [_verified_manifest_entry(snapshot_dir, item) for item in files],
+    }
     final = os.path.join(snapshot_dir, MANIFEST_NAME)
+    tmp = final + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(manifest, f, ensure_ascii=False, indent=2)
         f.flush()
@@ -335,14 +432,32 @@ def write_completion_manifest(snapshot_dir: str, repo_id: str, commit: str, file
     os.replace(tmp, final)
 
 
-def _cleanup_locks(repo_id: str) -> None:
+def _clear_stale_locks(repo_id: str) -> None:
+    """Drop leftover hub lock files and orphaned partials once per run —
+    before any endpoint is tried, so a mirror fallback can still resume a
+    partial begun against the primary."""
     import glob
 
     cleanup_incomplete_blobs(repo_id)
-    locks = os.path.join(hf_cache_root(), ".locks", "models--" + repo_id.replace("/", "--"))
-    if os.path.isdir(locks):
-        for path in glob.glob(os.path.join(locks, "*.lock")):
-            _remove_quiet(path)
+    lock_dir = os.path.join(
+        hf_cache_root(), ".locks", "models--" + repo_id.replace("/", "--")
+    )
+    if os.path.isdir(lock_dir):
+        for lock in glob.glob(os.path.join(lock_dir, "*.lock")):
+            _discard(lock)
+
+
+def _prepare_snapshot(repo_id: str, revision: str) -> str:
+    """Create the HF cache directory skeleton and pin refs/main; returns the
+    snapshot dir."""
+    repo_dir = os.path.join(hf_cache_root(), "models--" + repo_id.replace("/", "--"))
+    snapshot_dir = os.path.join(repo_dir, "snapshots", revision)
+    refs_dir = os.path.join(repo_dir, "refs")
+    os.makedirs(snapshot_dir, exist_ok=True)
+    os.makedirs(refs_dir, exist_ok=True)
+    with open(os.path.join(refs_dir, "main"), "w") as f:
+        f.write(revision)
+    return snapshot_dir
 
 
 def download_repo(
@@ -355,67 +470,62 @@ def download_repo(
 ) -> Dict:
     """Download explicit files of one repo into the HF cache structure."""
     transport = transport or UrllibTransport()
-    _cleanup_locks(repo_id)
 
     if all(find_snapshot_file(repo_id, item["rfilename"]) for item in files):
-        reporter.emit(model_type, "completed", 100, message=f"{repo_id} 已缓存，跳过下载")
+        reporter.emit(model_type, "completed", 100, message=f"{repo_id} 已在本地缓存，跳过")
         return {"success": True, "model": model_type}
 
-    last_error: Optional[Exception] = None
-    for idx, endpoint in enumerate(candidate_endpoints(), 1):
-        if idx > 1:
-            reporter.emit(
-                model_type, "downloading", 0, message=f"主站不可用，正在切换镜像 {endpoint} ..."
-            )
-        else:
-            reporter.emit(model_type, "downloading", 0, message=f"正在下载 {repo_id} ...")
-        try:
-            base = repo_dir = os.path.join(
-                hf_cache_root(), "models--" + repo_id.replace("/", "--")
-            )
-            snapshot_dir = os.path.join(repo_dir, "snapshots", revision)
-            refs_dir = os.path.join(repo_dir, "refs")
-            os.makedirs(snapshot_dir, exist_ok=True)
-            os.makedirs(refs_dir, exist_ok=True)
-            with open(os.path.join(refs_dir, "main"), "w") as f:
-                f.write(revision)
+    _clear_stale_locks(repo_id)
 
-            total_files = len(files)
+    failure: Optional[Exception] = None
+    for nth, endpoint in enumerate(candidate_endpoints()):
+        note = (
+            f"开始下载 {repo_id} ..."
+            if nth == 0
+            else f"切换到镜像端点 {endpoint} 重试..."
+        )
+        reporter.emit(model_type, "downloading", 0, message=note)
+        try:
+            snapshot_dir = _prepare_snapshot(repo_id, revision)
             for file_idx, item in enumerate(files, 1):
                 rel = item["rfilename"]
-                dest = os.path.join(snapshot_dir, rel.replace("/", os.sep))
-                url = f"{endpoint}/{repo_id}/resolve/{revision}/{rel}"
-                last_pct = -1
-
-                def on_progress(current: int, total: int) -> None:
-                    nonlocal last_pct
-                    pct = int(current * 100 / total)
-                    if pct != last_pct:
-                        last_pct = pct
-                        reporter.emit(
-                            model_type,
-                            "downloading",
-                            pct,
-                            message=f"[{file_idx}/{total_files}] {rel} {pct}%",
-                        )
-
+                tracker = _PercentTracker(
+                    reporter, model_type, f"[{file_idx}/{len(files)}] {rel}"
+                )
                 download_file(
-                    url,
-                    dest,
+                    f"{endpoint}/{repo_id}/resolve/{revision}/{rel}",
+                    os.path.join(snapshot_dir, _safe_relpath(rel)),
                     transport,
                     expected_size=item.get("size"),
-                    on_progress=on_progress,
+                    on_progress=tracker,
                 )
-
             write_completion_manifest(snapshot_dir, repo_id, revision, files)
-            reporter.emit(model_type, "completed", 100, message=f"{repo_id} 下载完成")
+            reporter.emit(model_type, "completed", 100, message=f"{repo_id} 全部文件下载完成")
             return {"success": True, "model": model_type, "endpoint": endpoint}
         except Exception as exc:
-            last_error = exc
+            failure = exc
 
-    message = str(last_error) if last_error else "模型下载失败"
-    reporter.emit(model_type, "error", 0, message, message=f"{repo_id} 下载失败: {message}")
-    return {"success": False, "model": model_type, "error": message}
+    reason = str(failure) if failure else "所有下载端点均失败"
+    reporter.emit(model_type, "error", 0, reason, message=f"{repo_id} 下载出错: {reason}")
+    return {"success": False, "model": model_type, "error": reason}
+
+
+class _PercentTracker:
+    """Rate-limits byte progress into one reporter line per whole percent."""
+
+    def __init__(self, reporter: ProgressReporter, model: str, label: str) -> None:
+        self._reporter = reporter
+        self._model = model
+        self._label = label
+        self._last = -1
+
+    def __call__(self, current: int, total: int) -> None:
+        pct = int(current * 100 / total)
+        if pct != self._last:
+            self._last = pct
+            self._reporter.emit(
+                self._model, "downloading", pct, message=f"{self._label} {pct}%"
+            )
 
 
 def download_model(engine: str, transport=None, stream=None) -> Dict:
@@ -423,12 +533,11 @@ def download_model(engine: str, transport=None, stream=None) -> Dict:
     if engine not in QWEN3_ASR_MODELS:
         raise ValueError(f"unknown engine {engine!r}")
     spec = QWEN3_ASR_MODELS[engine]
-    reporter = ProgressReporter(total=1, stream=stream)
     return download_repo(
         spec["repo_id"],
         engine,
         [{"rfilename": spec["filename"], "size": spec["size"], "sha256": spec["sha256"]}],
         spec["revision"],
-        reporter,
+        ProgressReporter(total=1, stream=stream),
         transport=transport,
     )

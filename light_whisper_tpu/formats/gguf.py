@@ -148,19 +148,23 @@ def _q4_0_from_bytes(raw: np.ndarray, shape: Tuple[int, ...]) -> Tuple[np.ndarra
 def quantize_q4_0(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Quantize along the last axis into packed Q4_0 (writer/test support).
 
-    ggml reference: ``d = -absmax/8`` when the extreme value is negative
-    (so the extreme maps to index 0) — here the simpler symmetric
-    ``d = absmax/8`` with clamping, matching round-trip within one step.
+    Matches ggml's ``quantize_row_q4_0_ref``: the *signed* extreme of each
+    block sets ``d = extreme / -8`` so that extreme maps exactly to index 0
+    (value ``-8·d``); indices are ``min(15, floor(x/d + 8.5))``. The scale is
+    computed in f32 and stored as f16, like ggml.
     """
     x = np.asarray(x, dtype=np.float32)
     if x.shape[-1] % Q4_0_BLOCK != 0:
         raise ValueError(f"last dim {x.shape[-1]} not divisible by {Q4_0_BLOCK}")
     blocks = x.reshape(-1, Q4_0_BLOCK)
-    absmax = np.max(np.abs(blocks), axis=-1)
-    d = (absmax / 8.0).astype(np.float16)
-    inv = np.where(d > 0, 1.0 / np.where(d > 0, d.astype(np.float32), 1.0), 0.0)
-    q = np.clip(np.rint(blocks * inv[:, None]), -8, 7).astype(np.int8)
-    d_shaped = d.reshape(*x.shape[:-1], x.shape[-1] // Q4_0_BLOCK)
+    extreme = blocks[
+        np.arange(blocks.shape[0]), np.argmax(np.abs(blocks), axis=-1)
+    ]
+    d32 = extreme / -8.0
+    inv = np.where(d32 != 0.0, 1.0 / np.where(d32 != 0.0, d32, 1.0), 0.0)
+    idx = np.minimum(15, np.floor(blocks * inv[:, None] + 8.5)).astype(np.int8)
+    q = idx - np.int8(8)
+    d_shaped = d32.astype(np.float16).reshape(*x.shape[:-1], x.shape[-1] // Q4_0_BLOCK)
     return q.reshape(x.shape), d_shaped
 
 

@@ -202,20 +202,30 @@ class Qwen3EngineServer:
     # ------------------------------------------------------------------
 
     def _load_audio(self, audio_path, audio_base64, audio_format, sample_rate):
+        """Route a request's audio to 16 kHz float32 mono + (duration, mode).
+
+        Inline payloads take priority over paths; this engine accepts only
+        raw PCM inline (the WAV branch of ``decode_inline_audio`` exists for
+        protocol completeness — rejecting it here with the contract string
+        triggers the client's tempfile fallback, matching
+        ``qwen3_asr_server.py:245-267``).
+        """
         if audio_base64:
-            audio, duration = decode_inline_audio(audio_base64, audio_format, sample_rate)
-            if not isinstance(audio, np.ndarray):
+            decoded, duration = decode_inline_audio(audio_base64, audio_format, sample_rate)
+            if not isinstance(decoded, np.ndarray):
                 raise ValueError("Qwen3-ASR 内存输入仅支持 PCM")
-            audio = self._resample(audio, sample_rate or SAMPLE_RATE)
-            return np.ascontiguousarray(audio, dtype=np.float32), duration, "memory"
+            mode = "memory"
+            audio = self._resample(decoded, sample_rate or SAMPLE_RATE)
+        else:
+            import os
 
-        import os
-
-        if not audio_path or not os.path.exists(audio_path):
-            raise FileNotFoundError(f"音频文件不存在: {audio_path}")
-        audio, source_rate = read_audio_file_mono_f32(audio_path)
-        audio = self._resample(audio, source_rate)
-        return np.ascontiguousarray(audio), len(audio) / float(SAMPLE_RATE), "path"
+            if not audio_path or not os.path.exists(audio_path):
+                raise FileNotFoundError(f"音频文件不存在: {audio_path}")
+            mode = "path"
+            samples, source_rate = read_audio_file_mono_f32(audio_path)
+            audio = self._resample(samples, source_rate)
+            duration = audio.size / float(SAMPLE_RATE)
+        return np.ascontiguousarray(audio, dtype=np.float32), duration, mode
 
     @staticmethod
     def _resample(audio: np.ndarray, source_rate: int) -> np.ndarray:

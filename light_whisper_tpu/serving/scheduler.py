@@ -186,6 +186,11 @@ class EngineScheduler:
                 batch = [job, *members]
                 try:
                     results = job.batch_runner([j.payload for j in batch])
+                    if len(results) != len(batch):
+                        raise RuntimeError(
+                            f"batch_runner returned {len(results)} results "
+                            f"for {len(batch)} jobs"
+                        )
                     for j, res in zip(batch, results):
                         j.result = res
                 except BaseException as exc:  # surfaced via wait()

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import re
 from typing import List, Optional
 from urllib.parse import urlparse
 
@@ -40,10 +41,12 @@ def normalize_version(version: str) -> str:
 
 
 def parse_version(version: str) -> List[int]:
+    """Leading digits per dot segment; non-numeric (pre-release) parts
+    compare as 0, so '1.2.3-rc1' never outranks '1.2.3'."""
     parts = []
     for segment in normalize_version(version).split("."):
-        digits = "".join(ch for ch in segment if ch.isdigit())
-        parts.append(int(digits) if digits else 0)
+        m = re.match(r"\d+", segment)
+        parts.append(int(m.group()) if m else 0)
     return parts
 
 

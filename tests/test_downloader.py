@@ -192,3 +192,23 @@ def test_manifest_rejects_corrupted_file(tmp_path, blob):
             "rev",
             [{"rfilename": "w.gguf", "size": len(blob), "sha256": "0" * 64}],
         )
+
+
+def test_download_repo_rejects_traversal_rfilenames(tmp_path, blob, monkeypatch):
+    """ADVICE r1: rfilenames must not escape the snapshot dir (mirrors the
+    read-side manifest validation)."""
+    monkeypatch.setenv("HF_HUB_CACHE", str(tmp_path))
+    for bad in ("../../evil.bin", "/abs/path.bin", "a/../../b.bin", "a//b.bin"):
+        out = io.StringIO()
+        result = download_repo(
+            "acme/tiny-model",
+            "tiny",
+            [{"rfilename": bad, "size": len(blob)}],
+            "rev123",
+            ProgressReporter(total=1, stream=out),
+            transport=FakeTransport(blob),
+        )
+        assert not result["success"], bad
+        assert "escaped" not in os.listdir(tmp_path), bad
+    # nothing outside the cache root was created
+    assert not (tmp_path.parent / "evil.bin").exists()

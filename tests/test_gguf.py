@@ -119,6 +119,33 @@ def test_q4_0_roundtrip(tmp_path):
     np.testing.assert_array_equal(gguf.dequantize_q8_0(q, d), back)
 
 
+def test_q4_0_matches_ggml_reference_quantizer():
+    """ADVICE r1: writer must use ggml's scheme — signed extreme → index 0
+    exactly (d = extreme/-8), indices min(15, floor(x/d + 8.5))."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((64, 32)).astype(np.float32) * rng.uniform(
+        0.01, 4.0, size=(64, 1)
+    ).astype(np.float32)
+    # Force blocks whose extreme is positive (the old symmetric scheme
+    # saturated these at 7/8 of their value).
+    x[0] = np.linspace(-1, 2.0, 32, dtype=np.float32)
+
+    q, d = gguf.quantize_q4_0(x)
+
+    for row in range(x.shape[0]):
+        blk = x[row]
+        amax_i = int(np.argmax(np.abs(blk)))
+        extreme = float(blk[amax_i])
+        d_ref = extreme / -8.0
+        assert float(np.float16(d_ref)) == float(d[row, 0])
+        inv = 0.0 if d_ref == 0 else 1.0 / d_ref
+        idx_ref = np.minimum(15, np.floor(blk * inv + 8.5)).astype(np.int8)
+        np.testing.assert_array_equal(q[row], idx_ref - 8)
+        # the extreme survives quantization exactly (up to f16 scale)
+        back = (q[row].astype(np.float32)) * float(np.float16(d_ref))
+        assert abs(back[amax_i] - extreme * float(np.float16(d_ref)) / d_ref) < 1e-6
+
+
 def test_q4_0_nibble_order():
     """ggml packs element j in the low nibble and j+16 in the high nibble."""
     x = np.arange(-8, 8, 0.5, dtype=np.float32).reshape(1, 32)  # -8..7.5

@@ -87,7 +87,12 @@ def test_version_comparison():
     assert not is_version_newer("1.5.5", "1.5.5")
     assert not is_version_newer("1.5.4", "1.5.5")
     assert is_version_newer("1.5.5.1", "1.5.5")
-    assert parse_version("v1.2.3-rc1") == [1, 2, 31]  # digits-only fallback
+    # pre-release suffixes compare as the base segment (ADVICE r1): an rc
+    # must not outrank its final, nor later patch releases.
+    assert parse_version("v1.2.3-rc1") == [1, 2, 3]
+    assert not is_version_newer("1.2.3-rc1", "1.2.3")
+    assert is_version_newer("1.2.4", "1.2.3-rc9")
+    assert parse_version("1.2.beta") == [1, 2, 0]
 
 
 def test_release_url_allowlist():

@@ -285,6 +285,25 @@ def test_scheduler_batch_excludes_same_stream_and_stale():
         s.shutdown()
 
 
+def test_scheduler_short_batch_result_fails_all_members():
+    """ADVICE r1: a batch_runner returning fewer results than payloads must
+    surface an error on every member — not silently hand someone None."""
+    s = EngineScheduler()
+
+    def runner(payloads):
+        return [p for p in payloads][:-1]  # drop one result
+
+    try:
+        gate = _gate_worker(s)
+        jobs = [s.submit_batchable(f"s{i}", i, "k", runner) for i in range(3)]
+        gate.set()
+        for job in jobs:
+            with pytest.raises(RuntimeError, match="results"):
+                s.wait(job, timeout=5)
+    finally:
+        s.shutdown()
+
+
 def test_scheduler_batch_respects_max_batch():
     s = EngineScheduler()
     calls = []
