@@ -37,6 +37,13 @@ class AudioEncoderConfig:
     n_window_infer: int = 400  # attention window, in mel frames
     max_source_positions: int = 1500
     layer_norm_epsilon: float = 1e-5
+    compute_dtype: str = "bfloat16"  # "float32" = precise fidelity mode
+
+    @property
+    def dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.compute_dtype)
 
     @property
     def chunk_frames(self) -> int:
@@ -72,6 +79,13 @@ class DecoderConfig:
     rope_freq_base: float = 1_000_000.0
     context_length: int = 32_768
     tie_word_embeddings: bool = True
+    compute_dtype: str = "bfloat16"  # "float32" = precise fidelity mode
+
+    @property
+    def dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.compute_dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,6 +96,13 @@ class Qwen3ASRConfig:
     bos_token_id: int = 151_644  # <|im_start|>
     eos_token_id: int = 151_645  # <|im_end|>
     pad_token_id: int = 151_643
+
+    def with_compute_dtype(self, dtype: str) -> "Qwen3ASRConfig":
+        return dataclasses.replace(
+            self,
+            audio=dataclasses.replace(self.audio, compute_dtype=dtype),
+            decoder=dataclasses.replace(self.decoder, compute_dtype=dtype),
+        )
 
 
 def conv_output_length(frames: int) -> int:

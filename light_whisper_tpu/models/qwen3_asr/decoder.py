@@ -95,13 +95,14 @@ def _attention(
     v_cache: jax.Array,  # [Hkv, C, hd]
     q_positions: jax.Array,  # [T] absolute positions of the queries
     head_groups: int,
+    dtype=jnp.bfloat16,  # matmul operand dtype (f32 in precise mode)
 ) -> jax.Array:
     """Causal attention of new queries against the full (masked) cache."""
     n_kv, capacity, hd = k_cache.shape
     T, n_heads, _ = q.shape
     scale = hd ** -0.5
 
-    if _use_attention_kernel(T, n_heads, hd, capacity, n_kv):
+    if dtype == jnp.bfloat16 and _use_attention_kernel(T, n_heads, hd, capacity, n_kv):
         from light_whisper_tpu.ops.decode_attention import decode_attention_pallas
 
         return decode_attention_pallas(q, k_cache, v_cache, q_positions).astype(q.dtype)
@@ -114,7 +115,7 @@ def _attention(
         q.reshape(T, n_kv, head_groups, hd).transpose(1, 2, 0, 3)
     )  # [Hkv, G, T, hd]
     logits = jnp.einsum(
-        "kgtd,kcd->kgtc", qg.astype(jnp.bfloat16), k_cache.astype(jnp.bfloat16),
+        "kgtd,kcd->kgtc", qg.astype(dtype), k_cache.astype(dtype),
         preferred_element_type=jnp.float32,
     ) * scale  # [Hkv, G, T, C]
 
@@ -124,7 +125,7 @@ def _attention(
 
     weights = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
-        "kgtc,kcd->kgtd", weights.astype(jnp.bfloat16), v_cache.astype(jnp.bfloat16),
+        "kgtc,kcd->kgtd", weights.astype(dtype), v_cache.astype(dtype),
         preferred_element_type=jnp.float32,
     )  # [Hkv, G, T, hd]
     return out.transpose(2, 0, 1, 3).reshape(T, n_heads, hd).astype(q.dtype)
@@ -175,7 +176,7 @@ def _layer_forward(
     )
 
     q_positions = pos + jnp.arange(T)
-    attn = _attention(q, k_cache, v_cache, q_positions, groups)
+    attn = _attention(q, k_cache, v_cache, q_positions, groups, cfg.dtype)
     x = x + apply_linear(layer["o"], attn.reshape(T, -1)).astype(x.dtype)
 
     h = rms_norm(x, layer["ffn_norm"], cfg.rms_epsilon)
@@ -234,13 +235,13 @@ def forward_train(cfg: DecoderConfig, params: Dict, embeds: jax.Array) -> jax.Ar
         k = apply_rope(k, cos, sin)
         qg = q.reshape(T, cfg.head_count_kv, groups, hd)
         logits = jnp.einsum(
-            "qkgd,ckd->kgqc", qg.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            "qkgd,ckd->kgqc", qg.astype(cfg.dtype), k.astype(cfg.dtype),
             preferred_element_type=jnp.float32,
         ) * (hd ** -0.5)
         logits = jnp.where(causal[None, None], logits, NEG_INF)
         weights = jax.nn.softmax(logits, axis=-1)
         attn = jnp.einsum(
-            "kgqc,ckd->qkgd", weights.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            "kgqc,ckd->qkgd", weights.astype(cfg.dtype), v.astype(cfg.dtype),
             preferred_element_type=jnp.float32,
         ).reshape(T, cfg.head_count, hd).astype(x.dtype)
         x = x + apply_linear(layer["o"], attn.reshape(T, -1)).astype(x.dtype)
@@ -265,8 +266,8 @@ def logits_for(cfg: DecoderConfig, params: Dict, hidden: jax.Array) -> jax.Array
             logits = apply_linear(embed, hidden)
         else:
             logits = jax.lax.dot_general(
-                hidden.astype(jnp.bfloat16),
-                embed["w"].astype(jnp.bfloat16),  # [V, D]
+                hidden.astype(cfg.dtype),
+                embed["w"].astype(cfg.dtype),  # [V, D]
                 dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )

@@ -80,13 +80,13 @@ def _windowed_attention(
     v = apply_linear(layer["v"], x).reshape(G, W, H, hd)
 
     logits = jnp.einsum(
-        "gqhd,gkhd->ghqk", q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        "gqhd,gkhd->ghqk", q.astype(cfg.dtype), k.astype(cfg.dtype),
         preferred_element_type=jnp.float32,
     ) * scale
     logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
-        "ghqk,gkhd->gqhd", weights.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        "ghqk,gkhd->gqhd", weights.astype(cfg.dtype), v.astype(cfg.dtype),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     return apply_linear(layer["o"], out.reshape(G, W, D)).astype(x.dtype)
@@ -125,7 +125,7 @@ def encode_chunks(
     # [C, hidden, tpc, freq] → [C, tpc, hidden*freq]
     C, ch, t, f = x.shape
     x = x.transpose(0, 2, 1, 3).reshape(C, t, ch * f)
-    x = apply_linear(params["conv_out"], x).astype(jnp.bfloat16)  # [C, tpc, D]
+    x = apply_linear(params["conv_out"], x).astype(cfg.dtype)  # [C, tpc, D]
 
     pos = jnp.asarray(params["pos_embd"])[:tpc].astype(x.dtype)
     x = x + pos[None, :, :]
@@ -148,8 +148,8 @@ def encode_chunks(
 
     x = x.reshape(G * chunks_per_group * tpc, -1)[: C * tpc]
     x = _layer_norm(x, params["ln_post"], cfg.layer_norm_epsilon)
-    x = jax.nn.gelu(apply_linear(params["proj1"], x), approximate=False).astype(jnp.bfloat16)
-    return apply_linear(params["proj2"], x).astype(jnp.bfloat16)
+    x = jax.nn.gelu(apply_linear(params["proj1"], x), approximate=False).astype(cfg.dtype)
+    return apply_linear(params["proj2"], x).astype(cfg.dtype)
 
 
 def encode(cfg: AudioEncoderConfig, params: Dict, mel: np.ndarray) -> Tuple[jax.Array, int]:

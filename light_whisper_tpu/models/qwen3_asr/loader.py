@@ -93,23 +93,80 @@ def _to_device(tree):
     return jax.tree.map(jnp.asarray, tree)
 
 
-class Qwen3ASRWeights:
-    """Parsed artifact: config, tokenizer, and device parameter trees."""
+def _permute_out_rows(p: Dict, perm: np.ndarray) -> Dict:
+    """Reorder a linear param dict's out-features rows by ``perm``.
 
-    def __init__(self, path: str):
+    Quantized dicts store ``[out, in]`` (rows = axis 0; Q8 blocks run along
+    ``in`` so a row shuffle is exact); dense dicts store the transposed
+    ``[in, out]`` (rows = axis 1).
+    """
+    if "q" in p:
+        return {**p, "q": p["q"][perm], "s": p["s"][perm]}
+    return {**p, "w": p["w"][:, perm]}
+
+
+class Qwen3ASRWeights:
+    """Parsed artifact: config, tokenizer, and device parameter trees.
+
+    ``precise=True`` loads every weight as dense float32 (quantized tensors
+    are dequantized host-side) and marks the config for float32 compute —
+    the fidelity mode for bit-match comparisons against the reference's f32
+    CPU path.
+    """
+
+    def __init__(self, path: str, precise: bool = False):
+        from light_whisper_tpu.models.qwen3_asr import names as _names
+
         f = gguf.read_gguf(path)
         self.metadata: Dict[str, Any] = f.metadata
         self.config: Qwen3ASRConfig = config_from_metadata(f.metadata)
+        if precise:
+            self.config = self.config.with_compute_dtype("float32")
+        self.precise = precise
         self.tokenizer: BPETokenizer = tokenizer_from_metadata(f.metadata)
-        self.decoder_params = _to_device(self._load_decoder(f))
-        self.encoder_params = _to_device(self._load_encoder(f))
+        self._tensors = _names.canonicalize(f.tensors)
+        self._rope_permutation = str(
+            f.metadata.get("qwen3asr.rope_permutation", "none")
+        ).lower()
+        if self._rope_permutation not in ("none", "llama"):
+            raise ValueError(
+                f"unknown rope_permutation {self._rope_permutation!r}"
+            )
+        self.decoder_params = _to_device(self._load_decoder())
+        self.encoder_params = _to_device(self._load_encoder())
+        self._tensors = None
         f.close()
 
     # ------------------------------------------------------------------
 
-    def _load_decoder(self, f: gguf.GGUFFile) -> Dict:
+    def _linear(self, t: gguf.GGUFTensor, bias: Optional[gguf.GGUFTensor] = None) -> Dict:
+        if self.precise:
+            p = {"w": host_f32(t.array().T)}
+            if bias is not None:
+                p["b"] = host_f32(bias.array())
+            return p
+        return _linear_np(t, bias)
+
+    def _load_decoder(self) -> Dict:
+        from light_whisper_tpu.models.qwen3_asr import names as _names
+
         cfg = self.config.decoder
-        t = f.tensors
+        t = self._tensors
+
+        if self._rope_permutation == "llama":
+            unperm_q = _names.llama_unpermute_rows(
+                cfg.head_count * cfg.key_length, cfg.head_count
+            )
+            unperm_k = _names.llama_unpermute_rows(
+                cfg.head_count_kv * cfg.key_length, cfg.head_count_kv
+            )
+            unperm_hd = _names.llama_unpermute_head_dim(cfg.key_length)
+            fix_q = lambda p: _permute_out_rows(p, unperm_q)
+            fix_k = lambda p: _permute_out_rows(p, unperm_k)
+            fix_norm = lambda v: v[unperm_hd]
+        else:
+            fix_q = fix_k = fix_norm = lambda x: x
+
         layers = []
         for i in range(cfg.block_count):
             p = f"blk.{i}."
@@ -118,36 +175,41 @@ class Qwen3ASRWeights:
                     "attn_norm": _vec(t[p + "attn_norm.weight"]),
                     "qkv": _fuse_linears_np(
                         [
-                            _linear_np(t[p + "attn_q.weight"]),
-                            _linear_np(t[p + "attn_k.weight"]),
-                            _linear_np(t[p + "attn_v.weight"]),
+                            fix_q(self._linear(t[p + "attn_q.weight"])),
+                            fix_k(self._linear(t[p + "attn_k.weight"])),
+                            self._linear(t[p + "attn_v.weight"]),
                         ]
                     ),
-                    "o": _linear_np(t[p + "attn_output.weight"]),
-                    "q_norm": _vec(t[p + "attn_q_norm.weight"]),
-                    "k_norm": _vec(t[p + "attn_k_norm.weight"]),
+                    "o": self._linear(t[p + "attn_output.weight"]),
+                    "q_norm": fix_norm(_vec(t[p + "attn_q_norm.weight"])),
+                    "k_norm": fix_norm(_vec(t[p + "attn_k_norm.weight"])),
                     "ffn_norm": _vec(t[p + "ffn_norm.weight"]),
                     "gateup": _fuse_linears_np(
                         [
-                            _linear_np(t[p + "ffn_gate.weight"]),
-                            _linear_np(t[p + "ffn_up.weight"]),
+                            self._linear(t[p + "ffn_gate.weight"]),
+                            self._linear(t[p + "ffn_up.weight"]),
                         ]
                     ),
-                    "down": _linear_np(t[p + "ffn_down.weight"]),
+                    "down": self._linear(t[p + "ffn_down.weight"]),
                 }
             )
         params = {
-            "embed": _embedding_np(t["token_embd.weight"]),
+            "embed": self._embedding(t["token_embd.weight"]),
             "layers": _stack_layers(layers),
             "final_norm": _vec(t["output_norm.weight"]),
         }
         if "output.weight" in t and not cfg.tie_word_embeddings:
-            params["lm_head"] = _linear_np(t["output.weight"])
+            params["lm_head"] = self._linear(t["output.weight"])
         return params
 
-    def _load_encoder(self, f: gguf.GGUFFile) -> Dict:
+    def _embedding(self, t: gguf.GGUFTensor) -> Dict:
+        if self.precise:
+            return {"w": _pad_rows(host_f32(t.array()), VOCAB_PAD_MULTIPLE)}
+        return _embedding_np(t)
+
+    def _load_encoder(self) -> Dict:
         cfg = self.config.audio
-        t = f.tensors
+        t = self._tensors
 
         def conv(name: str) -> Dict:
             return {
@@ -156,7 +218,7 @@ class Qwen3ASRWeights:
             }
 
         def linear(name: str, bias: bool = True) -> Dict:
-            return _linear_np(
+            return self._linear(
                 t[f"aenc.{name}.weight"],
                 t.get(f"aenc.{name}.bias") if bias else None,
             )

@@ -64,15 +64,15 @@ class TranscriptionResult:
     tokens: List[int]
 
 
-@functools.partial(jax.jit, static_argnames=("prefix_len",))
-def _build_prompt_embeds(params, ids, audio_embeds, n_audio, prefix_len: int):
+@functools.partial(jax.jit, static_argnames=("prefix_len", "dtype"))
+def _build_prompt_embeds(params, ids, audio_embeds, n_audio, prefix_len: int, dtype=jnp.bfloat16):
     """Token embeddings with audio rows spliced in at [prefix, prefix+n)."""
-    token_embeds = dec.embed_tokens(params, ids).astype(jnp.bfloat16)
+    token_embeds = dec.embed_tokens(params, ids).astype(dtype)
     idx = jnp.arange(ids.shape[0])
     audio_row = jnp.clip(idx - prefix_len, 0, audio_embeds.shape[0] - 1)
     is_audio = (idx >= prefix_len) & (idx < prefix_len + n_audio)
     return jnp.where(
-        is_audio[:, None], audio_embeds.astype(jnp.bfloat16)[audio_row], token_embeds
+        is_audio[:, None], audio_embeds.astype(dtype)[audio_row], token_embeds
     )
 
 
@@ -108,7 +108,9 @@ def _encode_and_prefill(
     mel = jnp.pad(mel, ((0, num_chunks * chunk - mel.shape[0]), (0, 0)))
     audio_embeds = encode_chunks(cfg.audio, encoder_params, mel, n_audio, num_chunks)
 
-    embeds = _build_prompt_embeds(decoder_params, ids, audio_embeds, n_audio, prefix_len)
+    embeds = _build_prompt_embeds(
+        decoder_params, ids, audio_embeds, n_audio, prefix_len, cfg.decoder.dtype
+    )
     hidden, cache = dec.forward(cfg.decoder, decoder_params, embeds, cache)
     logits = dec.logits_for(cfg.decoder, decoder_params, hidden[last_index][None])
     first = jnp.argmax(logits[-1]).astype(jnp.int32)
@@ -174,12 +176,19 @@ class Qwen3ASRModel:
         max_new_tokens: int = 448,
         cache_dtype=jnp.bfloat16,
         mesh=None,
+        precise: bool = False,
     ) -> None:
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``tp`` axis —
         parameters shard Megatron-style (attention heads / FFN columns) and
         XLA inserts the per-block all-reduces over ICI. The KV cache shards
-        on its KV-head axis. Single-chip serving passes ``mesh=None``."""
-        weights = Qwen3ASRWeights(gguf_path)
+        on its KV-head axis. Single-chip serving passes ``mesh=None``.
+
+        ``precise=True`` is the fidelity mode for bit-match comparisons
+        against the reference's f32 CPU path: dense float32 weights,
+        float32 compute, float32 KV cache (slower; not for serving)."""
+        weights = Qwen3ASRWeights(gguf_path, precise=precise)
+        if precise:
+            cache_dtype = jnp.float32
         self.config: Qwen3ASRConfig = weights.config
         self.tokenizer = weights.tokenizer
         self.decoder_params = weights.decoder_params

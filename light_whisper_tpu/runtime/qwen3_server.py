@@ -13,6 +13,7 @@ the ONNX VAD by ``FireRedVadTPU``; both warm up at init like the reference
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional
 
@@ -38,7 +39,11 @@ LONG_FORM_THRESHOLD_SECONDS = 120.0
 def _default_model_factory(model_path: str):
     from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
 
-    return Qwen3ASRModel(model_path)
+    # LIGHT_WHISPER_PRECISE=1: dense f32 weights + f32 compute/KV — the
+    # fidelity mode for bit-match comparisons against the reference's f32
+    # CPU path (slower; not for production serving).
+    precise = os.environ.get("LIGHT_WHISPER_PRECISE", "") not in ("", "0")
+    return Qwen3ASRModel(model_path, precise=precise)
 
 
 def _default_vad_factory():

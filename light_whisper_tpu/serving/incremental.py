@@ -118,7 +118,7 @@ def _encode_prefill_segment(
     first_index = seg_audio + S - 1  # logits here predict the first token
 
     token_ids = jnp.concatenate([suffix_ids, draft_ids]).astype(jnp.int32)
-    token_embeds = dec.embed_tokens(decoder_params, token_ids).astype(jnp.bfloat16)
+    token_embeds = dec.embed_tokens(decoder_params, token_ids).astype(cfg.decoder.dtype)
 
     idx = jnp.arange(seg_bucket)
     audio_row = jnp.clip(stable + idx, 0, audio_embeds.shape[0] - 1)
@@ -126,7 +126,7 @@ def _encode_prefill_segment(
     is_audio = idx < seg_audio
     embeds = jnp.where(
         is_audio[:, None],
-        audio_embeds.astype(jnp.bfloat16)[audio_row],
+        audio_embeds.astype(cfg.decoder.dtype)[audio_row],
         token_embeds[token_row],
     )
 
