@@ -12,8 +12,10 @@ the ONNX VAD by ``FireRedVadTPU``; both warm up at init like the reference
 
 from __future__ import annotations
 
+import itertools
 import logging
 import os
+import threading
 import time
 from typing import Any, Callable, Dict, List, Optional
 
@@ -102,6 +104,10 @@ class Qwen3EngineServer:
         self.model = None
         self.vad = None
         self._session = None  # streaming session bridge (see _transcribe_model)
+        self._scheduler = None  # device-serialization + batch coalescing
+        self._stats_lock = threading.Lock()
+        self._init_lock = threading.Lock()  # pipelined requests may race init
+        self._anon_stream = itertools.count()
         self.initialized = False
         self.transcription_count = 0
         self.total_audio_duration = 0.0
@@ -109,6 +115,8 @@ class Qwen3EngineServer:
         self._total_vad_ms = 0.0
         self._vad_calls = 0
         self._vad_rejected = 0
+        self._batched_requests = 0
+        self._batch_dispatches = 0
         self._last_load_error: Optional[str] = None
         self._hotword_corrector = None
 
@@ -121,6 +129,7 @@ class Qwen3EngineServer:
             status=self.check_status,
             stats=self.performance_stats,
             cleanup=self.cleanup,
+            shutdown=self.shutdown,
         )
 
     def serve_forever(self) -> None:
@@ -140,6 +149,10 @@ class Qwen3EngineServer:
         return find_snapshot_file(self.model_config["repo_id"], self.model_config["filename"])
 
     def initialize(self) -> Dict[str, Any]:
+        with self._init_lock:
+            return self._initialize_locked()
+
+    def _initialize_locked(self) -> Dict[str, Any]:
         if self.initialized:
             return {"success": True, "message": "模型已初始化", "engine": self.engine}
 
@@ -247,16 +260,19 @@ class Qwen3EngineServer:
         started = time.perf_counter()
         segments = self.vad.speech_timestamps(audio)
         vad_ms = (time.perf_counter() - started) * 1000
-        self._vad_calls += 1
-        self._total_vad_ms += vad_ms
+        with self._stats_lock:
+            self._vad_calls += 1
+            self._total_vad_ms += vad_ms
 
         if not segments:
-            self._vad_rejected += 1
+            with self._stats_lock:
+                self._vad_rejected += 1
             return np.empty(0, dtype=np.float32), 0, vad_ms
         start = max(0, int(segments[0]["start"]))
         end = min(len(audio), int(segments[-1]["end"]))
         if end <= start:
-            self._vad_rejected += 1
+            with self._stats_lock:
+                self._vad_rejected += 1
             return np.empty(0, dtype=np.float32), 0, vad_ms
         return np.ascontiguousarray(audio[start:end]), len(segments), vad_ms
 
@@ -272,6 +288,47 @@ class Qwen3EngineServer:
         if session is None:
             return self.model.transcribe(audio)
         return session.transcribe_extending(audio)
+
+    # -- multi-stream coalescing ---------------------------------------
+
+    def _decode_scheduler(self):
+        """One device program at a time, with batch coalescing on top.
+
+        The protocol server pipelines transcribe commands onto worker
+        threads (``runtime/server.py``); this scheduler re-serializes their
+        device work — matching the reference's engine mutex
+        (``funasr_service.rs:1353-1388``) — but requests that are queued
+        together coalesce into ONE ``transcribe_batch`` dispatch, so N
+        concurrent dictation streams pay one padded batched decode instead
+        of N sequential ones."""
+        if self._scheduler is None:
+            from light_whisper_tpu.serving.scheduler import EngineScheduler
+
+            self._scheduler = EngineScheduler()
+        return self._scheduler
+
+    def _submit_decode(self, audio: np.ndarray, stream: str):
+        scheduler = self._decode_scheduler()
+        job = scheduler.submit_batchable(
+            stream,
+            audio,
+            batch_key="transcribe",
+            batch_runner=self._run_decode_batch,
+            supersede=False,
+            max_batch=8,
+        )
+        return scheduler.wait(job)
+
+    def _run_decode_batch(self, audios: List[np.ndarray]):
+        if len(audios) == 1:
+            # Solo request: keep the streaming-session fast path (KV reuse).
+            return [self._transcribe_model(audios[0])]
+        with self._stats_lock:
+            self._batched_requests += len(audios)
+            self._batch_dispatches += 1
+        if hasattr(self.model, "transcribe_batch"):
+            return self.model.transcribe_batch(list(audios))
+        return [self.model.transcribe(a) for a in audios]
 
     def _streaming_session(self):
         import os
@@ -316,11 +373,16 @@ class Qwen3EngineServer:
                 return init_result
 
         input_mode = "memory" if audio_base64 else "path"
+        options = options or {}
+        # Requests naming a stream share device-scheduler ordering; anonymous
+        # requests each get their own so concurrent ones can batch together.
+        stream = str(options.get("stream") or f"req-{next(self._anon_stream)}")
         try:
             audio, duration, input_mode = self._load_audio(
                 audio_path, audio_base64, audio_format, sample_rate
             )
-            self.total_audio_duration += duration
+            with self._stats_lock:
+                self.total_audio_duration += duration
             if duration < MIN_DURATION_SECONDS:
                 return {
                     "success": True,
@@ -330,12 +392,13 @@ class Qwen3EngineServer:
                     "input_mode": input_mode,
                 }
 
-            options = options or {}
             use_long_form = options.get(
                 "long_form", duration > LONG_FORM_THRESHOLD_SECONDS
             )
             if use_long_form and hasattr(self.model, "transcribe_batch"):
-                return self._transcribe_long_form(audio, duration, input_mode, hot_words)
+                return self._transcribe_long_form(
+                    audio, duration, input_mode, hot_words, stream
+                )
 
             audio, vad_segments, vad_ms = self._filter_speech(audio)
             speech_duration = len(audio) / float(SAMPLE_RATE)
@@ -357,10 +420,11 @@ class Qwen3EngineServer:
                 }
 
             started = time.perf_counter()
-            result = self._transcribe_model(audio)
+            result = self._submit_decode(audio, stream)
             inference_ms = (time.perf_counter() - started) * 1000
-            self._total_inference_ms += inference_ms
-            self.transcription_count += 1
+            with self._stats_lock:
+                self._total_inference_ms += inference_ms
+                self.transcription_count += 1
 
             text = result.text.strip()
             text = self._correct_hot_words(text, hot_words)
@@ -390,18 +454,26 @@ class Qwen3EngineServer:
                 "input_mode": input_mode,
             }
 
-    def _transcribe_long_form(self, audio, duration, input_mode, hot_words):
+    def _transcribe_long_form(self, audio, duration, input_mode, hot_words, stream):
         from light_whisper_tpu.serving.longform import transcribe_long_form
 
         started = time.perf_counter()
-        result = transcribe_long_form(self.model, self.vad, audio)
+        # Long-form work rides the same device scheduler (plain, unbatchable
+        # job) so it never interleaves device programs with coalesced decodes.
+        scheduler = self._decode_scheduler()
+        job = scheduler.submit(
+            stream,
+            lambda: transcribe_long_form(self.model, self.vad, audio),
+            supersede=False,
+        )
+        result = scheduler.wait(job)
         total_ms = (time.perf_counter() - started) * 1000
-        self._vad_calls += 1
-        self.transcription_count += 1
-        self._total_inference_ms += total_ms
-
-        if result.num_windows == 0:
-            self._vad_rejected += 1
+        with self._stats_lock:
+            self._vad_calls += 1
+            self.transcription_count += 1
+            self._total_inference_ms += total_ms
+            if result.num_windows == 0:
+                self._vad_rejected += 1
         text = self._correct_hot_words(result.text, hot_words)
         self._maybe_cleanup(duration)
         return {
@@ -435,6 +507,11 @@ class Qwen3EngineServer:
 
         gc.collect()
 
+    def shutdown(self) -> None:
+        if self._scheduler is not None:
+            self._scheduler.shutdown()
+            self._scheduler = None
+
     def performance_stats(self) -> Dict[str, Any]:
         import os
 
@@ -444,7 +521,7 @@ class Qwen3EngineServer:
             not os.environ.get("LIGHT_WHISPER_DISABLE_SESSION_REUSE")
             and self._session is not False
         )
-        return {
+        stats = {
             "transcription_count": self.transcription_count,
             "total_audio_duration": round(self.total_audio_duration, 2),
             "average_inference_ms": round(
@@ -453,6 +530,8 @@ class Qwen3EngineServer:
             "average_vad_ms": round(self._total_vad_ms / max(1, self._vad_calls), 3),
             "vad_calls": self._vad_calls,
             "vad_rejected": self._vad_rejected,
+            "batch_dispatches": self._batch_dispatches,
+            "batched_requests": self._batched_requests,
             "initialized": self.initialized,
             "engine": self.engine,
             "backend": self.backend,
@@ -463,6 +542,15 @@ class Qwen3EngineServer:
                 "punc": True,
             },
         }
+        session = self._session
+        if session:  # surface KV-reuse effectiveness (interim-loop health)
+            hits, resets = session.session_hits, session.session_resets
+            stats["session_hits"] = hits
+            stats["session_resets"] = resets
+            stats["session_hit_rate"] = round(hits / max(1, hits + resets), 4)
+        if self._scheduler is not None:
+            stats["scheduler"] = self._scheduler.stats()
+        return stats
 
     def check_status(self) -> Dict[str, Any]:
         model_loaded = self.model is not None

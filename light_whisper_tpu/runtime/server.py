@@ -21,6 +21,18 @@ Unlike the reference's inheritance design, the engine logic is injected as a
 ``ServerHooks`` value object so that protocol behavior can be tested with fakes
 and in-memory pipes (the pattern the reference applies on the Rust side,
 ``funasr_service.rs:1978-2072``).
+
+Pipelining: the reference engine handles one command at a time, serialized
+behind the Rust client's process mutex. Because that client correlates
+responses strictly by ``request_id`` (``funasr_service.rs:1394-1440``), this
+server can do better without breaking the contract: ``transcribe`` commands
+that carry a ``request_id`` are handed to worker threads so (a) reads never
+block behind an in-flight transcription (``status``/``stats`` answer
+immediately) and (b) concurrent transcribes reaching the engine hook can
+coalesce into ONE batched TPU decode (see ``serving/multistream.py``).
+Commands without a ``request_id`` cannot be correlated out of order, so the
+loop drains all in-flight work first and answers them in arrival order —
+byte-identical behavior for a legacy serial client.
 """
 
 from __future__ import annotations
@@ -28,8 +40,11 @@ from __future__ import annotations
 import dataclasses
 import json
 import logging
+import os
 import sys
+import threading
 import traceback
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, IO, Optional
 
 
@@ -64,12 +79,20 @@ class EngineServer:
         stdin: Optional[IO[str]] = None,
         stdout: Optional[IO[str]] = None,
         logger: Optional[logging.Logger] = None,
+        max_concurrency: Optional[int] = None,
     ) -> None:
         self._hooks = hooks
         self._stdin = stdin if stdin is not None else sys.stdin
         self._stdout = stdout if stdout is not None else sys.stdout
         self._log = logger or logging.getLogger(__name__)
         self._running = True
+        if max_concurrency is None:
+            max_concurrency = int(os.environ.get("LIGHT_WHISPER_MAX_CONCURRENCY", "8"))
+        self._max_concurrency = max(1, max_concurrency)
+        self._executor: Optional[ThreadPoolExecutor] = None
+        self._emit_lock = threading.Lock()
+        self._inflight = 0
+        self._inflight_cv = threading.Condition()
 
     # ------------------------------------------------------------------
 
@@ -80,8 +103,44 @@ class EngineServer:
         if request_id is not None and isinstance(payload, dict):
             payload = dict(payload)
             payload["request_id"] = request_id
-        self._stdout.write(json.dumps(payload, ensure_ascii=False) + "\n")
-        self._stdout.flush()
+        line = json.dumps(payload, ensure_ascii=False) + "\n"
+        with self._emit_lock:
+            self._stdout.write(line)
+            self._stdout.flush()
+
+    # -- pipelined transcribe plumbing ---------------------------------
+
+    def _spawn_transcribe(self, command: Dict[str, Any], request_id: int) -> None:
+        if self._executor is None:
+            self._executor = ThreadPoolExecutor(
+                max_workers=self._max_concurrency,
+                thread_name_prefix="lwt-transcribe",
+            )
+        with self._inflight_cv:
+            self._inflight += 1
+        self._executor.submit(self._run_transcribe, command, request_id)
+
+    def _run_transcribe(self, command: Dict[str, Any], request_id: int) -> None:
+        try:
+            try:
+                result = self._dispatch("transcribe", command)
+            except Exception as exc:
+                result = {
+                    "success": False,
+                    "error": str(exc),
+                    "traceback": traceback.format_exc(),
+                }
+            self._emit(result, request_id)
+        finally:
+            with self._inflight_cv:
+                self._inflight -= 1
+                self._inflight_cv.notify_all()
+
+    def _drain(self) -> None:
+        """Block until every pipelined transcribe has emitted its response."""
+        with self._inflight_cv:
+            while self._inflight > 0:
+                self._inflight_cv.wait()
 
     # ------------------------------------------------------------------
 
@@ -113,11 +172,19 @@ class EngineServer:
                     request_id = rid
 
             action = command.get("action") if isinstance(command, dict) else None
+            if request_id is None:
+                # Legacy correlation is strictly ordered — let pipelined work
+                # flush before answering so this response arrives in sequence.
+                self._drain()
             try:
                 if action == "exit":
+                    self._drain()
                     self._emit({"success": True, "message": "服务器退出"}, request_id)
                     self._hooks.shutdown()
                     break
+                if action == "transcribe" and request_id is not None:
+                    self._spawn_transcribe(command, request_id)
+                    continue
                 result = self._dispatch(action, command)
             except Exception as exc:  # pragma: no cover - defensive parity path
                 result = {
@@ -126,6 +193,10 @@ class EngineServer:
                     "traceback": traceback.format_exc(),
                 }
             self._emit(result, request_id)
+        self._drain()
+        if self._executor is not None:
+            self._executor.shutdown(wait=True)
+            self._executor = None
 
     # ------------------------------------------------------------------
 

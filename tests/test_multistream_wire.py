@@ -1,0 +1,212 @@
+"""Wire-level multi-stream serving tests.
+
+The reference client correlates responses strictly by ``request_id``
+(``funasr_service.rs:1394-1440``), so the engine may answer out of order.
+These tests pin the TPU-native upgrades built on that freedom:
+
+- ``status``/``stats`` answer while a transcribe is still in flight,
+- two transcribe commands in flight together coalesce into ONE
+  ``transcribe_batch`` device dispatch, each response carrying its own
+  ``request_id``,
+- commands without a ``request_id`` (legacy ordered correlation) drain
+  pipelined work first, preserving serial semantics byte-for-byte.
+"""
+
+import base64
+import json
+import os
+import threading
+import time
+import types
+
+import numpy as np
+
+from light_whisper_tpu.runtime.qwen3_server import Qwen3EngineServer
+from light_whisper_tpu.runtime.server import EngineServer
+
+
+class BatchRecordingModel:
+    def __init__(self):
+        self.solo_calls = 0
+        self.batch_sizes = []
+
+    def transcribe(self, audio):
+        self.solo_calls += 1
+        return types.SimpleNamespace(text="solo", language="zh", tokens=[])
+
+    def transcribe_batch(self, clips):
+        self.batch_sizes.append(len(clips))
+        return [
+            types.SimpleNamespace(text=f"batched-{i}", language="zh", tokens=[])
+            for i in range(len(clips))
+        ]
+
+    def warmup(self):
+        pass
+
+
+class FakeVad:
+    def __init__(self, segments):
+        self.segments = segments
+
+    def speech_timestamps(self, audio):
+        return self.segments
+
+    def warmup(self):
+        pass
+
+
+def pcm_b64(seconds=1.0):
+    samples = np.zeros(int(16000 * seconds), dtype="<i2")
+    return base64.b64encode(samples.tobytes()).decode()
+
+
+def transcribe_cmd(request_id):
+    return json.dumps(
+        {
+            "action": "transcribe",
+            "request_id": request_id,
+            "audio_base64": pcm_b64(),
+            "audio_format": "pcm_s16le",
+            "sample_rate": 16000,
+        }
+    )
+
+
+class Conversation:
+    """Full-duplex client over OS pipes around a threaded EngineServer."""
+
+    def __init__(self, engine):
+        c2s_r, c2s_w = os.pipe()
+        s2c_r, s2c_w = os.pipe()
+        self._to_server = os.fdopen(c2s_w, "w")
+        self._from_server = os.fdopen(s2c_r, "r")
+        self.server = EngineServer(
+            engine.hooks(),
+            stdin=os.fdopen(c2s_r, "r"),
+            stdout=os.fdopen(s2c_w, "w"),
+        )
+        self.thread = threading.Thread(target=self.server.run, daemon=True)
+        self.thread.start()
+
+    def send(self, line):
+        self._to_server.write(line + "\n")
+        self._to_server.flush()
+
+    def recv(self):
+        return json.loads(self._from_server.readline())
+
+    def close(self):
+        self.send(json.dumps({"action": "exit", "request_id": 10_000}))
+        while True:
+            if self.recv().get("request_id") == 10_000:
+                break
+        self.thread.join(timeout=5)
+        assert not self.thread.is_alive()
+
+
+def make_engine(model=None):
+    model = model or BatchRecordingModel()
+    engine = Qwen3EngineServer(
+        engine="qwen3-asr-0.6b",
+        model_factory=lambda path: model,
+        vad_factory=lambda: FakeVad([{"start": 0, "end": 16000}]),
+        model_path="/fake/model.gguf",
+    )
+    return engine, model
+
+
+def _block_scheduler(engine):
+    """Occupy the device scheduler so queued jobs pile up deterministically."""
+    scheduler = engine._decode_scheduler()
+    running = threading.Event()
+    release = threading.Event()
+
+    def blocker():
+        running.set()
+        assert release.wait(10)
+
+    scheduler.submit("blocker", blocker, supersede=False)
+    assert running.wait(10)
+    return scheduler, release
+
+
+def _wait_for_queue(scheduler, n, timeout=10.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        with scheduler._lock:
+            if len(scheduler._queue) >= n:
+                return
+        time.sleep(0.005)
+    raise AssertionError(f"scheduler queue never reached {n} jobs")
+
+
+def test_interleaved_transcribes_coalesce_into_one_batch():
+    engine, model = make_engine()
+    assert engine.initialize()["success"]
+    scheduler, release = _block_scheduler(engine)
+
+    conv = Conversation(engine)
+    assert conv.recv()["success"]  # init line
+    conv.send(transcribe_cmd(1))
+    conv.send(transcribe_cmd(2))
+    _wait_for_queue(scheduler, 2)
+    release.set()
+
+    responses = {r["request_id"]: r for r in (conv.recv(), conv.recv())}
+    assert set(responses) == {1, 2}
+    assert sorted(r["text"] for r in responses.values()) == ["batched-0", "batched-1"]
+    assert model.batch_sizes == [2]  # ONE device dispatch for both requests
+    assert model.solo_calls == 0
+
+    stats = engine.performance_stats()
+    assert stats["batch_dispatches"] == 1
+    assert stats["batched_requests"] == 2
+    conv.close()
+
+
+def test_status_answers_while_transcribe_in_flight():
+    engine, _model = make_engine()
+    assert engine.initialize()["success"]
+    _scheduler, release = _block_scheduler(engine)
+
+    conv = Conversation(engine)
+    assert conv.recv()["success"]
+    conv.send(transcribe_cmd(5))
+    conv.send(json.dumps({"action": "status", "request_id": 6}))
+    first = conv.recv()  # must be status: transcribe is blocked on device
+    assert first["request_id"] == 6 and first["success"]
+    release.set()
+    second = conv.recv()
+    assert second["request_id"] == 5 and second["success"]
+    conv.close()
+
+
+def test_legacy_command_without_request_id_drains_first():
+    engine, _model = make_engine()
+    assert engine.initialize()["success"]
+    _scheduler, release = _block_scheduler(engine)
+
+    conv = Conversation(engine)
+    assert conv.recv()["success"]
+    conv.send(transcribe_cmd(7))
+    conv.send(json.dumps({"action": "status"}))  # legacy: ordered correlation
+    # The legacy status may not be answered until the transcribe completes.
+    threading.Timer(0.2, release.set).start()
+    first = conv.recv()
+    assert first["request_id"] == 7  # transcribe flushed first
+    second = conv.recv()
+    assert "request_id" not in second and second["success"]
+    conv.close()
+
+
+def test_solo_transcribe_keeps_session_fast_path():
+    engine, model = make_engine()
+    assert engine.initialize()["success"]
+
+    conv = Conversation(engine)
+    assert conv.recv()["success"]
+    conv.send(transcribe_cmd(1))
+    assert conv.recv()["text"] == "solo"
+    assert model.solo_calls == 1 and model.batch_sizes == []
+    conv.close()

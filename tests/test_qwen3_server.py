@@ -190,30 +190,51 @@ def test_status_shape():
 
 
 def test_full_protocol_loop_with_fake_engine():
+    """Serial client conversation: send a command, read its response, repeat.
+
+    This matches the reference Rust client's actual usage (one in-flight
+    command behind a process mutex, ``funasr_service.rs:1353-1388``); the
+    pipelined server preserves byte-identical behavior for such a client.
+    """
+    import os as _os
+    import threading
+
     server, _model, _vad = make_server(segments=[{"start": 0, "end": 16000}])
     audio = np.zeros(16000, dtype=np.float32)
-    lines = [
-        json.dumps(
-            {
-                "action": "transcribe",
-                "request_id": 1,
-                "audio_base64": pcm_b64(audio),
-                "audio_format": "pcm_s16le",
-                "sample_rate": 16000,
-            }
-        ),
-        json.dumps({"action": "stats", "request_id": 2}),
-        json.dumps({"action": "exit", "request_id": 3}),
-    ]
-    stdin = io.StringIO("".join(l + "\n" for l in lines))
-    stdout = io.StringIO()
-    EngineServer(server.hooks(), stdin=stdin, stdout=stdout).run()
-    out = [json.loads(l) for l in stdout.getvalue().splitlines()]
-    assert out[0]["success"]  # init line
-    assert out[1]["request_id"] == 1 and out[1]["text"] == "你好世界"
-    assert out[1]["input_mode"] == "memory"
-    assert out[2]["stats"]["transcription_count"] == 1
-    assert out[3]["request_id"] == 3
+
+    c2s_r, c2s_w = _os.pipe()
+    s2c_r, s2c_w = _os.pipe()
+    engine_server = EngineServer(
+        server.hooks(), stdin=_os.fdopen(c2s_r, "r"), stdout=_os.fdopen(s2c_w, "w")
+    )
+    thread = threading.Thread(target=engine_server.run, daemon=True)
+    thread.start()
+    to_server = _os.fdopen(c2s_w, "w")
+    from_server = _os.fdopen(s2c_r, "r")
+
+    def roundtrip(command):
+        to_server.write(json.dumps(command) + "\n")
+        to_server.flush()
+        return json.loads(from_server.readline())
+
+    assert json.loads(from_server.readline())["success"]  # init line
+    r1 = roundtrip(
+        {
+            "action": "transcribe",
+            "request_id": 1,
+            "audio_base64": pcm_b64(audio),
+            "audio_format": "pcm_s16le",
+            "sample_rate": 16000,
+        }
+    )
+    assert r1["request_id"] == 1 and r1["text"] == "你好世界"
+    assert r1["input_mode"] == "memory"
+    r2 = roundtrip({"action": "stats", "request_id": 2})
+    assert r2["stats"]["transcription_count"] == 1
+    r3 = roundtrip({"action": "exit", "request_id": 3})
+    assert r3["request_id"] == 3
+    thread.join(timeout=5)
+    assert not thread.is_alive()
 
 
 def test_unsupported_engine_rejected():
