@@ -36,6 +36,10 @@ MIN_DURATION_SECONDS = 0.5
 # (windows batched on device) instead of a single giant context. Can be
 # forced either way per request via options={"long_form": bool}.
 LONG_FORM_THRESHOLD_SECONDS = 120.0
+# When a request's raw audio byte-extends the previous one (the shell's
+# interim loop), leading-trim wobble within this many samples (150 ms) is
+# pinned to the previous trim so KV session reuse survives VAD jitter.
+TRIM_PIN_TOLERANCE_SAMPLES = 2400
 
 
 def _default_model_factory(model_path: str):
@@ -117,6 +121,7 @@ class Qwen3EngineServer:
         self._vad_rejected = 0
         self._batched_requests = 0
         self._batch_dispatches = 0
+        self._prev_trim = None  # (raw_audio, start, end) of the last request
         self._last_load_error: Optional[str] = None
         self._hotword_corrector = None
 
@@ -267,14 +272,46 @@ class Qwen3EngineServer:
         if not segments:
             with self._stats_lock:
                 self._vad_rejected += 1
+                self._prev_trim = None
             return np.empty(0, dtype=np.float32), 0, vad_ms
         start = max(0, int(segments[0]["start"]))
         end = min(len(audio), int(segments[-1]["end"]))
         if end <= start:
             with self._stats_lock:
                 self._vad_rejected += 1
+                self._prev_trim = None
             return np.empty(0, dtype=np.float32), 0, vad_ms
+        start, end = self._stabilize_trim(audio, start, end)
         return np.ascontiguousarray(audio[start:end]), len(segments), vad_ms
+
+    def _stabilize_trim(self, raw: np.ndarray, start: int, end: int):
+        """Pin the leading VAD trim across a growing interim window.
+
+        Session KV reuse compares *post-trim* bytes (``SessionBridge``), so a
+        trim start that wobbles by a VAD hop between ticks would silently
+        degrade every interim request to a full prefill. When the raw audio
+        byte-extends the previous request's raw audio and the new trim start
+        is within :data:`TRIM_PIN_TOLERANCE_SAMPLES` of the previous one,
+        reuse the previous start and keep the end monotone — semantics are
+        unchanged (the pinned boundary still lies in VAD-confirmed outer
+        silence, within 150 ms of this tick's own estimate), and the byte
+        prefix stays stable. Genuinely different audio re-trims fresh."""
+        if os.environ.get("LIGHT_WHISPER_DISABLE_SESSION_REUSE"):
+            return start, end
+        with self._stats_lock:
+            prev = self._prev_trim
+            if prev is not None:
+                prev_raw, prev_start, prev_end = prev
+                if (
+                    len(raw) >= len(prev_raw)
+                    and abs(start - prev_start) <= TRIM_PIN_TOLERANCE_SAMPLES
+                    and prev_start < end
+                    and np.array_equal(raw[: len(prev_raw)], prev_raw)
+                ):
+                    start = prev_start
+                    end = max(end, min(prev_end, len(raw)))
+            self._prev_trim = (raw, start, end)
+        return start, end
 
     def _transcribe_model(self, audio: np.ndarray):
         """Route through the streaming session when this request extends the

@@ -1,0 +1,161 @@
+"""Session KV-reuse must survive VAD trim jitter on growing interim windows.
+
+Round-1 review weak spot: the server trims outer silence *before* the
+session's byte-prefix check, so a leading trim that wobbles by one VAD hop
+between interim ticks silently degraded every tick to a full prefill. The
+trim pinning in ``runtime/qwen3_server.py:_stabilize_trim`` fixes that;
+these tests pin the hit rate on a realistic growing-window sequence with
+jittering VAD boundaries, and that the pinned path stays greedy-exact.
+"""
+
+import base64
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+from helpers.tiny_model import write_tiny_model
+
+from light_whisper_tpu.runtime.qwen3_server import (
+    TRIM_PIN_TOLERANCE_SAMPLES,
+    Qwen3EngineServer,
+)
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+
+    path = str(tmp_path_factory.mktemp("model") / "tiny.gguf")
+    write_tiny_model(path, quantize=False)
+    return Qwen3ASRModel(path, max_new_tokens=8)
+
+
+class JitterVad:
+    """Reports one speech segment whose boundaries wobble per call."""
+
+    def __init__(self, true_start, start_jitter, end_jitter):
+        self.true_start = true_start
+        self.start_jitter = list(start_jitter)
+        self.end_jitter = list(end_jitter)
+        self.calls = 0
+
+    def speech_timestamps(self, audio):
+        i = self.calls
+        self.calls += 1
+        start = self.true_start + self.start_jitter[i % len(self.start_jitter)]
+        end = len(audio) - abs(self.end_jitter[i % len(self.end_jitter)])
+        return [{"start": start, "end": end}]
+
+    def warmup(self):
+        pass
+
+
+def pcm_b64(audio):
+    pcm = np.clip(audio * 32768, -32768, 32767).astype("<i2")
+    return base64.b64encode(pcm.tobytes()).decode()
+
+
+def quantized(audio):
+    """The float32 audio the server actually sees after the int16 wire trip."""
+    pcm = np.clip(audio * 32768, -32768, 32767).astype("<i2")
+    return (pcm.astype(np.float32) / 32768.0).astype(np.float32)
+
+
+def make_server(model, vad):
+    return Qwen3EngineServer(
+        engine="qwen3-asr-0.6b",
+        model_factory=lambda path: model,
+        vad_factory=lambda: vad,
+        model_path="/fake/model.gguf",
+    )
+
+
+def test_session_hit_rate_survives_vad_jitter(model):
+    """Growing windows + per-tick VAD wobble → every extend tick still hits."""
+    rng = np.random.default_rng(7)
+    lead_silence = 1600
+    speech = (rng.standard_normal(SR * 9) * 0.3).astype(np.float32)
+    full = np.concatenate([np.zeros(lead_silence, np.float32), speech])
+
+    jitter = JitterVad(
+        true_start=lead_silence,
+        start_jitter=[0, 160, -160, 320, -320, 480],  # VAD hop wobble
+        end_jitter=[0, 80, 160, 40, 120, 200],
+    )
+    server = make_server(model, jitter)
+    assert server.initialize()["success"]
+
+    ticks = [3, 4, 5, 6, 7, 9]
+    texts = []
+    for seconds in ticks:
+        window = full[: lead_silence + seconds * SR]
+        resp = server.transcribe(
+            audio_base64=pcm_b64(window), audio_format="pcm_s16le", sample_rate=SR
+        )
+        assert resp["success"], resp
+        texts.append(resp["raw_text"])
+
+    session = server._session
+    assert session is not None and session is not False
+    hits, resets = session.session_hits, session.session_resets
+    # First tick is necessarily a reset; every later tick must hit despite
+    # the jittering trim (the documented floor for this synthetic corpus).
+    assert resets == 1 and hits == len(ticks) - 1
+
+    stats = server.performance_stats()
+    assert stats["session_hits"] == hits
+    assert stats["session_resets"] == resets
+    assert stats["session_hit_rate"] == pytest.approx(hits / (hits + resets), abs=1e-4)
+
+    # Greedy-exact: the pinned-trim result equals a stateless transcribe of
+    # the same pinned window (quantized: what the server saw on the wire).
+    _raw, start, end = server._prev_trim
+    want = model.transcribe(np.ascontiguousarray(quantized(full)[start:end]))
+    assert texts[-1] == want.text.strip()
+
+
+def test_jitter_beyond_tolerance_retrims_fresh(model):
+    """A trim start that genuinely moved (> tolerance) must NOT be pinned."""
+    lead = SR  # 1 s of real leading silence
+    rng = np.random.default_rng(8)
+    speech = (rng.standard_normal(SR * 5) * 0.3).astype(np.float32)
+    full = np.concatenate([np.zeros(lead, np.float32), speech])
+
+    big_move = TRIM_PIN_TOLERANCE_SAMPLES + 160
+    jitter = JitterVad(true_start=lead, start_jitter=[0, big_move], end_jitter=[0])
+    server = make_server(model, jitter)
+    assert server.initialize()["success"]
+
+    for seconds in (3, 5):
+        resp = server.transcribe(
+            audio_base64=pcm_b64(full[: lead + seconds * SR]),
+            audio_format="pcm_s16le",
+            sample_rate=SR,
+        )
+        assert resp["success"]
+
+    _raw, start, _end = server._prev_trim
+    assert start == lead + big_move  # second tick's own trim, not the pinned one
+    assert server._session.session_resets == 2
+
+
+def test_non_extending_audio_resets_pin_state(model):
+    jitter = JitterVad(true_start=0, start_jitter=[0], end_jitter=[0])
+    server = make_server(model, jitter)
+    assert server.initialize()["success"]
+
+    rng = np.random.default_rng(9)
+    a = (rng.standard_normal(SR * 3) * 0.3).astype(np.float32)
+    b = (rng.standard_normal(SR * 3) * 0.3).astype(np.float32)  # unrelated clip
+    for clip in (a, b):
+        resp = server.transcribe(
+            audio_base64=pcm_b64(clip), audio_format="pcm_s16le", sample_rate=SR
+        )
+        assert resp["success"]
+    assert server._session.session_resets == 2
+    assert server._session.session_hits == 0
