@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import threading
 import time
 from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
 
@@ -28,6 +29,17 @@ from light_whisper_tpu.llm.provider import (
 MAX_OUTPUT_TOKENS = 4096
 RETRY_DELAYS_SECONDS = (1.0, 3.0)
 
+# ChatGPT-OAuth Codex sessions bypass the configured endpoint URL and post to
+# the Codex Responses backend (codex_oauth_service.rs:22).
+CHATGPT_CODEX_RESPONSES_URL = "https://chatgpt.com/backend-api/codex/responses"
+# The product-facing name is "fast mode" but the legal wire value for the
+# Responses API service_tier field is "priority" (llm_client.rs:140-162;
+# official Codex CLI remaps ServiceTier::Fast → "priority").
+OPENAI_FAST_MODE_SERVICE_TIER = "priority"
+OPENAI_SERVICE_TIER_WHITELIST = ("auto", "default", "flex", "priority")
+_CODEX_ORIGINATOR = "codex_cli_rs"
+_CODEX_USER_AGENT = "codex-cli"
+
 
 @dataclasses.dataclass
 class LlmRequestOptions:
@@ -35,6 +47,8 @@ class LlmRequestOptions:
     json_output: bool = False
     web_search: bool = False
     reasoning_mode: ReasoningMode = ReasoningMode.PROVIDER_DEFAULT
+    # OAuth-origin OpenAI requests may opt into priority processing.
+    openai_fast_mode: bool = False
 
 
 @dataclasses.dataclass
@@ -42,6 +56,7 @@ class LlmResponse:
     text: str
     raw: Optional[Dict[str, Any]] = None
     streamed: bool = False
+    citations: List[Dict[str, str]] = dataclasses.field(default_factory=list)
 
 
 class LlmHttpError(RuntimeError):
@@ -57,10 +72,114 @@ class LlmHttpError(RuntimeError):
 
 
 def _chat_output_limit_key(endpoint: LlmEndpoint) -> str:
-    # Newer OpenAI-compatible backends reject max_tokens; the reference
-    # memoizes per-endpoint capability — default to the modern key for
-    # openai itself, legacy key elsewhere.
+    # Newer OpenAI-compatible backends reject max_tokens — modern key for
+    # openai itself, legacy key elsewhere (llm_client.rs:130-138).
     return "max_completion_tokens" if endpoint.provider == "openai" else "max_tokens"
+
+
+# -- per-endpoint output-limit capability memoization -----------------------
+# Some backends reject ANY output-token-limit field. After one successful
+# stripped retry the endpoint is remembered so later requests skip the
+# guaranteed-failing first attempt (llm_client.rs:199-252).
+
+_OUTPUT_LIMIT_KEYS = ("max_output_tokens", "max_completion_tokens", "max_tokens")
+_output_limit_unsupported: set = set()
+_capability_lock = threading.Lock()
+
+
+def _endpoint_capability_key(endpoint: LlmEndpoint) -> str:
+    return f"{endpoint.api_format}|{endpoint.api_url}|{endpoint.model.strip().lower()}"
+
+
+def output_limit_unsupported(endpoint: LlmEndpoint) -> bool:
+    with _capability_lock:
+        return _endpoint_capability_key(endpoint) in _output_limit_unsupported
+
+
+def remember_output_limit_unsupported(endpoint: LlmEndpoint) -> None:
+    with _capability_lock:
+        _output_limit_unsupported.add(_endpoint_capability_key(endpoint))
+
+
+def reset_capability_cache() -> None:
+    """Test hook: forget every memoized endpoint capability."""
+    with _capability_lock:
+        _output_limit_unsupported.clear()
+
+
+def strip_output_token_limits(body: Dict[str, Any]) -> None:
+    for key in _OUTPUT_LIMIT_KEYS:
+        body.pop(key, None)
+
+
+def has_output_token_limit(body: Dict[str, Any]) -> bool:
+    return any(key in body for key in _OUTPUT_LIMIT_KEYS)
+
+
+def looks_like_output_limit_unsupported_error(message: str) -> bool:
+    """Error-shape heuristic matching llm_client.rs:199-213."""
+    lowered = message.lower()
+    mentions_limit = any(
+        phrase in lowered
+        for phrase in (
+            "max_output_tokens",
+            "max_tokens",
+            "max completion tokens",
+            "max_completion_tokens",
+            "maximum output tokens",
+        )
+    )
+    mentions_unsupported = any(
+        phrase in lowered
+        for phrase in (
+            "unsupported",
+            "not supported",
+            "unknown parameter",
+            "unrecognized parameter",
+            "not recognized",
+        )
+    )
+    return mentions_limit and mentions_unsupported
+
+
+# -- OAuth-origin backend adaptation ----------------------------------------
+
+
+def uses_codex_chatgpt_backend(endpoint: LlmEndpoint, api_key: str) -> bool:
+    from light_whisper_tpu.llm.codex_oauth import decode_chatgpt_bearer
+
+    return endpoint.provider == "openai" and decode_chatgpt_bearer(api_key) is not None
+
+
+def uses_openai_oauth_origin_auth(endpoint: LlmEndpoint, api_key: str) -> bool:
+    from light_whisper_tpu.llm.codex_oauth import is_oauth_origin_auth
+
+    return endpoint.provider == "openai" and is_oauth_origin_auth(api_key)
+
+
+def adapt_body_for_backend(
+    endpoint: LlmEndpoint,
+    api_key: str,
+    body: Dict[str, Any],
+    fast_mode: bool = False,
+) -> Dict[str, Any]:
+    """ChatGPT-OAuth Codex body adaptation (llm_client.rs:165-196).
+
+    The Codex backend rejects output-token-limit fields outright (strip them
+    up front rather than pay a guaranteed failed first request), requires
+    ``store: false`` and streaming on the Responses API, and — for any
+    OAuth-origin auth — accepts the fast-mode ``service_tier``."""
+    adapted = dict(body)
+    if not uses_openai_oauth_origin_auth(endpoint, api_key):
+        return adapted
+    if uses_codex_chatgpt_backend(endpoint, api_key):
+        strip_output_token_limits(adapted)
+        adapted["store"] = False
+        if uses_responses_api(endpoint):
+            adapted["stream"] = True
+    if fast_mode:
+        adapted["service_tier"] = OPENAI_FAST_MODE_SERVICE_TIER
+    return adapted
 
 
 def build_llm_body(
@@ -183,6 +302,27 @@ def extract_text(endpoint: LlmEndpoint, payload: Dict[str, Any]) -> str:
     return ""
 
 
+def collect_url_citations(value: Any, _seen: Optional[set] = None) -> List[Dict[str, str]]:
+    """Recursively harvest ``url_citation`` annotations from any response
+    fragment, deduplicated by URL (llm_client.rs:473-510). Works on full
+    payloads and on individual SSE events."""
+    seen = _seen if _seen is not None else set()
+    found: List[Dict[str, str]] = []
+    if isinstance(value, dict):
+        if value.get("type") == "url_citation":
+            url = str(value.get("url") or "").strip()
+            if url and url not in seen:
+                seen.add(url)
+                title = str(value.get("title") or "").strip()
+                found.append({"title": title or url, "url": url})
+        for child in value.values():
+            found.extend(collect_url_citations(child, seen))
+    elif isinstance(value, list):
+        for child in value:
+            found.extend(collect_url_citations(child, seen))
+    return found
+
+
 def iter_sse_events(lines: Iterable[str]) -> Iterator[Dict[str, Any]]:
     """Parse ``data: {...}`` SSE lines into JSON events (skipping keepalives)."""
     for line in lines:
@@ -246,7 +386,28 @@ class UrllibLlmTransport:
 def auth_headers(endpoint: LlmEndpoint, api_key: str) -> Dict[str, str]:
     if endpoint.api_format == ApiFormat.ANTHROPIC:
         return {"x-api-key": api_key, "anthropic-version": "2023-06-01"}
-    return {"Authorization": f"Bearer {api_key}"}
+    # OAuth-origin encodings carry the real bearer inside the stored key
+    # (llm_provider.rs:1306-1346): ChatGPT-session tokens also pin the
+    # account id + originator headers; OAuth-exchanged API keys unwrap to a
+    # plain bearer.
+    from light_whisper_tpu.llm.codex_oauth import (
+        decode_chatgpt_bearer,
+        decode_oauth_api_key,
+    )
+
+    session = decode_chatgpt_bearer(api_key)
+    if session is not None:
+        headers = {
+            "Authorization": f"Bearer {session.get('access_token', '')}",
+            "originator": _CODEX_ORIGINATOR,
+            "User-Agent": _CODEX_USER_AGENT,
+        }
+        account_id = (session.get("account_id") or "").strip()
+        if account_id:
+            headers["ChatGPT-Account-ID"] = account_id
+        return headers
+    unwrapped = decode_oauth_api_key(api_key)
+    return {"Authorization": f"Bearer {unwrapped or api_key}"}
 
 
 def send_llm_request(
@@ -257,36 +418,77 @@ def send_llm_request(
     options: Optional[LlmRequestOptions] = None,
     transport=None,
     on_delta: Optional[Callable[[str], None]] = None,
+    on_citation: Optional[Callable[[Dict[str, str]], None]] = None,
 ) -> LlmResponse:
-    """Send with 429 retries; streams when the server does, else collects."""
+    """Send with 429 retries; streams when the server does, else collects.
+
+    Also handles the two capability negotiations the reference client does
+    in-flight (llm_client.rs:1150-1290): OAuth-origin Codex body adaptation,
+    and a strip-and-retry when the backend rejects output-token-limit fields
+    (memoized per endpoint so the failing first attempt isn't repeated)."""
     options = options or LlmRequestOptions()
     transport = transport or UrllibLlmTransport()
     body = build_llm_body(endpoint, system_prompt, user_text, options)
+    body = adapt_body_for_backend(endpoint, api_key, body, options.openai_fast_mode)
+    if output_limit_unsupported(endpoint):
+        strip_output_token_limits(body)
     timeout = dynamic_timeout(endpoint.timeout_secs, len(user_text), options.web_search)
     headers = auth_headers(endpoint, api_key)
+    url = (
+        CHATGPT_CODEX_RESPONSES_URL
+        if uses_codex_chatgpt_backend(endpoint, api_key)
+        else endpoint.api_url
+    )
 
-    last_error: Optional[Exception] = None
-    for attempt in range(len(RETRY_DELAYS_SECONDS) + 1):
+    def _notify(citations: List[Dict[str, str]]) -> None:
+        if on_citation:
+            for citation in citations:
+                on_citation(citation)
+
+    stripped_limits = False
+    attempt = 0
+    while True:
         try:
-            status, is_stream, payload = transport.post(
-                endpoint.api_url, headers, body, timeout
-            )
+            status, is_stream, payload = transport.post(url, headers, body, timeout)
             if is_stream:
                 pieces: List[str] = []
+                citations: List[Dict[str, str]] = []
+                seen_urls: set = set()
                 for event in iter_sse_events(payload):
                     delta = stream_delta(endpoint, event)
                     if delta:
                         pieces.append(delta)
                         if on_delta:
                             on_delta(delta)
-                return LlmResponse(text="".join(pieces), streamed=True)
-            return LlmResponse(
-                text=extract_text(endpoint, payload), raw=payload, streamed=False
-            )
+                    fresh = collect_url_citations(event, seen_urls)
+                    citations.extend(fresh)
+                    _notify(fresh)
+                response = LlmResponse(
+                    text="".join(pieces), streamed=True, citations=citations
+                )
+            else:
+                citations = collect_url_citations(payload)
+                _notify(citations)
+                response = LlmResponse(
+                    text=extract_text(endpoint, payload),
+                    raw=payload,
+                    streamed=False,
+                    citations=citations,
+                )
+            if stripped_limits:
+                remember_output_limit_unsupported(endpoint)
+            return response
         except LlmHttpError as err:
-            last_error = err
+            if (
+                not stripped_limits
+                and has_output_token_limit(body)
+                and looks_like_output_limit_unsupported_error(err.message)
+            ):
+                strip_output_token_limits(body)
+                stripped_limits = True
+                continue
             if err.status == 429 and attempt < len(RETRY_DELAYS_SECONDS):
                 time.sleep(RETRY_DELAYS_SECONDS[attempt])
+                attempt += 1
                 continue
             raise
-    raise last_error  # pragma: no cover
