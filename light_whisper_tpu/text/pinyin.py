@@ -6,10 +6,12 @@ The reference uses the Rust ``pinyin`` crate's default reading per character
 is that homophones map to the same string; characters absent from the table
 make the span ineligible (a conservative miss, never a false replacement).
 
-The built-in table covers frequent characters plus tech/dictation
-vocabulary. A full table (e.g. generated offline from Unihan ``kMandarin``)
-can be supplied via ``LIGHT_WHISPER_PINYIN_TABLE`` (a JSON object of
-``{"字": "zi"}``) and is merged over the built-in entries.
+Coverage: a generated table of 18.7k characters (``pinyin_data.py``,
+recovered from CLDR pinyin-collation groups — see
+``scripts/gen_pinyin_table.py``) underlies a hand-curated built-in table of
+dominant readings (which wins on polyphones); a user-supplied table via
+``LIGHT_WHISPER_PINYIN_TABLE`` (a JSON object of ``{"字": "zi"}``) merges
+over both.
 """
 
 from __future__ import annotations
@@ -153,12 +155,29 @@ _BUILTIN = {
     "音": "yin", "频": "pin", "像": "xiang", "缓": "huan", "优": "you", "迭": "die",
     "态": "tai", "令": "ling", "牌": "pai", "启": "qi", "错": "cuo", "误": "wu",
     "调": "diao", "试": "shi", "窗": "chuang", "键": "jian", "盘": "pan", "鼠": "shu",
+    # dominant readings that differ from the CLDR collation reading (the
+    # generated table groups these by their collation reading; this overlay
+    # wins — see scripts/gen_pinyin_table.py ANCHOR_EXCLUDE)
+    "佛": "fo", "咳": "ke",
 }
 
 
 @functools.lru_cache(maxsize=1)
 def pinyin_table() -> Dict[str, str]:
-    table = dict(_BUILTIN)
+    # Broad generated table first (18k+ chars recovered from CLDR pinyin
+    # collation — see scripts/gen_pinyin_table.py), then the hand-curated
+    # dominant readings on top (wins on polyphones like 佛/咳), then any
+    # user-supplied table.
+    table: Dict[str, str] = {}
+    try:
+        from light_whisper_tpu.text.pinyin_data import SYLLABLE_CHARS
+
+        for syllable, chars in SYLLABLE_CHARS.items():
+            for ch in chars:
+                table[ch] = syllable
+    except ImportError:  # generated data stripped from a minimal install
+        pass
+    table.update(_BUILTIN)
     extra_path = os.environ.get("LIGHT_WHISPER_PINYIN_TABLE")
     if extra_path and os.path.isfile(extra_path):
         try:
