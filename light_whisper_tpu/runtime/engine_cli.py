@@ -41,16 +41,31 @@ def main(argv=None) -> None:
     sub = parser.add_subparsers(dest="command", required=True)
 
     serve_p = sub.add_parser("serve")
-    serve_p.add_argument("--engine", required=True, choices=ENGINE_CHOICES)
+    serve_p.add_argument("--engine", choices=ENGINE_CHOICES)
 
     dl_p = sub.add_parser("download")
     dl_p.add_argument("--engine", required=True, choices=ENGINE_CHOICES)
 
     args = parser.parse_args(argv)
     if args.command == "serve":
-        cmd_serve(args.engine)
+        cmd_serve(args.engine or _configured_local_engine())
     elif args.command == "download":
         cmd_download(args.engine)
+
+
+def _configured_local_engine() -> str:
+    """No --engine: env wins, then the atomic engine.json store, then the
+    default — online engines (glm/alibaba) can't be served locally and fall
+    back too (paths.rs:55-65 whitelist semantics)."""
+    import os
+
+    env_engine = os.environ.get("LIGHT_WHISPER_ASR_ENGINE")
+    if env_engine in ENGINE_CHOICES:
+        return env_engine
+    from light_whisper_tpu.runtime.config import read_engine_config
+
+    configured = read_engine_config()
+    return configured if configured in ENGINE_CHOICES else ENGINE_CHOICES[0]
 
 
 if __name__ == "__main__":
