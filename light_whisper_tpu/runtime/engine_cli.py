@@ -36,6 +36,36 @@ def cmd_download(engine: str) -> None:
     download_model(engine)
 
 
+def cmd_install(archive: str, dest: str) -> None:
+    """Extract a packaged engine archive with fingerprint gating.
+
+    Shell-side counterpart of the reference's bundled-engine extraction
+    (``funasr_service.rs:502-544``): reuses an install whose ``.version``
+    marker matches, otherwise stages + atomically swaps. Progress goes to
+    stdout as JSON lines (the shell's extraction progress events).
+    """
+    import json
+    import sys
+
+    from light_whisper_tpu.runtime.install import ensure_installed
+
+    def progress(done: int, final: bool) -> None:
+        print(json.dumps({"status": "extracting", "entries": done, "final": final}))
+        sys.stdout.flush()
+
+    result = ensure_installed(archive, dest, progress=progress)
+    print(
+        json.dumps(
+            {
+                "status": "installed",
+                "engine_dir": result.engine_dir,
+                "fingerprint": result.fingerprint,
+                "extracted": result.extracted,
+            }
+        )
+    )
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="light-whisper-engine")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -46,11 +76,17 @@ def main(argv=None) -> None:
     dl_p = sub.add_parser("download")
     dl_p.add_argument("--engine", required=True, choices=ENGINE_CHOICES)
 
+    inst_p = sub.add_parser("install")
+    inst_p.add_argument("--archive", required=True)
+    inst_p.add_argument("--dest", required=True)
+
     args = parser.parse_args(argv)
     if args.command == "serve":
         cmd_serve(args.engine or _configured_local_engine())
     elif args.command == "download":
         cmd_download(args.engine)
+    elif args.command == "install":
+        cmd_install(args.archive, args.dest)
 
 
 def _configured_local_engine() -> str:

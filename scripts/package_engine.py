@@ -100,13 +100,47 @@ def build_archive(out_path: str, source_root: str = REPO_ROOT) -> str:
     return fingerprint
 
 
+def build_native(source_root: str = REPO_ROOT) -> str | None:
+    """Stage 1: compile the native host runtime so the archive ships a .so.
+
+    Counterpart of the reference's PyInstaller + CUDA-provider stage
+    (``build_engine.py:79-151``): the bundle must be runnable without a
+    toolchain on the install host. Failure is non-fatal — the binding has
+    numpy fallbacks — but is reported.
+    """
+    sys.path.insert(0, source_root)
+    try:
+        from light_whisper_tpu.native.binding import build_library
+
+        return build_library(force=True)
+    except Exception as exc:  # pragma: no cover - toolchain-dependent
+        print(f"warning: native build skipped ({exc})", file=sys.stderr)
+        return None
+    finally:
+        sys.path.pop(0)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", default="dist/light-whisper-tpu-engine.tar.xz")
+    parser.add_argument(
+        "--skip-native", action="store_true", help="don't compile the C++ runtime"
+    )
     args = parser.parse_args()
+
+    print("step 1/3: native runtime")
+    if args.skip_native:
+        print("  skipped (--skip-native)")
+    else:
+        lib = build_native()
+        print(f"  {'built ' + lib if lib else 'unavailable (numpy fallbacks ship instead)'}")
+
+    print("step 2/3: stage + prune (tests, caches, build residue excluded)")
+    print("step 3/3: archive (staged, atomic) + fingerprint stamp")
     fingerprint = build_archive(args.out)
     size = os.path.getsize(args.out)
-    print(f"wrote {args.out} ({size} bytes, sha256={fingerprint})")
+    print(f"wrote {args.out} ({size / 1e6:.1f} MB, sha256={fingerprint})")
+    print(f"stamped {args.out}.version")
 
 
 if __name__ == "__main__":
