@@ -20,9 +20,15 @@ from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
 
 from light_whisper_tpu.llm.provider import (
     ApiFormat,
+    AutoStrategy,
     LlmEndpoint,
     ReasoningMode,
     apply_reasoning_controls,
+    applied_auto_strategy,
+    auto_reasoning_fallback_bodies,
+    looks_like_reasoning_unsupported,
+    remember_auto_strategy,
+    strip_reasoning_controls,
     uses_responses_api,
 )
 
@@ -103,8 +109,11 @@ def remember_output_limit_unsupported(endpoint: LlmEndpoint) -> None:
 
 def reset_capability_cache() -> None:
     """Test hook: forget every memoized endpoint capability."""
+    from light_whisper_tpu.llm import provider as _provider
+
     with _capability_lock:
         _output_limit_unsupported.clear()
+    _provider._AUTO_STRATEGY_CACHE.clear()
 
 
 def strip_output_token_limits(body: Dict[str, Any]) -> None:
@@ -446,6 +455,12 @@ def send_llm_request(
                 on_citation(citation)
 
     stripped_limits = False
+    # Auto-probe ladder for thinking params on unknown OpenAI-compatible
+    # backends (llm_provider.rs:1107-1140): on a reasoning-param rejection,
+    # retry with the alternative strategies, then bare; memoize what stuck.
+    reasoning_fallbacks: Optional[List] = None
+    used_reasoning_strategy = applied_auto_strategy(body)
+    reasoning_was_negotiated = False
     attempt = 0
     while True:
         try:
@@ -477,8 +492,28 @@ def send_llm_request(
                 )
             if stripped_limits:
                 remember_output_limit_unsupported(endpoint)
+            if reasoning_was_negotiated:
+                remember_auto_strategy(
+                    endpoint,
+                    options.reasoning_mode,
+                    used_reasoning_strategy or AutoStrategy.NO_CONTROLS,
+                )
             return response
         except LlmHttpError as err:
+            if looks_like_reasoning_unsupported(err.message):
+                if reasoning_fallbacks is None:
+                    reasoning_fallbacks = auto_reasoning_fallback_bodies(
+                        endpoint, body, options.reasoning_mode
+                    )
+                    if reasoning_fallbacks:
+                        # Terminal rung: no controls at all.
+                        bare = dict(body)
+                        strip_reasoning_controls(bare)
+                        reasoning_fallbacks.append((None, bare))
+                if reasoning_fallbacks:
+                    used_reasoning_strategy, body = reasoning_fallbacks.pop(0)
+                    reasoning_was_negotiated = True
+                    continue
             if (
                 not stripped_limits
                 and has_output_token_limit(body)

@@ -109,6 +109,58 @@ def uses_responses_api(endpoint: LlmEndpoint) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# endpoint classification (llm_provider.rs:622-668)
+#
+# "like" classifiers look at the URL host and model name, not just the
+# configured provider id — a custom endpoint pointed at deepseek.com gets
+# DeepSeek's wire params.
+# ---------------------------------------------------------------------------
+
+
+def endpoint_host(endpoint: LlmEndpoint) -> Optional[str]:
+    from urllib.parse import urlparse
+
+    try:
+        host = urlparse(endpoint.api_url).hostname
+    except ValueError:
+        return None
+    return host.lower() if host else None
+
+
+def _host_matches(endpoint: LlmEndpoint, domain: str) -> bool:
+    host = endpoint_host(endpoint)
+    return host is not None and (host == domain or host.endswith("." + domain))
+
+
+def is_volcengine_like(endpoint: LlmEndpoint) -> bool:
+    if endpoint.api_format != ApiFormat.OPENAI_COMPAT:
+        return False
+    model = endpoint.model.strip().lower()
+    return (
+        _host_matches(endpoint, "volces.com")
+        or _host_matches(endpoint, "volcengine.com")
+        or "doubao" in model
+        or "seed-" in model
+    )
+
+
+def is_deepseek_like(endpoint: LlmEndpoint) -> bool:
+    return endpoint.provider == "deepseek" or _host_matches(endpoint, "deepseek.com")
+
+
+def is_siliconflow_like(endpoint: LlmEndpoint) -> bool:
+    return endpoint.provider == "siliconflow" or _host_matches(endpoint, "siliconflow.com")
+
+
+def is_cerebras_like(endpoint: LlmEndpoint) -> bool:
+    return endpoint.provider == "cerebras" or _host_matches(endpoint, "cerebras.ai")
+
+
+def is_openai_like(endpoint: LlmEndpoint) -> bool:
+    return endpoint.provider == "openai" or endpoint_host(endpoint) == "api.openai.com"
+
+
+# ---------------------------------------------------------------------------
 # reasoning controls
 # ---------------------------------------------------------------------------
 
@@ -202,10 +254,249 @@ def supports_cerebras_reasoning(model: str) -> bool:
     return model.strip().lower().rsplit("/", 1)[-1] == "gpt-oss-120b"
 
 
+def supports_volcengine_thinking(model: str) -> bool:
+    m = model.strip().lower()
+    doubao_family = (
+        "doubao-seed-1-6-" in m
+        or "doubao-seed-2-0-" in m
+        or "doubao-1.5-thinking-pro" in m
+        or "doubao" in m
+    )
+    return doubao_family and any(
+        key in m
+        for key in ("thinking", "flash", "seed-2-0-mini", "seed-2-0-lite", "seed-2-0-pro")
+    )
+
+
+# --- strategy taxonomy (llm_provider.rs:778-883) ---------------------------
+
+
+class ReasoningControl(enum.Enum):
+    """Which wire-parameter family controls thinking on this endpoint."""
+
+    OPENAI_EFFORT = "openai_reasoning_effort"
+    ANTHROPIC_THINKING = "anthropic_thinking"
+    DEEPSEEK_THINKING = "deepseek_thinking"
+    SILICONFLOW_THINKING_BUDGET = "siliconflow_thinking_budget"
+    CEREBRAS_REASONING_EFFORT = "cerebras_reasoning_effort"
+    CEREBRAS_GLM_TOGGLE = "cerebras_disable_reasoning"
+    VOLCENGINE_THINKING_TYPE = "volcengine_thinking_type"
+    AUTO_OPENAI_COMPAT = "auto_openai_compat_probe"
+
+
+_CONTROL_SUMMARY = {
+    ReasoningControl.OPENAI_EFFORT: "当前模型支持 reasoning effort；关闭/轻量/标准/深度会映射为对应的推理强度。",
+    ReasoningControl.ANTHROPIC_THINKING: "当前模型支持 extended thinking；会映射为 thinking + budget_tokens。",
+    ReasoningControl.DEEPSEEK_THINKING: "当前模型支持 thinking.type；关闭会下发 disabled，其余档位会启用 thinking。",
+    ReasoningControl.SILICONFLOW_THINKING_BUDGET: "当前模型支持 thinking_budget；不同档位会映射为不同预算。",
+    ReasoningControl.CEREBRAS_REASONING_EFFORT: "当前模型支持 reasoning_effort；不同档位会映射为不同强度。",
+    ReasoningControl.CEREBRAS_GLM_TOGGLE: "当前模型支持 disable_reasoning；关闭会禁用推理，其余档位会启用推理。",
+    ReasoningControl.VOLCENGINE_THINKING_TYPE: "当前模型支持 thinking.type；关闭=disabled，轻量/标准=auto，深度=enabled。",
+    ReasoningControl.AUTO_OPENAI_COMPAT: "当前是 OpenAI-compatible 后端；会自动探测可用的思考控制参数并缓存成功策略。",
+}
+
+
+def reasoning_control_kind(endpoint: LlmEndpoint) -> Optional[ReasoningControl]:
+    """Classify the endpoint's reasoning control (llm_provider.rs:834-879).
+
+    Priority order matters: a custom endpoint can match several families
+    (e.g. a doubao model behind a custom URL); the reference resolves
+    anthropic → volcengine → deepseek → siliconflow → cerebras → auto-probe
+    → gpt-5 ladder.
+    """
+    model = endpoint.model.strip()
+    if endpoint.api_format == ApiFormat.ANTHROPIC:
+        return ReasoningControl.ANTHROPIC_THINKING if supports_anthropic_thinking(model) else None
+    if (
+        is_volcengine_like(endpoint)
+        and not uses_responses_api(endpoint)
+        and supports_volcengine_thinking(model)
+    ):
+        return ReasoningControl.VOLCENGINE_THINKING_TYPE
+    if is_deepseek_like(endpoint) and supports_deepseek_thinking(model):
+        return ReasoningControl.DEEPSEEK_THINKING
+    if is_siliconflow_like(endpoint) and supports_siliconflow_reasoning(model):
+        return ReasoningControl.SILICONFLOW_THINKING_BUDGET
+    if is_cerebras_like(endpoint):
+        if supports_cerebras_reasoning(model):
+            return ReasoningControl.CEREBRAS_REASONING_EFFORT
+        if model.lower().rsplit("/", 1)[-1] == "zai-glm-4.7":
+            return ReasoningControl.CEREBRAS_GLM_TOGGLE
+    if endpoint.api_format == ApiFormat.OPENAI_COMPAT and not is_openai_like(endpoint):
+        return ReasoningControl.AUTO_OPENAI_COMPAT
+    if gpt5_reasoning_efforts(model) is not None:
+        return ReasoningControl.OPENAI_EFFORT
+    return None
+
+
+def reasoning_support(endpoint: LlmEndpoint) -> Dict[str, Any]:
+    """Capability report for the settings UI (llm_provider.rs:891-925)."""
+    kind = reasoning_control_kind(endpoint)
+    if kind is not None:
+        return {
+            "supported": True,
+            "strategy": kind.value,
+            "summary": _CONTROL_SUMMARY[kind],
+        }
+    if endpoint.api_format == ApiFormat.ANTHROPIC:
+        summary = "当前 Anthropic 模型不在官方支持 extended thinking 的型号内，思考模式不可用。"
+    elif is_volcengine_like(endpoint):
+        summary = "当前火山方舟模型不在官方支持 thinking.type 的型号内，思考模式不可用。"
+    elif is_deepseek_like(endpoint):
+        summary = "当前 DeepSeek 模型未识别到官方 thinking 控制能力，思考模式不可用。"
+    elif is_siliconflow_like(endpoint):
+        summary = "当前 SiliconFlow 模型不在官方支持 thinking_budget 的推理模型范围内，思考模式不可用。"
+    elif is_cerebras_like(endpoint):
+        summary = "当前 Cerebras 模型未识别到官方 reasoning_effort 支持，思考模式不可用。"
+    elif gpt5_reasoning_efforts(endpoint.model) is not None:
+        summary = "当前模型名看起来属于 GPT-5，但当前接口路径不支持对应的思考控制参数。"
+    else:
+        summary = "当前模型未识别到官方思考控制参数，思考模式不可用。"
+    return {"supported": False, "strategy": None, "summary": summary}
+
+
+# --- auto-probe strategies for generic OpenAI-compatible backends ----------
+#
+# Unknown OpenAI-compatible servers (vLLM, sglang, one-api gateways…) accept
+# different thinking params. The client tries a preferred strategy, falls
+# back on an "unsupported parameter" error, and memoizes what stuck
+# (llm_provider.rs:955-1140).
+
+
+class AutoStrategy(enum.Enum):
+    OPENAI_RESPONSES_REASONING = "openai_responses_reasoning"
+    OPENAI_CHAT_REASONING_EFFORT = "openai_chat_reasoning_effort"
+    TOP_LEVEL_THINKING = "top_level_thinking"
+    CHAT_TEMPLATE_THINKING = "chat_template_thinking"
+    NO_CONTROLS = "no_controls"
+
+
+_AUTO_STRATEGY_CACHE: Dict[str, AutoStrategy] = {}
+
+
+def _auto_cache_key(endpoint: LlmEndpoint, mode: ReasoningMode) -> str:
+    return "|".join(
+        (
+            endpoint.api_format.value,
+            endpoint.api_url,
+            endpoint.model.strip().lower(),
+            str(uses_responses_api(endpoint)),
+            mode.value,
+        )
+    )
+
+
+def cached_auto_strategy(endpoint: LlmEndpoint, mode: ReasoningMode) -> Optional[AutoStrategy]:
+    return _AUTO_STRATEGY_CACHE.get(_auto_cache_key(endpoint, mode))
+
+
+def remember_auto_strategy(
+    endpoint: LlmEndpoint, mode: ReasoningMode, strategy: AutoStrategy
+) -> None:
+    _AUTO_STRATEGY_CACHE[_auto_cache_key(endpoint, mode)] = strategy
+
+
+def _preferred_auto_strategy(endpoint: LlmEndpoint, mode: ReasoningMode) -> AutoStrategy:
+    if mode == ReasoningMode.OFF:
+        return AutoStrategy.TOP_LEVEL_THINKING
+    if uses_responses_api(endpoint):
+        return AutoStrategy.OPENAI_RESPONSES_REASONING
+    return AutoStrategy.OPENAI_CHAT_REASONING_EFFORT
+
+
+def _auto_fallback_strategies(endpoint: LlmEndpoint, mode: ReasoningMode) -> List[AutoStrategy]:
+    if mode == ReasoningMode.OFF:
+        return [AutoStrategy.CHAT_TEMPLATE_THINKING]
+    if uses_responses_api(endpoint):
+        return [AutoStrategy.OPENAI_CHAT_REASONING_EFFORT]
+    return [AutoStrategy.TOP_LEVEL_THINKING]
+
+
+_AUTO_EFFORTS = {
+    ReasoningMode.LIGHT: "low",
+    ReasoningMode.BALANCED: "medium",
+    ReasoningMode.DEEP: "high",
+}
+
+
+def _apply_auto_strategy(
+    body: Dict[str, Any], strategy: AutoStrategy, mode: ReasoningMode
+) -> None:
+    if strategy == AutoStrategy.OPENAI_RESPONSES_REASONING:
+        effort = _AUTO_EFFORTS.get(mode)
+        if effort is not None:
+            body["reasoning"] = {"effort": effort}
+    elif strategy == AutoStrategy.OPENAI_CHAT_REASONING_EFFORT:
+        effort = _AUTO_EFFORTS.get(mode)
+        if effort is not None:
+            body["reasoning_effort"] = effort
+    elif strategy == AutoStrategy.TOP_LEVEL_THINKING:
+        body["thinking"] = {"type": "disabled" if mode == ReasoningMode.OFF else "enabled"}
+    elif strategy == AutoStrategy.CHAT_TEMPLATE_THINKING:
+        body["chat_template_kwargs"] = {"thinking": mode != ReasoningMode.OFF}
+    # NO_CONTROLS: leave the body alone.
+
+
+def applied_auto_strategy(body: Dict[str, Any]) -> Optional[AutoStrategy]:
+    """Which strategy a prepared body carries (for fallback dedup)."""
+    if "thinking" in body:
+        return AutoStrategy.TOP_LEVEL_THINKING
+    if "chat_template_kwargs" in body:
+        return AutoStrategy.CHAT_TEMPLATE_THINKING
+    if "reasoning" in body:
+        return AutoStrategy.OPENAI_RESPONSES_REASONING
+    if "reasoning_effort" in body:
+        return AutoStrategy.OPENAI_CHAT_REASONING_EFFORT
+    return None
+
+
+def auto_reasoning_fallback_bodies(
+    endpoint: LlmEndpoint, request_body: Dict[str, Any], mode: ReasoningMode
+) -> List[tuple]:
+    """Alternative (strategy, body) pairs to retry after a param rejection.
+
+    Empty when the endpoint isn't an auto-probe one, the mode is provider
+    default, or a prior probe concluded the backend takes no controls.
+    """
+    if (
+        reasoning_control_kind(endpoint) != ReasoningControl.AUTO_OPENAI_COMPAT
+        or mode == ReasoningMode.PROVIDER_DEFAULT
+    ):
+        return []
+    cached = cached_auto_strategy(endpoint, mode)
+    if cached == AutoStrategy.NO_CONTROLS:
+        return []
+    current = applied_auto_strategy(request_body) or cached
+    base = dict(request_body)
+    strip_reasoning_controls(base)
+    out = []
+    for strategy in _auto_fallback_strategies(endpoint, mode):
+        if strategy == current:
+            continue
+        body = dict(base)
+        _apply_auto_strategy(body, strategy, mode)
+        out.append((strategy, body))
+    return out
+
+
+# --- per-mode wire-parameter application (llm_provider.rs:1142-1239) -------
+
 _ANTHROPIC_THINKING_BUDGETS = {
-    ReasoningMode.LIGHT: 2048,
-    ReasoningMode.BALANCED: 6144,
-    ReasoningMode.DEEP: 16384,
+    ReasoningMode.LIGHT: 1024,
+    ReasoningMode.BALANCED: 2048,
+    ReasoningMode.DEEP: 4096,
+}
+
+_SILICONFLOW_THINKING_BUDGETS = {
+    ReasoningMode.LIGHT: 1024,
+    ReasoningMode.BALANCED: 4096,
+    ReasoningMode.DEEP: 8192,
+}
+
+_CEREBRAS_EFFORTS = {
+    ReasoningMode.LIGHT: "low",
+    ReasoningMode.BALANCED: "medium",
+    ReasoningMode.DEEP: "high",
 }
 
 
@@ -213,45 +504,69 @@ def apply_reasoning_controls(
     endpoint: LlmEndpoint, body: Dict[str, Any], mode: ReasoningMode
 ) -> None:
     """Mutate a request body with the provider's reasoning wire params."""
-    if mode == ReasoningMode.PROVIDER_DEFAULT:
+    kind = reasoning_control_kind(endpoint)
+    if kind is None:
         return
 
-    if endpoint.api_format == ApiFormat.ANTHROPIC:
-        if not supports_anthropic_thinking(endpoint.model):
-            return
-        if mode == ReasoningMode.OFF:
-            body["thinking"] = {"type": "disabled"}
-        else:
+    if mode == ReasoningMode.PROVIDER_DEFAULT:
+        # Cerebras default effort is pinned low: the server-side default is
+        # aggressive enough to visibly hurt TTFT (llm_provider.rs:1153-1158).
+        if kind == ReasoningControl.CEREBRAS_REASONING_EFFORT:
+            body["reasoning_effort"] = "low"
+        return
+
+    if kind == ReasoningControl.ANTHROPIC_THINKING:
+        if mode != ReasoningMode.OFF:
             body["thinking"] = {
                 "type": "enabled",
                 "budget_tokens": _ANTHROPIC_THINKING_BUDGETS[mode],
             }
-        return
-
-    effort = gpt5_effort_for_mode(endpoint.model, mode)
-    if effort is not None:
-        if uses_responses_api(endpoint):
-            body["reasoning"] = {"effort": effort}
+    elif kind == ReasoningControl.VOLCENGINE_THINKING_TYPE:
+        body["thinking"] = {
+            "type": {
+                ReasoningMode.OFF: "disabled",
+                ReasoningMode.LIGHT: "auto",
+                ReasoningMode.BALANCED: "auto",
+                ReasoningMode.DEEP: "enabled",
+            }[mode]
+        }
+    elif kind == ReasoningControl.DEEPSEEK_THINKING:
+        body["thinking"] = {"type": "disabled" if mode == ReasoningMode.OFF else "enabled"}
+    elif kind == ReasoningControl.SILICONFLOW_THINKING_BUDGET:
+        if mode == ReasoningMode.OFF:
+            body["enable_thinking"] = False
         else:
-            body["reasoning_effort"] = effort
-        return
-
-    enabled = mode != ReasoningMode.OFF
-    if endpoint.provider == "deepseek" and supports_deepseek_thinking(endpoint.model):
-        body["thinking"] = {"type": "enabled" if enabled else "disabled"}
-    elif endpoint.provider == "siliconflow" and supports_siliconflow_reasoning(endpoint.model):
-        body["enable_thinking"] = enabled
-    elif endpoint.provider == "cerebras" and supports_cerebras_reasoning(endpoint.model):
-        body["reasoning_effort"] = {
-            ReasoningMode.OFF: "low",
-            ReasoningMode.LIGHT: "low",
-            ReasoningMode.BALANCED: "medium",
-            ReasoningMode.DEEP: "high",
-        }[mode]
+            body["enable_thinking"] = True
+            body["thinking_budget"] = _SILICONFLOW_THINKING_BUDGETS[mode]
+    elif kind == ReasoningControl.CEREBRAS_REASONING_EFFORT:
+        if mode != ReasoningMode.OFF:
+            body["reasoning_effort"] = _CEREBRAS_EFFORTS[mode]
+    elif kind == ReasoningControl.CEREBRAS_GLM_TOGGLE:
+        body["disable_reasoning"] = mode == ReasoningMode.OFF
+    elif kind == ReasoningControl.AUTO_OPENAI_COMPAT:
+        strategy = cached_auto_strategy(endpoint, mode) or _preferred_auto_strategy(
+            endpoint, mode
+        )
+        _apply_auto_strategy(body, strategy, mode)
+    elif kind == ReasoningControl.OPENAI_EFFORT:
+        effort = gpt5_effort_for_mode(endpoint.model, mode)
+        if effort is not None:
+            if uses_responses_api(endpoint):
+                body["reasoning"] = {"effort": effort}
+            else:
+                body["reasoning_effort"] = effort
 
 
 def strip_reasoning_controls(body: Dict[str, Any]) -> None:
-    for key in ("reasoning", "reasoning_effort", "thinking", "enable_thinking"):
+    for key in (
+        "reasoning",
+        "reasoning_effort",
+        "thinking",
+        "chat_template_kwargs",
+        "thinking_budget",
+        "enable_thinking",
+        "disable_reasoning",
+    ):
         body.pop(key, None)
 
 
@@ -260,25 +575,106 @@ def strip_reasoning_controls(body: Dict[str, Any]) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _indicates_unsupported(m: str) -> bool:
+    """Shared "the server rejected a parameter" signal (llm_provider.rs:557-566)."""
+    return any(
+        key in m
+        for key in (
+            "not supported",
+            "unsupported",
+            "does not support",
+            "not permitted",
+            "are not valid",
+            "invalidparameter",
+            "invalid parameter",
+            "badrequest",
+        )
+    )
+
+
 def looks_like_json_output_unsupported(message: str) -> bool:
     m = message.lower()
-    return (
-        "response_format" in m
-        or "json_object" in m
-        or ("json" in m and ("not supported" in m or "unsupported" in m or "invalid" in m))
+    mentions = any(
+        key in m
+        for key in (
+            "response_format",
+            "json_object",
+            "text.format",
+            "json schema",
+            "structured output",
+        )
+    )
+    return (mentions and _indicates_unsupported(m)) or (
+        ("response_format" in m or "json_object" in m)
+        and ("unknown" in m or "invalid" in m)
     )
 
 
 def looks_like_reasoning_unsupported(message: str) -> bool:
     m = message.lower()
-    return any(
+    mentions = any(
         key in m
-        for key in ("reasoning_effort", "reasoning.", "enable_thinking", "thinking")
-    ) and any(key in m for key in ("unsupported", "not supported", "unknown", "invalid", "unexpected"))
+        for key in (
+            "reasoning",
+            "reasoning_effort",
+            "thinking",
+            "chat_template_kwargs",
+            "budget_tokens",
+            "reasoning_content",
+            "enable_thinking",
+        )
+    )
+    return mentions and (
+        _indicates_unsupported(m)
+        or "unknown parameter" in m
+        or "unknown" in m
+        or "invalid" in m
+        or "unexpected" in m
+    )
 
 
 def looks_like_web_search_unsupported(message: str) -> bool:
     m = message.lower()
-    return ("web_search" in m or "tool" in m) and any(
-        key in m for key in ("unsupported", "not supported", "unknown", "invalid")
+    mentions = any(
+        key in m for key in ("web_search", "web search", "websearch", "search_preview", "tool")
+    )
+    return mentions and (
+        _indicates_unsupported(m) or "unknown" in m or "invalid" in m
+    )
+
+
+def looks_like_image_input_unsupported(message: str) -> bool:
+    """Vision capability probe: does this error mean "no image input"?
+
+    Reference: ``looks_like_image_input_unsupported_error``
+    (``llm_provider.rs:568-585``) — used to drop screenshot context and retry
+    text-only instead of failing the assistant request.
+    """
+    m = message.lower()
+    mentions_image = any(
+        key in m for key in ("image", "vision", "multimodal", "input_image", "image_url")
+    )
+    if not mentions_image:
+        return False
+    return (
+        _indicates_unsupported(m)
+        or "invalid image" in m
+        or "invalid content type" in m
+        or "unsupported content type" in m
+        or "unsupported modality" in m
+        or "modalities are not supported" in m
+        or ("unknown variant" in m and "expected" in m and "text" in m)
+        or "invalid_value" in m
+    )
+
+
+def image_support_cache_key(endpoint: LlmEndpoint) -> str:
+    """Memoization key for a probed "does this endpoint take images" bit."""
+    return "|".join(
+        (
+            endpoint.api_format.value,
+            endpoint.provider,
+            endpoint.api_url,
+            endpoint.model.strip().lower(),
+        )
     )

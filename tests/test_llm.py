@@ -114,7 +114,7 @@ def test_reasoning_controls_provider_toggles():
     silicon = endpoint_for_config("siliconflow", model="Qwen/Qwen3-32B")
     body = {}
     apply_reasoning_controls(silicon, body, ReasoningMode.DEEP)
-    assert body == {"enable_thinking": True}
+    assert body == {"enable_thinking": True, "thinking_budget": 8192}
 
     cerebras = endpoint_for_config("cerebras", model="gpt-oss-120b")
     body = {}
@@ -127,7 +127,7 @@ def test_reasoning_controls_provider_toggles():
     body = {}
     apply_reasoning_controls(anthropic, body, ReasoningMode.BALANCED)
     assert body["thinking"]["type"] == "enabled"
-    assert body["thinking"]["budget_tokens"] == 6144
+    assert body["thinking"]["budget_tokens"] == 2048  # llm_provider.rs:1163-1168
 
 
 def test_provider_default_mode_leaves_body_untouched():
