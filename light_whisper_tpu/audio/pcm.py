@@ -187,10 +187,15 @@ def _read_wav_mono_f32(path: str) -> Tuple[np.ndarray, int]:
 def encode_wav_mono_s16(samples_f32: np.ndarray, sample_rate: int) -> bytes:
     """Encode mono float32 samples to canonical 16-bit PCM WAV bytes."""
     pcm = np.clip(np.asarray(samples_f32) * 32768.0, -32768, 32767).astype("<i2")
+    return encode_wav_mono_pcm16(pcm, sample_rate)
+
+
+def encode_wav_mono_pcm16(samples_i16: np.ndarray, sample_rate: int) -> bytes:
+    """Encode mono int16 samples to WAV bytes, bit-exact (no f32 roundtrip)."""
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(pcm.tobytes())
+        w.writeframes(np.asarray(samples_i16, dtype="<i2").tobytes())
     return buf.getvalue()

@@ -39,6 +39,31 @@ MIN_INLINE_SECONDS = 0.5
 MAX_AUDIO_BYTES = 64 * 1024 * 1024  # raw-audio IPC cap (commands/funasr.rs:17-25)
 
 
+def _response_indicates_inline_unsupported(response: Dict[str, Any]) -> bool:
+    """Did the engine answer an inline-PCM transcribe as if it got a path?
+
+    Mirrors ``response_indicates_inline_unsupported``
+    (``funasr_service.rs:1236-1251``): a missing/``path`` ``input_mode`` means
+    the runtime predates the memory protocol; specific error shapes mean it
+    tried to treat the inline payload as a filename.
+    """
+    input_mode = response.get("input_mode")
+    if input_mode == "memory":
+        return False
+    if input_mode is None or input_mode == "path":
+        return True
+    error = response.get("error") or ""
+    return any(
+        marker in error
+        for marker in (
+            "音频文件不存在",
+            "path should be string",
+            "os.PathLike",
+            "NoneType",
+        )
+    )
+
+
 class EngineCrashed(RuntimeError):
     pass
 
@@ -83,6 +108,9 @@ class EngineClient:
         self._lock = threading.Lock()
         self._next_request_id = 1
         self.init_result: Optional[Dict[str, Any]] = None
+        # None = transport unprobed; True = inline PCM accepted; False = the
+        # runtime wants file paths (funasr_service.rs inline_audio_transport).
+        self._inline_transport: Optional[bool] = None
 
     # ------------------------------------------------------------------
 
@@ -199,10 +227,17 @@ class EngineClient:
         hot_words: Optional[List[str]] = None,
         timeout: float = RESPONSE_TIMEOUT_SECONDS,
     ) -> Dict[str, Any]:
-        """Inline-PCM transcription, zero-padding inputs below 0.5 s.
+        """Transcribe int16 samples, negotiating the audio transport.
 
-        Rejects raw audio above the 64 MB IPC cap (~33 min @16 kHz mono)
-        before spending base64/transport work, like the reference shell."""
+        Inline PCM is the fast path, but not every engine runtime takes it
+        (``funasr_service.rs:1162-1199``): the first inline response decides —
+        ``input_mode == "memory"`` pins inline, an inline-unsupported shape
+        pins the temp-WAV path transport for the rest of the session. Non-16k
+        audio always rides the WAV path (the memory protocol carries raw
+        samples whose rate the backends assume). Inputs below 0.5 s are
+        zero-padded; raw audio above the 64 MB IPC cap (~33 min @16 kHz mono)
+        is rejected before any base64/transport work.
+        """
         samples = np.asarray(samples, dtype="<i2").reshape(-1)
         if samples.nbytes > MAX_AUDIO_BYTES:
             raise ValueError(
@@ -213,6 +248,10 @@ class EngineClient:
             samples = np.concatenate(
                 [samples, np.zeros(min_samples - len(samples), dtype="<i2")]
             )
+
+        if sample_rate != 16_000 or self._inline_transport is False:
+            return self._transcribe_via_path(samples, sample_rate, hot_words, timeout)
+
         command: Dict[str, Any] = {
             "action": "transcribe",
             "audio_base64": base64.b64encode(samples.tobytes()).decode(),
@@ -221,7 +260,44 @@ class EngineClient:
         }
         if hot_words:
             command["hot_words"] = hot_words
-        return self.request(command, timeout)
+        response = self.request(command, timeout)
+        if response.get("input_mode") == "memory":
+            self._inline_transport = True
+            return response
+        if _response_indicates_inline_unsupported(response):
+            self._inline_transport = False
+            return self._transcribe_via_path(samples, sample_rate, hot_words, timeout)
+        self._inline_transport = True
+        return response
+
+    def _transcribe_via_path(
+        self,
+        samples: np.ndarray,
+        sample_rate: int,
+        hot_words: Optional[List[str]],
+        timeout: float,
+    ) -> Dict[str, Any]:
+        """Temp-WAV transport: bit-exact 16-bit WAV, unlinked after the call."""
+        import tempfile
+
+        from light_whisper_tpu.audio.pcm import encode_wav_mono_pcm16
+
+        wav_bytes = encode_wav_mono_pcm16(samples, sample_rate)
+        fd, path = tempfile.mkstemp(
+            prefix=f"light_whisper_audio_{os.getpid()}_", suffix=".wav"
+        )
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(wav_bytes)
+            command: Dict[str, Any] = {"action": "transcribe", "audio_path": path}
+            if hot_words:
+                command["hot_words"] = hot_words
+            return self.request(command, timeout)
+        finally:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
     def status(self) -> Dict[str, Any]:
         return self.request({"action": "status"})

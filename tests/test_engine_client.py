@@ -107,7 +107,9 @@ def test_request_ids_are_monotonic():
 
 
 def test_short_pcm_zero_padded():
-    client, stdin = make_client(['{"success": true, "request_id": 1}\n'])
+    client, stdin = make_client(
+        ['{"success": true, "request_id": 1, "input_mode": "memory"}\n']
+    )
     samples = np.ones(1000, dtype="<i2")  # 1000 < 8000 (0.5 s @ 16 kHz)
     client.transcribe_pcm16(samples, 16000)
     sent = json.loads(stdin.getvalue())
@@ -190,3 +192,108 @@ def test_transcribe_rejects_oversized_audio():
     too_big = np.zeros(MAX_AUDIO_BYTES // 2 + 1, dtype="<i2")
     with pytest.raises(ValueError, match="audio too large"):
         client.transcribe_pcm16(too_big, 16000)
+
+
+# -- inline→path transport negotiation (funasr_service.rs:1162-1251) ---------
+
+
+def test_inline_accepted_pins_memory_transport():
+    client, stdin = make_client(
+        [
+            '{"success": true, "request_id": 1, "input_mode": "memory"}\n',
+            '{"success": true, "request_id": 2, "input_mode": "memory"}\n',
+        ]
+    )
+    samples = np.ones(16000, dtype="<i2")
+    client.transcribe_pcm16(samples, 16000)
+    client.transcribe_pcm16(samples, 16000)
+    sent = [json.loads(l) for l in stdin.getvalue().splitlines()]
+    assert all("audio_base64" in s and "audio_path" not in s for s in sent)
+    assert client._inline_transport is True
+
+
+def test_legacy_path_only_runtime_triggers_wav_fallback(tmp_path):
+    # First response has no input_mode (legacy runtime) → client retries via
+    # temp WAV and pins the path transport for later calls.
+    seen_paths = []
+
+    class RecordingStdout(ScriptedStdout):
+        pass
+
+    client, stdin = make_client(
+        [
+            '{"success": true, "request_id": 1}\n',
+            '{"success": true, "request_id": 2, "text": "via path"}\n',
+            '{"success": true, "request_id": 3, "text": "still path"}\n',
+        ]
+    )
+    samples = (np.sin(np.arange(16000) / 20) * 1000).astype("<i2")
+    result = client.transcribe_pcm16(samples, 16000)
+    assert result["text"] == "via path"
+    sent = [json.loads(l) for l in stdin.getvalue().splitlines()]
+    assert "audio_base64" in sent[0]
+    assert "audio_path" in sent[1] and sent[1]["audio_path"].endswith(".wav")
+    assert client._inline_transport is False
+    # pinned: the next call goes straight to the path transport
+    client.transcribe_pcm16(samples, 16000)
+    sent = [json.loads(l) for l in stdin.getvalue().splitlines()]
+    assert "audio_path" in sent[2]
+    # temp WAVs are cleaned up
+    import glob
+    import tempfile
+
+    leftovers = glob.glob(
+        f"{tempfile.gettempdir()}/light_whisper_audio_*"
+    )
+    assert leftovers == []
+
+
+def test_inline_error_shape_triggers_fallback():
+    client, stdin = make_client(
+        [
+            '{"success": false, "request_id": 1, "input_mode": "other", '
+            '"error": "expected str, bytes or os.PathLike object"}\n',
+            '{"success": true, "request_id": 2, "text": "ok"}\n',
+        ]
+    )
+    samples = np.ones(16000, dtype="<i2")
+    result = client.transcribe_pcm16(samples, 16000)
+    assert result["text"] == "ok"
+    assert client._inline_transport is False
+
+
+def test_non_16k_audio_rides_wav_path_preserving_rate():
+    client, stdin = make_client(
+        ['{"success": true, "request_id": 1, "input_mode": "path"}\n']
+    )
+    samples = np.ones(48000, dtype="<i2")
+    client.transcribe_pcm16(samples, 48000)
+    sent = json.loads(stdin.getvalue().splitlines()[0])
+    assert "audio_path" in sent and "audio_base64" not in sent
+
+
+def test_wav_fallback_payload_is_bit_exact(tmp_path, monkeypatch):
+    # Capture the WAV the client writes and confirm samples survive exactly.
+    import wave
+
+    captured = {}
+    real_request = EngineClient.request
+
+    def spy_request(self, command, timeout=60.0):
+        if "audio_path" in command:
+            with wave.open(command["audio_path"], "rb") as w:
+                captured["rate"] = w.getframerate()
+                captured["data"] = np.frombuffer(
+                    w.readframes(w.getnframes()), dtype="<i2"
+                ).copy()
+        return real_request(self, command, timeout)
+
+    monkeypatch.setattr(EngineClient, "request", spy_request)
+    client, stdin = make_client(
+        ['{"success": true, "request_id": 1, "input_mode": "path"}\n']
+    )
+    client._inline_transport = False
+    samples = (np.arange(-16000, 0) % 32767).astype("<i2")
+    client.transcribe_pcm16(samples, 16000)
+    assert captured["rate"] == 16000
+    np.testing.assert_array_equal(captured["data"], samples)
