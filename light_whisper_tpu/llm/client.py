@@ -55,6 +55,9 @@ class LlmRequestOptions:
     reasoning_mode: ReasoningMode = ReasoningMode.PROVIDER_DEFAULT
     # OAuth-origin OpenAI requests may opt into priority processing.
     openai_fast_mode: bool = False
+    # Inline image inputs as (mime_type, base64) pairs — screenshot context
+    # for vision-capable endpoints (assistant_service.rs:947-1010).
+    images: List = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -198,6 +201,16 @@ def build_llm_body(
     options: LlmRequestOptions,
 ) -> Dict[str, Any]:
     if endpoint.api_format == ApiFormat.ANTHROPIC:
+        if options.images:
+            content: Any = [
+                {
+                    "type": "image",
+                    "source": {"type": "base64", "media_type": mime, "data": data},
+                }
+                for mime, data in options.images
+            ] + [{"type": "text", "text": user_text}]
+        else:
+            content = user_text
         body: Dict[str, Any] = {
             "model": endpoint.model,
             "max_tokens": MAX_OUTPUT_TOKENS,
@@ -208,7 +221,7 @@ def build_llm_body(
                     "cache_control": {"type": "ephemeral"},
                 }
             ],
-            "messages": [{"role": "user", "content": user_text}],
+            "messages": [{"role": "user", "content": content}],
             "stream": options.stream,
         }
         apply_reasoning_controls(endpoint, body, options.reasoning_mode)
@@ -237,7 +250,14 @@ def build_llm_body(
                 },
                 {
                     "role": "user",
-                    "content": [{"type": "input_text", "text": user_text}],
+                    "content": [
+                        {
+                            "type": "input_image",
+                            "image_url": f"data:{mime};base64,{data}",
+                        }
+                        for mime, data in options.images
+                    ]
+                    + [{"type": "input_text", "text": user_text}],
                 },
             ],
         }
@@ -245,11 +265,21 @@ def build_llm_body(
             body["text"] = {"format": {"type": "json_object"}}
         body["max_output_tokens"] = MAX_OUTPUT_TOKENS
     else:
+        if options.images:
+            user_content: Any = [
+                {
+                    "type": "image_url",
+                    "image_url": {"url": f"data:{mime};base64,{data}"},
+                }
+                for mime, data in options.images
+            ] + [{"type": "text", "text": user_text}]
+        else:
+            user_content = user_text
         body = {
             "model": endpoint.model,
             "messages": [
                 {"role": "system", "content": system_prompt},
-                {"role": "user", "content": user_text},
+                {"role": "user", "content": user_content},
             ],
         }
         if options.json_output:
