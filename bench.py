@@ -179,6 +179,28 @@ def main() -> None:
     eos_samples.sort()
     p50_eos_ms = eos_samples[len(eos_samples) // 2]
     print(f"[bench] eos latencies: {[round(v) for v in eos_samples]}", file=sys.stderr, flush=True)
+
+    # --- raw decode step cost -------------------------------------------
+    # ms per autoregressive token (full layer stack + logits), the number
+    # ROADMAP tracks against the ~3.2 ms weights-bandwidth floor.
+    step_budget = 64
+    decode_ms = []
+    for _ in range(3):
+        step_cache = dec.init_cache(cfg.decoder, 1024)._replace(pos=jnp.int32(160))
+        _tokens, count, _c = dec.decode_greedy(
+            cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, step_budget
+        )
+        jax.device_get(count)  # warm/compile
+        step_cache = dec.init_cache(cfg.decoder, 1024)._replace(pos=jnp.int32(160))
+        t0 = time.perf_counter()
+        _tokens, count, _c = dec.decode_greedy(
+            cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, step_budget
+        )
+        n = int(jax.device_get(count))
+        decode_ms.append((time.perf_counter() - t0) / max(n, 1) * 1000)
+    decode_ms.sort()
+    decode_ms_per_step = decode_ms[len(decode_ms) // 2]
+    print(f"[bench] decode ms/step: {[round(v, 2) for v in decode_ms]}", file=sys.stderr, flush=True)
     print(
         json.dumps(
             {
@@ -199,6 +221,7 @@ def main() -> None:
                     "p50_end_of_speech_to_text_ms": round(p50_eos_ms, 1),
                     "min_end_of_speech_to_text_ms": round(eos_samples[0], 1),
                     "eos_target_ms": 300,
+                    "decode_ms_per_step": round(decode_ms_per_step, 2),
                 },
             }
         )

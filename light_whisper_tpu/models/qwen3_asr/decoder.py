@@ -77,6 +77,47 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+_PROJ_NAMES = ("qkv", "o", "gateup", "down")
+
+
+def prepare_stacked_scales(params: Dict) -> Dict:
+    """Attach pre-transposed scales (``s_t``) to stacked Q8 projections.
+
+    The layer-indexed Pallas kernel wants scales as ``[L, in/32, out]`` so
+    their lane dim is the 128-aligned out-features axis. Transposing once at
+    load time keeps the transpose out of the decode ``while_loop`` (XLA's
+    loop-invariant motion is not guaranteed for materializing ops). Dense
+    and kernel-incompatible projections pass through untouched.
+    """
+    layers = params.get("layers")
+    if not isinstance(layers, dict):
+        return params
+    new_layers = dict(layers)
+    for name in _PROJ_NAMES:
+        p = layers.get(name)
+        if not isinstance(p, dict) or "q" not in p or "s_t" in p:
+            continue
+        _, out_f, in_f = p["q"].shape
+        if out_f < 256 or out_f % 128 != 0 or in_f % 512 != 0:
+            continue
+        new_layers[name] = dict(p, s_t=jnp.asarray(p["s"]).astype(jnp.bfloat16).transpose(0, 2, 1))
+    return dict(params, layers=new_layers)
+
+
+def _use_stacked_kernel(layers: Dict) -> bool:
+    """All four projections carry prepared stacked-kernel scales on TPU."""
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    return isinstance(layers, dict) and all(
+        isinstance(layers.get(name), dict) and "s_t" in layers[name]
+        for name in _PROJ_NAMES
+    )
+
+
 def _use_attention_kernel(T: int, n_heads: int, hd: int, capacity: int, n_kv: int) -> bool:
     try:
         platform = jax.default_backend()
@@ -87,6 +128,74 @@ def _use_attention_kernel(T: int, n_heads: int, hd: int, capacity: int, n_kv: in
     from light_whisper_tpu.ops.decode_attention import usable
 
     return usable(T, n_heads, hd, capacity, n_kv)
+
+
+# Above this capacity, prefill attention switches to the chunked
+# online-softmax formulation: the one-shot einsum materializes
+# [Hkv, G, T, C] f32 logits (≈1 GB at T=512, C=32k), which turns long-form
+# prefill HBM-bound on scratch traffic rather than on the KV cache itself.
+_CHUNKED_PREFILL_MIN_CAPACITY = 8192
+_PREFILL_KEY_CHUNK = 1024
+
+
+def _attention_chunked(
+    q: jax.Array,  # [T, Hq, hd]
+    k_cache: jax.Array,  # [Hkv, C, hd]
+    v_cache: jax.Array,
+    q_positions: jax.Array,  # [T]
+    head_groups: int,
+    dtype,
+) -> jax.Array:
+    """Flash-style causal attention: scan key chunks with a running
+    (max, denominator, accumulator) triple. Peak memory is O(T·chunk)
+    instead of O(T·C); every cache byte is still read exactly once.
+    Reference motivation: transcribe.cpp's 32k-ctx sessions
+    (``qwen3_asr_server.py:114-133``) on long-form audio.
+    """
+    n_kv, capacity, hd = k_cache.shape
+    T, n_heads, _ = q.shape
+    scale = hd ** -0.5
+    chunk = _PREFILL_KEY_CHUNK
+    n_chunks = capacity // chunk
+
+    qg = (
+        q.reshape(T, n_kv, head_groups, hd).transpose(1, 2, 0, 3).astype(dtype)
+    )  # [Hkv, G, T, hd]
+
+    def body(carry, chunk_idx):
+        m, l, acc = carry
+        base = chunk_idx * chunk
+        k_chunk = jax.lax.dynamic_slice(
+            k_cache, (0, base, 0), (n_kv, chunk, hd)
+        ).astype(dtype)
+        v_chunk = jax.lax.dynamic_slice(
+            v_cache, (0, base, 0), (n_kv, chunk, hd)
+        ).astype(dtype)
+        logits = jnp.einsum(
+            "kgtd,kcd->kgtc", qg, k_chunk, preferred_element_type=jnp.float32
+        ) * scale  # [Hkv, G, T, chunk]
+        mask = (base + jnp.arange(chunk))[None, :] <= q_positions[:, None]
+        logits = jnp.where(mask[None, None, :, :], logits, NEG_INF)
+
+        m_new = jnp.maximum(m, logits.max(axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new)
+        l = l * alpha + p.sum(axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum(
+            "kgtc,kcd->kgtd", p.astype(dtype), v_chunk,
+            preferred_element_type=jnp.float32,
+        )
+        return (m_new, l, acc), None
+
+    init = (
+        jnp.full((n_kv, head_groups, T, 1), NEG_INF, jnp.float32),
+        jnp.zeros((n_kv, head_groups, T, 1), jnp.float32),
+        jnp.zeros((n_kv, head_groups, T, hd), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    # Every query attends to at least its own position, so l ≥ exp(0) > 0.
+    out = acc / l
+    return out.transpose(2, 0, 1, 3).reshape(T, n_heads, hd).astype(q.dtype)
 
 
 def _attention(
@@ -106,6 +215,13 @@ def _attention(
         from light_whisper_tpu.ops.decode_attention import decode_attention_pallas
 
         return decode_attention_pallas(q, k_cache, v_cache, q_positions).astype(q.dtype)
+
+    if (
+        T > 1
+        and capacity >= _CHUNKED_PREFILL_MIN_CAPACITY
+        and capacity % _PREFILL_KEY_CHUNK == 0
+    ):
+        return _attention_chunked(q, k_cache, v_cache, q_positions, head_groups, dtype)
 
     # Grouped-query attention without materializing repeated K/V: the cache
     # (the dominant HBM traffic during decode) is read once per step.
@@ -154,13 +270,16 @@ def _layer_forward(
     pos: jax.Array,  # int32: cache fill level == absolute position of x[0]
     cos: jax.Array,
     sin: jax.Array,
+    proj=None,  # (name, h) → h @ W_name.T; defaults to this layer's params
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     T = x.shape[0]
     hd = cfg.key_length
     groups = cfg.head_count // cfg.head_count_kv
+    if proj is None:
+        proj = lambda name, h: apply_linear(layer[name], h)
 
     h = rms_norm(x, layer["attn_norm"], cfg.rms_epsilon)
-    q, k, v = _split_qkv(cfg, apply_linear(layer["qkv"], h), T)
+    q, k, v = _split_qkv(cfg, proj("qkv", h), T)
 
     q = rms_norm(q, layer["q_norm"], cfg.rms_epsilon)
     k = rms_norm(k, layer["k_norm"], cfg.rms_epsilon)
@@ -177,13 +296,80 @@ def _layer_forward(
 
     q_positions = pos + jnp.arange(T)
     attn = _attention(q, k_cache, v_cache, q_positions, groups, cfg.dtype)
-    x = x + apply_linear(layer["o"], attn.reshape(T, -1)).astype(x.dtype)
+    x = x + proj("o", attn.reshape(T, -1)).astype(x.dtype)
 
     h = rms_norm(x, layer["ffn_norm"], cfg.rms_epsilon)
-    gateup = apply_linear(layer["gateup"], h)
+    gateup = proj("gateup", h)
     gate, up = jnp.split(gateup, 2, axis=-1)
-    x = x + apply_linear(layer["down"], (jax.nn.silu(gate) * up).astype(x.dtype)).astype(x.dtype)
+    x = x + proj("down", (jax.nn.silu(gate) * up).astype(x.dtype)).astype(x.dtype)
     return x, k_cache, v_cache
+
+
+def _layer_forward_stacked(
+    cfg: DecoderConfig,
+    layers: Dict,  # full stacked params (closure constants for the kernels)
+    layer_small: Dict,  # this layer's norm weights (scanned slices, tiny)
+    idx: jax.Array,  # int32 layer index
+    x: jax.Array,  # [T, D]
+    k_all: jax.Array,  # [L, Hkv, C, hd] — whole cache, updated in place
+    v_all: jax.Array,
+    pos: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One layer through the layer-indexed kernels; cache stays whole."""
+    from light_whisper_tpu.ops.q8_matmul import q8_matmul_pallas_stacked
+
+    T = x.shape[0]
+    hd = cfg.key_length
+    groups = cfg.head_count // cfg.head_count_kv
+    n_kv = cfg.head_count_kv
+    capacity = k_all.shape[2]
+
+    def proj(name, h):
+        p = layers[name]
+        return q8_matmul_pallas_stacked(h, p["q"], p["s_t"], idx)
+
+    h = rms_norm(x, layer_small["attn_norm"], cfg.rms_epsilon)
+    q, k, v = _split_qkv(cfg, proj("qkv", h), T)
+    q = rms_norm(q, layer_small["q_norm"], cfg.rms_epsilon)
+    k = rms_norm(k, layer_small["k_norm"], cfg.rms_epsilon)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    k_all = jax.lax.dynamic_update_slice(
+        k_all, k.transpose(1, 0, 2).astype(k_all.dtype)[None], (idx, 0, pos, 0)
+    )
+    v_all = jax.lax.dynamic_update_slice(
+        v_all, v.transpose(1, 0, 2).astype(v_all.dtype)[None], (idx, 0, pos, 0)
+    )
+
+    q_positions = pos + jnp.arange(T)
+    if cfg.dtype == jnp.bfloat16 and _use_attention_kernel(
+        T, cfg.head_count, hd, capacity, n_kv
+    ):
+        from light_whisper_tpu.ops.decode_attention import (
+            decode_attention_pallas_stacked,
+        )
+
+        attn = decode_attention_pallas_stacked(
+            q, k_all, v_all, q_positions, idx
+        ).astype(q.dtype)
+    else:
+        k_layer = jax.lax.dynamic_slice(
+            k_all, (idx, 0, 0, 0), (1, n_kv, capacity, hd)
+        )[0]
+        v_layer = jax.lax.dynamic_slice(
+            v_all, (idx, 0, 0, 0), (1, n_kv, capacity, hd)
+        )[0]
+        attn = _attention(q, k_layer, v_layer, q_positions, groups, cfg.dtype)
+
+    x = x + proj("o", attn.reshape(T, -1)).astype(x.dtype)
+    h = rms_norm(x, layer_small["ffn_norm"], cfg.rms_epsilon)
+    gateup = proj("gateup", h)
+    gate, up = jnp.split(gateup, 2, axis=-1)
+    x = x + proj("down", (jax.nn.silu(gate) * up).astype(x.dtype)).astype(x.dtype)
+    return x, k_all, v_all
 
 
 def forward(
@@ -196,18 +382,46 @@ def forward(
     T = embeds.shape[0]
     positions = cache.pos + jnp.arange(T)
     cos, sin = rope_tables(positions, cfg.key_length, cfg.rope_freq_base)
+    layers = params["layers"]
 
-    def body(carry, layer_inputs):
-        x = carry
-        layer, k_cache, v_cache = layer_inputs
-        x, k_cache, v_cache = _layer_forward(
-            cfg, layer, x, k_cache, v_cache, cache.pos, cos, sin
+    if _use_stacked_kernel(layers):
+        # Layer-indexed path: the scan carries only the hidden state and the
+        # WHOLE cache; the big Q8 stacks and the KV cache stay in place in
+        # HBM and the kernels DMA the current layer's blocks directly at a
+        # scalar-prefetched offset. Slicing stacked weights/cache in the
+        # scan makes XLA materialize per-layer copies (~50 MB weights +
+        # ~8 MB cache per layer per step) — measured 7.5 → 5.0 ms/step on
+        # the 1.7B decode when removed (scripts/bench_decode_step.py).
+        small = {
+            name: value for name, value in layers.items() if name not in _PROJ_NAMES
+        }
+
+        def body(carry, layer_inputs):
+            x, k_all, v_all = carry
+            idx, layer_small = layer_inputs
+            x, k_all, v_all = _layer_forward_stacked(
+                cfg, layers, layer_small, idx, x, k_all, v_all, cache.pos, cos, sin
+            )
+            return (x, k_all, v_all), None
+
+        (x, new_k, new_v), _ = jax.lax.scan(
+            body,
+            (embeds, cache.k, cache.v),
+            (jnp.arange(cfg.block_count), small),
         )
-        return x, (k_cache, v_cache)
+    else:
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, embeds, (params["layers"], cache.k, cache.v)
-    )
+        def body(carry, layer_inputs):
+            x = carry
+            layer, k_cache, v_cache = layer_inputs
+            x, k_cache, v_cache = _layer_forward(
+                cfg, layer, x, k_cache, v_cache, cache.pos, cos, sin
+            )
+            return x, (k_cache, v_cache)
+
+        x, (new_k, new_v) = jax.lax.scan(
+            body, embeds, (layers, cache.k, cache.v)
+        )
     x = rms_norm(x, params["final_norm"], cfg.rms_epsilon)
     return x, KVCache(k=new_k, v=new_v, pos=cache.pos + T)
 

@@ -211,6 +211,10 @@ class Qwen3ASRModel:
             self.encoder_params = shard_params(self.encoder_params, mesh)
             # cache [L, Hkv, C, hd] → shard the KV-head axis
             self._cache_sharding = NamedSharding(mesh, P(None, "tp", None, None))
+        else:
+            # Single-chip serving: pre-transpose stacked Q8 scales so decode
+            # rides the layer-indexed kernel (decoder.prepare_stacked_scales).
+            self.decoder_params = dec.prepare_stacked_scales(self.decoder_params)
 
         template = weights.metadata.get("tokenizer.chat_template") or DEFAULT_TEMPLATE
         if "{audio}" not in template:

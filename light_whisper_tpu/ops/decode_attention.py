@@ -90,6 +90,71 @@ def decode_attention_pallas(
     )
 
 
+def _kernel_stacked(idx_ref, q_ref, k_ref, v_ref, pos_ref, o_ref):
+    """Same math as :func:`_kernel`; the cache refs carry a unit layer dim
+    selected by the scalar-prefetched layer index in the block specs."""
+    _kernel(q_ref, k_ref[0], v_ref[0], pos_ref, o_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_pallas_stacked(
+    q: jax.Array,  # [T, Hq, hd]
+    k_cache: jax.Array,  # [L, Hkv, C, hd] — the WHOLE stacked cache
+    v_cache: jax.Array,  # [L, Hkv, C, hd]
+    q_positions: jax.Array,  # [T] int32
+    layer: jax.Array,  # int32 scalar
+    interpret: bool = False,
+) -> jax.Array:
+    """Layer-indexed decode attention over the full stacked KV cache.
+
+    Companion of ``q8_matmul_pallas_stacked``: inside the decoder's layer
+    scan, slicing ``cache[k][layer]`` for a custom call would materialize
+    a per-layer copy and the scan's stacked outputs another; reading the
+    stacked buffer at a scalar-prefetched layer offset keeps cache traffic
+    at exactly one read of the bucket per layer.
+    """
+    T, n_heads, hd = q.shape
+    L, n_kv, C, _ = k_cache.shape
+    groups = n_heads // n_kv
+
+    q_heads = (
+        q.reshape(T, n_kv, groups, hd).transpose(1, 2, 0, 3).reshape(n_kv, groups * T, hd)
+    )
+    pos = jnp.tile(q_positions.astype(jnp.int32), groups)[:, None]
+    idx = jnp.reshape(layer.astype(jnp.int32), (1,))
+
+    out = pl.pallas_call(
+        _kernel_stacked,
+        out_shape=jax.ShapeDtypeStruct((n_kv, groups * T, hd), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_kv,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, groups * T, hd), lambda h, idx: (h, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 1, C, hd), lambda h, idx: (idx[0], h, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 1, C, hd), lambda h, idx: (idx[0], h, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (groups * T, 1), lambda h, idx: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, groups * T, hd), lambda h, idx: (h, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(idx, q_heads, k_cache, v_cache, pos)
+
+    return (
+        out.reshape(n_kv, groups, T, hd).transpose(2, 0, 1, 3).reshape(T, n_heads, hd)
+    )
+
+
 def usable(T: int, n_heads: int, hd: int, capacity: int, n_kv: int) -> bool:
     """Shape gate: small query counts, lane-aligned dims, VMEM-sized cache."""
     groups_t = (n_heads // max(1, n_kv)) * T

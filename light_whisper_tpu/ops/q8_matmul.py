@@ -114,6 +114,128 @@ def _q8_matmul_2d(
     )(x.astype(jnp.bfloat16), q, s_t, expand)
 
 
+def _kernel_stacked(idx_ref, x_ref, q_ref, st_ref, expand_ref, o_ref, acc_ref):
+    """Same contraction as :func:`_kernel`, reading layer ``idx_ref[0]`` of
+    stacked weights. Block index maps do the layer selection; the body only
+    squeezes the unit layer dim."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [bo, bk] int8
+    s = st_ref[0].T  # [bo, bk // 32]
+    s_full = jax.lax.dot_general(
+        s,
+        expand_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+    w = q.astype(jnp.bfloat16) * s_full
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...],
+        w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "block_o", "block_k", "interpret"))
+def _q8_matmul_stacked_2d(
+    x: jax.Array,  # [T, in] bf16
+    q: jax.Array,  # [L, out, in] int8 — ALL layers, resident in HBM
+    s_t: jax.Array,  # [L, in // 32, out] bf16 (pre-transposed at load)
+    layer: jax.Array,  # int32 scalar: which layer to multiply against
+    block_t: int,
+    block_o: int,
+    block_k: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Layer-indexed Q8 matmul over stacked weights.
+
+    Why this exists: the decoder's layer loop is a ``lax.scan`` over weights
+    stacked on a leading axis. Slicing a layer out of that stack and handing
+    it to a pallas custom call makes XLA materialize the slice — a ~50 MB
+    copy per layer per decode step that alone costs more than the whole
+    matmul at HBM speed. Passing the full stack plus a scalar-prefetched
+    layer index lets the kernel DMA blocks straight from the stacked buffer
+    (index maps pick the layer), so the scan touches each byte of weights
+    exactly once.
+    """
+    T = x.shape[0]
+    _, out_features, in_features = q.shape
+    nb = block_k // Q8_0_BLOCK
+    expand = jnp.repeat(jnp.eye(nb, dtype=jnp.bfloat16), Q8_0_BLOCK, axis=1)
+    idx = jnp.reshape(layer.astype(jnp.int32), (1,))
+
+    grid = (T // block_t, out_features // block_o, in_features // block_k)
+    return pl.pallas_call(
+        _kernel_stacked,
+        out_shape=jax.ShapeDtypeStruct((T, out_features), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                # index_map args: grid indices first, then the scalar ref.
+                pl.BlockSpec((block_t, block_k), lambda t, o, k, idx: (t, k)),
+                pl.BlockSpec(
+                    (1, block_o, block_k), lambda t, o, k, idx: (idx[0], o, k)
+                ),
+                pl.BlockSpec(
+                    (1, block_k // Q8_0_BLOCK, block_o),
+                    lambda t, o, k, idx: (idx[0], k, o),
+                ),
+                pl.BlockSpec((nb, block_k), lambda t, o, k, idx: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_t, block_o), lambda t, o, k, idx: (t, o)),
+            scratch_shapes=[pltpu.VMEM((block_t, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * out_features * in_features,
+            bytes_accessed=T * in_features * 2
+            + out_features * in_features
+            + out_features * in_features // Q8_0_BLOCK * 2
+            + T * out_features * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, x.astype(jnp.bfloat16), q, s_t, expand)
+
+
+def q8_matmul_pallas_stacked(
+    x: jax.Array,
+    q: jax.Array,  # [L, out, in] int8
+    s_t: jax.Array,  # [L, in // 32, out] bf16
+    layer: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dispatch wrapper for the stacked kernel (same tiling policy as 2D)."""
+    lead_shape = x.shape[:-1]
+    in_features = x.shape[-1]
+    out_features = q.shape[1]
+    x2 = x.reshape(-1, in_features)
+    T = x2.shape[0]
+
+    block_t = 8 if T <= 8 else _pick(T, 256)
+    if T % block_t != 0 or T < 8:
+        pad_t = -T % max(block_t, 8)
+        x2 = jnp.pad(x2, ((0, pad_t), (0, 0)))
+        T = x2.shape[0]
+        block_t = _pick(T, max(block_t, 8))
+    block_o = _pick(out_features, 2048)
+    block_k = 512
+
+    y = _q8_matmul_stacked_2d(x2, q, s_t, layer, block_t, block_o, block_k, interpret)
+    return y[: _prod(lead_shape)].reshape(*lead_shape, out_features)
+
+
 def q8_matmul_pallas(x: jax.Array, q: jax.Array, s: jax.Array, interpret: bool = False) -> jax.Array:
     """Dispatch wrapper: flattens batch dims, picks tile sizes, pads T.
 

@@ -135,6 +135,115 @@ def main() -> None:
 
     timeit("matmuls T=8", lambda: matmuls8(params, steps))
 
+    # --- matmuls, UNROLLED over per-layer separate buffers -----------------
+    # Hypothesis: scan-over-stacked-weights makes XLA copy each layer's
+    # sliced weights before the pallas custom call (~53 MB/layer/step).
+    layer_list = [
+        jax.tree.map(lambda leaf: leaf[i], params["layers"])
+        for i in range(d.block_count)
+    ]
+    layer_list = jax.device_put(layer_list)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def matmuls_unrolled(layers, n):
+        qdim = d.head_count * d.key_length
+
+        def step(x, _):
+            for layer in layers:
+                qkv = apply_linear(layer["qkv"], x)
+                x = apply_linear(layer["o"], qkv[:, :qdim].astype(jnp.bfloat16)) \
+                    .astype(jnp.bfloat16)
+                gu = apply_linear(layer["gateup"], x)
+                g, u = jnp.split(gu, 2, axis=-1)
+                x = apply_linear(layer["down"], (g * u).astype(jnp.bfloat16)) \
+                    .astype(jnp.bfloat16)
+            return x, None
+
+        x0 = jnp.zeros((1, d.embedding_length), jnp.bfloat16)
+        x, _ = jax.lax.scan(step, x0, None, length=n)
+        return x
+
+    timeit("unrolled", lambda: matmuls_unrolled(layer_list, steps))
+
+    # --- matmuls via layer-indexed stacked kernel in a scan ----------------
+    from light_whisper_tpu.ops.q8_matmul import q8_matmul_pallas_stacked
+
+    stacked = {
+        name: {
+            "q": params["layers"][name]["q"],
+            "s_t": params["layers"][name]["s"].astype(jnp.bfloat16).transpose(0, 2, 1),
+        }
+        for name in ("qkv", "o", "gateup", "down")
+    }
+    stacked = jax.device_put(stacked)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def matmuls_stacked(stacked, n):
+        qdim = d.head_count * d.key_length
+
+        def layer_body(x, idx):
+            qkv = q8_matmul_pallas_stacked(
+                x, stacked["qkv"]["q"], stacked["qkv"]["s_t"], idx
+            )
+            x = q8_matmul_pallas_stacked(
+                qkv[:, :qdim].astype(jnp.bfloat16),
+                stacked["o"]["q"], stacked["o"]["s_t"], idx,
+            ).astype(jnp.bfloat16)
+            gu = q8_matmul_pallas_stacked(
+                x, stacked["gateup"]["q"], stacked["gateup"]["s_t"], idx
+            )
+            g, u = jnp.split(gu, 2, axis=-1)
+            x = q8_matmul_pallas_stacked(
+                (g * u).astype(jnp.bfloat16),
+                stacked["down"]["q"], stacked["down"]["s_t"], idx,
+            ).astype(jnp.bfloat16)
+            return x, None
+
+        def step(x, _):
+            x, _ = jax.lax.scan(layer_body, x, jnp.arange(d.block_count))
+            return x, None
+
+        x0 = jnp.zeros((1, d.embedding_length), jnp.bfloat16)
+        x, _ = jax.lax.scan(step, x0, None, length=n)
+        return x
+
+    timeit("stacked", lambda: matmuls_stacked(stacked, steps))
+
+    # --- stacked with bk=1024/2048 (fewer reduction steps, bigger DMAs) ----
+    from light_whisper_tpu.ops import q8_matmul as q8mod
+
+    for bk in (1024, 2048):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def matmuls_stacked_bk(stacked, n, _bk=bk):
+            qdim = d.head_count * d.key_length
+
+            def mm(x, p, idx):
+                T2 = x.shape[0]
+                return q8mod._q8_matmul_stacked_2d(
+                    x, p["q"], p["s_t"], idx, 8, 2048 if p["q"].shape[1] % 2048 == 0 else p["q"].shape[1], _bk
+                )
+
+            def layer_body(x, idx):
+                qkv = mm(x, stacked["qkv"], idx)
+                x = mm(qkv[:, :qdim].astype(jnp.bfloat16), stacked["o"], idx).astype(jnp.bfloat16)
+                gu = mm(x, stacked["gateup"], idx)
+                g, u = jnp.split(gu, 2, axis=-1)
+                x = mm((g * u).astype(jnp.bfloat16), stacked["down"], idx).astype(jnp.bfloat16)
+                return x, None
+
+            def step(x, _):
+                x, _ = jax.lax.scan(layer_body, x, jnp.arange(d.block_count))
+                return x, None
+
+            x0 = jnp.zeros((8, d.embedding_length), jnp.bfloat16)
+            x, _ = jax.lax.scan(step, x0, None, length=n)
+            return x
+
+        try:
+            timeit(f"stacked bk{bk}", lambda f=matmuls_stacked_bk: f(stacked, steps))
+        except Exception as exc:
+            print(f"stacked bk{bk}: FAILED {type(exc).__name__}: {str(exc)[:200]}")
+
     # weights bandwidth floor
     bytes_per_step = 0
     for leaf in jax.tree.leaves(params["layers"]):

@@ -59,3 +59,93 @@ def test_usable_gate():
     assert not usable(T=8, n_heads=16, hd=96, capacity=1024, n_kv=8)  # hd not 128-aligned
     assert not usable(T=128, n_heads=16, hd=128, capacity=1024, n_kv=8)  # prefill-sized
     assert not usable(T=8, n_heads=16, hd=128, capacity=32768, n_kv=8)  # cache too big for VMEM
+
+
+# -- chunked (online-softmax) prefill attention ------------------------------
+
+
+def test_chunked_prefill_matches_dense():
+    import numpy as np
+
+    from light_whisper_tpu.models.qwen3_asr.decoder import (
+        _attention_chunked,
+        NEG_INF,
+    )
+
+    rng = np.random.default_rng(5)
+    n_kv, groups, hd = 2, 2, 128
+    T, C = 16, 8192
+    n_heads = n_kv * groups
+    q = jnp.asarray(rng.standard_normal((T, n_heads, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((n_kv, C, hd)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((n_kv, C, hd)).astype(np.float32) * 0.3)
+    q_pos = jnp.arange(100, 100 + T)
+
+    got = np.asarray(
+        _attention_chunked(q, k, v, q_pos, groups, jnp.float32), np.float64
+    )
+
+    # dense reference
+    qg = np.asarray(q, np.float64).reshape(T, n_kv, groups, hd).transpose(1, 2, 0, 3)
+    logits = np.einsum("kgtd,kcd->kgtc", qg, np.asarray(k, np.float64)) * hd ** -0.5
+    mask = np.arange(C)[None, :] <= np.asarray(q_pos)[:, None]
+    logits = np.where(mask[None, None], logits, NEG_INF)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    want = (
+        np.einsum("kgtc,kcd->kgtd", w, np.asarray(v, np.float64))
+        .transpose(2, 0, 1, 3)
+        .reshape(T, n_heads, hd)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_prefill_routes_to_chunked_at_large_capacity():
+    import numpy as np
+
+    from light_whisper_tpu.models.qwen3_asr import decoder as dec
+
+    rng = np.random.default_rng(6)
+    n_kv, groups, hd = 2, 2, 128
+    T, C = 8, 8192
+    q = jnp.asarray(rng.standard_normal((T, n_kv * groups, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((n_kv, C, hd)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((n_kv, C, hd)).astype(np.float32) * 0.3)
+    q_pos = jnp.arange(40, 40 + T)
+    # on CPU the kernel gate is off; large capacity + T>1 must take the
+    # chunked path and still agree with the dense fallback
+    got = np.asarray(dec._attention(q, k, v, q_pos, groups, jnp.float32))
+    small_C = 1024
+    got_dense_small = np.asarray(
+        dec._attention(q, k[:, :small_C], v[:, :small_C], q_pos, groups, jnp.float32)
+    )
+    # keys beyond q_pos are masked in both, so truncating the cache at 1024
+    # (> max q_pos) must not change the result
+    np.testing.assert_allclose(got, got_dense_small, rtol=1e-4, atol=1e-4)
+
+
+def test_stacked_attention_kernel_selects_layer():
+    import numpy as np
+
+    from light_whisper_tpu.ops.decode_attention import (
+        decode_attention_pallas,
+        decode_attention_pallas_stacked,
+    )
+
+    rng = np.random.default_rng(9)
+    L, n_kv, groups, hd, C, T = 3, 2, 4, 128, 256, 2
+    n_heads = n_kv * groups
+    q = jnp.asarray(rng.standard_normal((T, n_heads, hd)).astype(np.float32))
+    k_all = jnp.asarray(rng.standard_normal((L, n_kv, C, hd)).astype(np.float32) * 0.2)
+    v_all = jnp.asarray(rng.standard_normal((L, n_kv, C, hd)).astype(np.float32) * 0.2)
+    q_pos = jnp.asarray([100, 101], jnp.int32)
+    for layer in range(L):
+        got = np.asarray(
+            decode_attention_pallas_stacked(
+                q, k_all, v_all, q_pos, jnp.int32(layer), interpret=True
+            )
+        )
+        want = np.asarray(
+            decode_attention_pallas(q, k_all[layer], v_all[layer], q_pos, interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)

@@ -52,3 +52,137 @@ def test_batched_leading_dims():
     want = np.asarray(q8_matmul_xla(x3, q, s))
     assert got.shape == (3, 4, 256)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+# -- layer-indexed stacked kernel (decode hot path) ---------------------------
+
+
+def _stacked_case(L, T, out_f, in_f, seed=0):
+    rng = np.random.default_rng(seed)
+    qs, ss = [], []
+    for i in range(L):
+        w = (rng.standard_normal((out_f, in_f)) * 0.1).astype(np.float32)
+        q, s = quantize_q8_0(w)
+        qs.append(q)
+        ss.append(s)
+    x = jnp.asarray(rng.standard_normal((T, in_f)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    q = jnp.asarray(np.stack(qs))
+    s = jnp.asarray(np.stack(ss))
+    return x, q, s
+
+
+def test_stacked_kernel_selects_each_layer():
+    from light_whisper_tpu.ops.q8_matmul import q8_matmul_pallas_stacked
+
+    x, q, s = _stacked_case(L=3, T=8, out_f=256, in_f=512)
+    s_t = s.astype(jnp.bfloat16).transpose(0, 2, 1)
+    for layer in range(3):
+        got = np.asarray(
+            q8_matmul_pallas_stacked(x, q, s_t, jnp.int32(layer), interpret=True)
+        )
+        want = np.asarray(q8_matmul_xla(x, q[layer], s[layer]))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_stacked_kernel_matches_per_layer_kernel_bitwise():
+    """Same blocking/accumulation order → bit-identical to the 2D kernel."""
+    from light_whisper_tpu.ops.q8_matmul import q8_matmul_pallas_stacked
+
+    x, q, s = _stacked_case(L=2, T=8, out_f=384, in_f=1024, seed=3)
+    s_t = s.astype(jnp.bfloat16).transpose(0, 2, 1)
+    for layer in range(2):
+        stacked = np.asarray(
+            q8_matmul_pallas_stacked(x, q, s_t, jnp.int32(layer), interpret=True)
+        )
+        per_layer = np.asarray(q8_matmul_pallas(x, q[layer], s[layer], interpret=True))
+        np.testing.assert_array_equal(stacked, per_layer)
+
+
+def test_decoder_stacked_path_matches_default(monkeypatch):
+    """forward() through the layer-indexed path is greedy-equivalent to the
+    per-layer path on identical Q8 params (kernel in interpret mode)."""
+    import functools
+
+    import light_whisper_tpu.ops.q8_matmul as q8mod
+    from light_whisper_tpu.models.qwen3_asr import decoder as dec
+    from light_whisper_tpu.models.qwen3_asr.config import DecoderConfig
+
+    cfg = DecoderConfig(
+        block_count=2,
+        embedding_length=512,
+        feed_forward_length=1024,
+        head_count=4,
+        head_count_kv=2,
+        key_length=128,
+        rms_epsilon=1e-6,
+        rope_freq_base=1e6,
+        vocab_size=128,
+    )
+    rng = np.random.default_rng(11)
+
+    def q8lin(in_f, out_f):
+        w = (rng.standard_normal((out_f, in_f)) * (1.0 / np.sqrt(in_f))).astype(
+            np.float32
+        )
+        q, s = quantize_q8_0(w)
+        return {"q": jnp.asarray(q), "s": jnp.asarray(s)}
+
+    qdim = cfg.head_count * cfg.key_length
+    kvdim = cfg.head_count_kv * cfg.key_length
+    layers = []
+    for _ in range(cfg.block_count):
+        layers.append(
+            {
+                "attn_norm": jnp.ones(cfg.embedding_length),
+                "qkv": q8lin(cfg.embedding_length, qdim + 2 * kvdim),
+                "o": q8lin(qdim, cfg.embedding_length),
+                "q_norm": jnp.ones(cfg.key_length),
+                "k_norm": jnp.ones(cfg.key_length),
+                "ffn_norm": jnp.ones(cfg.embedding_length),
+                "gateup": q8lin(cfg.embedding_length, 2 * cfg.feed_forward_length),
+                "down": q8lin(cfg.feed_forward_length, cfg.embedding_length),
+            }
+        )
+    import jax
+
+    stacked_layers = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    params = {
+        "embed": {"w": jnp.asarray(rng.standard_normal((cfg.vocab_size, cfg.embedding_length)).astype(np.float32) * 0.02)},
+        "layers": stacked_layers,
+        "final_norm": jnp.ones(cfg.embedding_length),
+    }
+
+    embeds = jnp.asarray(
+        rng.standard_normal((4, cfg.embedding_length)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    cache = dec.init_cache(cfg, 64)
+    base_hidden, base_cache = dec.forward(cfg, params, embeds, cache)
+
+    prepared = dec.prepare_stacked_scales(params)
+    assert "s_t" in prepared["layers"]["qkv"]
+    monkeypatch.setattr(dec, "_use_stacked_kernel", lambda layers: "s_t" in layers.get("qkv", {}))
+    monkeypatch.setattr(
+        q8mod,
+        "q8_matmul_pallas_stacked",
+        functools.partial(q8mod.q8_matmul_pallas_stacked, interpret=True),
+    )
+    cache2 = dec.init_cache(cfg, 64)
+    st_hidden, st_cache = dec.forward(cfg, prepared, embeds, cache2)
+
+    # Q8 weights are identical; the two paths share blocking, so hidden
+    # states agree to bf16 round-off and the caches match closely.
+    np.testing.assert_allclose(
+        np.asarray(base_hidden, np.float32),
+        np.asarray(st_hidden, np.float32),
+        rtol=3e-2,
+        atol=3e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(base_cache.k, np.float32),
+        np.asarray(st_cache.k, np.float32),
+        rtol=3e-2,
+        atol=3e-2,
+    )
