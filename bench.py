@@ -201,6 +201,67 @@ def main() -> None:
     decode_ms.sort()
     decode_ms_per_step = decode_ms[len(decode_ms) // 2]
     print(f"[bench] decode ms/step: {[round(v, 2) for v in decode_ms]}", file=sys.stderr, flush=True)
+
+    # --- long-form prefill attention: chunked vs dense ------------------
+    # 32k-context windows (long-form audio) used to materialize the
+    # [Hkv, G, T, C] logits tensor during prefill; the chunked online-softmax
+    # path streams key chunks instead. Measure one layer's attention op at
+    # long-form shapes (T=512 new positions against a 32k bucket).
+    from light_whisper_tpu.models.qwen3_asr.decoder import (
+        _attention_chunked,
+        NEG_INF,
+    )
+
+    dcfg = cfg.decoder
+    hd = dcfg.key_length
+    n_kv = dcfg.head_count_kv
+    groups = dcfg.head_count // n_kv
+    T_pf, C_pf = 512, 32768
+    rng_pf = np.random.default_rng(1)
+    q_pf = jnp.asarray(rng_pf.standard_normal((T_pf, dcfg.head_count, hd)).astype(np.float32)).astype(jnp.bfloat16)
+    k_pf = jnp.asarray(rng_pf.standard_normal((n_kv, C_pf, hd)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+    v_pf = k_pf
+    pos_pf = jnp.arange(C_pf - T_pf, C_pf, dtype=jnp.int32)
+
+    @jax.jit
+    def dense_attn(q, k, v, q_pos):
+        qg = q.reshape(T_pf, n_kv, groups, hd).transpose(1, 2, 0, 3)
+        logits = jnp.einsum(
+            "kgtd,kcd->kgtc", qg, k, preferred_element_type=jnp.float32
+        ) * (hd ** -0.5)
+        mask = jnp.arange(C_pf)[None, :] <= q_pos[:, None]
+        logits = jnp.where(mask[None, None], logits, NEG_INF)
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "kgtc,kcd->kgtd", w.astype(jnp.bfloat16), v,
+            preferred_element_type=jnp.float32,
+        )
+        return out.transpose(2, 0, 1, 3).reshape(T_pf, dcfg.head_count, hd)
+
+    chunked_fn = jax.jit(
+        lambda q, k, v, p: _attention_chunked(q, k, v, p, groups, jnp.bfloat16)
+    )
+
+    def _time(fn):
+        jax.device_get(fn(q_pf, k_pf, v_pf, pos_pf))  # compile+warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(fn(q_pf, k_pf, v_pf, pos_pf))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1000
+
+    try:
+        prefill_dense_ms = _time(dense_attn)
+    except Exception as exc:  # 1 GB scratch can OOM — that IS the finding
+        print(f"[bench] dense 32k prefill failed: {exc}", file=sys.stderr, flush=True)
+        prefill_dense_ms = None
+    prefill_chunked_ms = _time(chunked_fn)
+    print(
+        f"[bench] 32k prefill attention (per layer): dense {prefill_dense_ms} ms, "
+        f"chunked {round(prefill_chunked_ms, 2)} ms",
+        file=sys.stderr, flush=True,
+    )
     print(
         json.dumps(
             {
@@ -222,6 +283,10 @@ def main() -> None:
                     "min_end_of_speech_to_text_ms": round(eos_samples[0], 1),
                     "eos_target_ms": 300,
                     "decode_ms_per_step": round(decode_ms_per_step, 2),
+                    "longform_prefill_attn_ms_dense_32k": (
+                        round(prefill_dense_ms, 2) if prefill_dense_ms else None
+                    ),
+                    "longform_prefill_attn_ms_chunked_32k": round(prefill_chunked_ms, 2),
                 },
             }
         )

@@ -20,6 +20,20 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 
 from light_whisper_tpu.serving.scheduler import PRIORITY_FINALIZE, EngineScheduler
 
+# finalize gates (reference: audio_service/mod.rs:7,20 and finalize.rs:315-345)
+MIN_AUDIO_DURATION_SEC = 0.5
+INTERIM_MAX_AUDIO_WINDOW_SEC = 12.0
+INTERIM_TAIL_GAP_SEC = 0.25
+
+
+@dataclasses.dataclass
+class InterimCache:
+    """Last interim tick's transcript, for finalize reuse."""
+
+    text: str
+    language: str
+    sample_count: int
+
 
 @dataclasses.dataclass
 class PipelineResult:
@@ -31,6 +45,10 @@ class PipelineResult:
     total_ms: float
     polished: bool
     history_id: Optional[int] = None
+    outcome: str = "success"  # success | too_short | no_speech | asr_error | processing_error
+    workflow: str = "dictation"  # dictation | edit | assistant
+    reused_interim: bool = False
+    error: Optional[str] = None
 
 
 class DictationPipeline:
@@ -85,23 +103,169 @@ class DictationPipeline:
         hot_words: Sequence[str] = (),
         session_id: int = 0,
         mode: str = "dictation",
+        edit_context: Optional[str] = None,
+        editor: Optional[Callable[[str, str], Any]] = None,
+        assistant: Optional[Callable[[str], str]] = None,
+        interim_cache: Optional[InterimCache] = None,
+        sample_rate: int = 16000,
     ) -> PipelineResult:
-        """Run one utterance through the full pipeline (blocking)."""
+        """Run one utterance through the finalize orchestration (blocking).
+
+        Mode routing follows the reference finalize pipeline
+        (``finalize.rs:419-600``):
+
+        - ``dictation`` + ``edit_context`` → **edit**: the transcript is a
+          voice instruction applied to the selected text via ``editor``;
+          an edit failure keeps the selection untouched (processing_error).
+        - ``assistant`` → the transcript is a question answered by
+          ``assistant``.
+        - plain ``dictation`` → optional polish (never loses the text).
+
+        ``interim_cache`` enables finalize reuse (``finalize.rs:315-345``):
+        when the recording fits inside the interim window and the un-ticked
+        tail is ≤ 250 ms, the cached transcript stands in for a fresh ASR
+        pass. Sub-0.5 s recordings short-circuit as ``too_short``.
+        """
+        import numpy as np
+
         started = time.perf_counter()
-
-        job = self.scheduler.submit(
-            stream,
-            lambda: self._asr(audio, hot_words),
-            priority=PRIORITY_FINALIZE,
-            supersede=False,
+        samples = np.asarray(audio, dtype=np.float32).reshape(-1)
+        duration_sec = len(samples) / float(sample_rate)
+        workflow = (
+            "assistant"
+            if mode == "assistant"
+            else ("edit" if edit_context is not None else "dictation")
         )
-        raw_text, language = self.scheduler.wait(job)
-        asr_ms = (time.perf_counter() - started) * 1000
 
+        def finish(
+            outcome, text, raw_text, language, asr_ms, polish_ms, polished,
+            reused=False, error=None, status=None,
+        ):
+            total_ms = (time.perf_counter() - started) * 1000
+            history_id = None
+            if self.history is not None:
+                from light_whisper_tpu.storage.history import HistoryDraft
+
+                history_id = self.history.insert(
+                    HistoryDraft(
+                        session_id=session_id,
+                        mode=workflow,
+                        status=status or outcome,
+                        text=text,
+                        original_text=raw_text,
+                        language=language,
+                        engine=self.engine_name,
+                        asr_ms=int(asr_ms),
+                        polish_ms=int(polish_ms) if polish_ms else None,
+                        total_ms=int(total_ms),
+                    )
+                )
+            return PipelineResult(
+                text=text,
+                raw_text=raw_text,
+                language=language,
+                asr_ms=asr_ms,
+                polish_ms=polish_ms,
+                total_ms=total_ms,
+                polished=polished,
+                history_id=history_id,
+                outcome=outcome,
+                workflow=workflow,
+                reused_interim=reused,
+                error=error,
+            )
+
+        if duration_sec < MIN_AUDIO_DURATION_SEC:
+            return finish("too_short", "", "", "unknown", 0.0, 0.0, False)
+
+        # -- ASR (or interim reuse) -------------------------------------
+        reused = False
+        max_window = int(sample_rate * INTERIM_MAX_AUDIO_WINDOW_SEC)
+        tail_gap = int(sample_rate * INTERIM_TAIL_GAP_SEC)
+        cache = interim_cache
+        if (
+            cache is not None
+            and 0 < len(samples) <= max_window
+            and cache.sample_count <= len(samples)
+            and (len(samples) - cache.sample_count) <= tail_gap
+            and cache.text.strip()
+        ):
+            raw_text, language = cache.text.strip(), cache.language
+            reused = True
+            asr_ms = 0.0
+        else:
+            try:
+                job = self.scheduler.submit(
+                    stream,
+                    lambda: self._asr(samples, hot_words),
+                    priority=PRIORITY_FINALIZE,
+                    supersede=False,
+                )
+                raw_text, language = self.scheduler.wait(job)
+            except Exception as exc:
+                asr_ms = (time.perf_counter() - started) * 1000
+                return finish(
+                    "asr_error", "", "", "unknown", asr_ms, 0.0, False,
+                    error=str(exc),
+                )
+            asr_ms = (time.perf_counter() - started) * 1000
+
+        if not raw_text.strip():
+            return finish("no_speech", "", "", language, asr_ms, 0.0, False)
+        raw_text = raw_text.strip()
+
+        # -- mode orchestration -----------------------------------------
+        if workflow == "edit":
+            if editor is None:
+                return finish(
+                    "processing_error", "", raw_text, language, asr_ms, 0.0,
+                    False, reused, error="no editor configured",
+                )
+            edit_started = time.perf_counter()
+            try:
+                outcome = editor(edit_context or "", raw_text)
+                text = getattr(outcome, "text", outcome)
+                if not isinstance(text, str) or not text.strip():
+                    raise RuntimeError("empty edit result")
+            except Exception as exc:
+                # edit failure must never replace the selection
+                return finish(
+                    "processing_error", "", raw_text, language, asr_ms,
+                    (time.perf_counter() - edit_started) * 1000, False,
+                    reused, error=str(exc),
+                )
+            return finish(
+                "success", text.strip(), raw_text, language, asr_ms,
+                (time.perf_counter() - edit_started) * 1000, True, reused,
+            )
+
+        if workflow == "assistant":
+            if assistant is None:
+                return finish(
+                    "processing_error", "", raw_text, language, asr_ms, 0.0,
+                    False, reused, error="no assistant configured",
+                )
+            ask_started = time.perf_counter()
+            try:
+                answer = assistant(raw_text)
+                if not isinstance(answer, str) or not answer.strip():
+                    raise RuntimeError("empty assistant answer")
+            except Exception as exc:
+                return finish(
+                    "processing_error", "", raw_text, language, asr_ms,
+                    (time.perf_counter() - ask_started) * 1000, False,
+                    reused, error=str(exc),
+                )
+            return finish(
+                "success", answer.strip(), raw_text, language, asr_ms,
+                (time.perf_counter() - ask_started) * 1000, True, reused,
+            )
+
+        # -- dictation: polish never loses the transcript ----------------
         text = raw_text
         polish_ms = 0.0
         polished = False
-        if raw_text and self.polisher is not None:
+        if self.polisher is not None:
             polish_started = time.perf_counter()
             try:
                 outcome = self.polisher(raw_text)
@@ -110,37 +274,11 @@ class DictationPipeline:
                     text = candidate.strip()
                     polished = True
             except Exception:
-                pass  # polish must never lose a dictation
+                pass
             polish_ms = (time.perf_counter() - polish_started) * 1000
-
-        total_ms = (time.perf_counter() - started) * 1000
-        history_id = None
-        if self.history is not None:
-            from light_whisper_tpu.storage.history import HistoryDraft
-
-            history_id = self.history.insert(
-                HistoryDraft(
-                    session_id=session_id,
-                    mode=mode,
-                    status="success" if raw_text or text else "empty",
-                    text=text,
-                    original_text=raw_text,
-                    language=language,
-                    engine=self.engine_name,
-                    asr_ms=int(asr_ms),
-                    polish_ms=int(polish_ms) if polished else None,
-                    total_ms=int(total_ms),
-                )
-            )
-        return PipelineResult(
-            text=text,
-            raw_text=raw_text,
-            language=language,
-            asr_ms=asr_ms,
-            polish_ms=polish_ms,
-            total_ms=total_ms,
-            polished=polished,
-            history_id=history_id,
+        return finish(
+            "success", text, raw_text, language, asr_ms, polish_ms, polished,
+            reused,
         )
 
     def process_concurrent(
