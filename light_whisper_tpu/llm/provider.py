@@ -678,3 +678,257 @@ def image_support_cache_key(endpoint: LlmEndpoint) -> str:
             endpoint.model.strip().lower(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# provider configuration: per-function model/provider resolution
+# (user_profile.rs:415-680 — the portable half of the settings model)
+# ---------------------------------------------------------------------------
+
+_BUILTIN_PROVIDERS = ("cerebras", "openai", "deepseek", "siliconflow", "custom")
+
+
+@dataclasses.dataclass
+class CustomProvider:
+    id: str
+    name: str = ""
+    base_url: str = ""
+    model: str = ""
+    api_format: ApiFormat = ApiFormat.OPENAI_COMPAT
+
+
+@dataclasses.dataclass
+class LlmProviderConfig:
+    """Which backend each LLM-powered function talks to.
+
+    Polish rides the ``active`` provider; assistant / selection / validation
+    can opt into a separate (provider, model) pair. Every resolver degrades
+    to the active provider when the separate config is incomplete or names
+    an unknown provider — a half-filled settings form must never break the
+    pipeline (user_profile.rs:598-668).
+    """
+
+    active: str = "cerebras"
+    custom_base_url: Optional[str] = None  # legacy migration fields
+    custom_model: Optional[str] = None
+    reasoning_mode: ReasoningMode = ReasoningMode.PROVIDER_DEFAULT
+    polish_reasoning_mode_override: Optional[ReasoningMode] = None
+    assistant_reasoning_mode_override: Optional[ReasoningMode] = None
+    assistant_use_separate_model: bool = False
+    assistant_model_name: Optional[str] = None
+    assistant_provider: Optional[str] = None
+    selection_reasoning_mode_override: Optional[ReasoningMode] = None
+    selection_use_separate_model: bool = False
+    selection_model_name: Optional[str] = None
+    selection_provider: Optional[str] = None
+    validation_use_separate_model: bool = False
+    validation_provider: Optional[str] = None
+    validation_model_name: Optional[str] = None
+    custom_providers: List[CustomProvider] = dataclasses.field(default_factory=list)
+
+    # -- provider identity --------------------------------------------------
+
+    @staticmethod
+    def is_builtin(provider: str) -> bool:
+        return provider in _BUILTIN_PROVIDERS
+
+    def _known(self, provider: Optional[str]) -> bool:
+        if not provider:
+            return False
+        return self.is_builtin(provider) or any(
+            p.id == provider for p in self.custom_providers
+        )
+
+    def resolve_active_provider(self) -> str:
+        if self._known(self.active):
+            return self.active
+        if self.custom_providers:
+            return self.custom_providers[-1].id
+        return "cerebras"
+
+    def fallback_provider_after_removal(self, removed_id: str) -> str:
+        """Which provider becomes active when ``removed_id`` is deleted:
+        the previous custom entry, else any other, else cerebras."""
+        if self.active != removed_id:
+            return self.resolve_active_provider()
+        ids = [p.id for p in self.custom_providers]
+        if removed_id in ids:
+            index = ids.index(removed_id)
+            if index > 0:
+                return ids[index - 1]
+            others = [pid for i, pid in enumerate(ids) if i != index]
+            if others:
+                return others[-1]
+        return "cerebras"
+
+    # -- per-function reasoning modes ---------------------------------------
+
+    def polish_reasoning_mode(self) -> ReasoningMode:
+        return self.polish_reasoning_mode_override or self.reasoning_mode
+
+    def assistant_reasoning_mode(self) -> ReasoningMode:
+        return self.assistant_reasoning_mode_override or self.reasoning_mode
+
+    def selection_reasoning_mode(self) -> ReasoningMode:
+        if self._has_valid_separate_selection():
+            return self.selection_reasoning_mode_override or self.polish_reasoning_mode()
+        return self.polish_reasoning_mode()
+
+    # -- per-function models/providers --------------------------------------
+
+    def _has_valid_separate_selection(self) -> bool:
+        if not self.selection_use_separate_model:
+            return False
+        provider = (self.selection_provider or "").strip()
+        model = (self.selection_model_name or "").strip()
+        return bool(model) and self._known(provider)
+
+    def assistant_model(self) -> Optional[str]:
+        if not self.assistant_use_separate_model:
+            return None
+        model = (self.assistant_model_name or "").strip()
+        return model or None
+
+    def selection_model(self) -> Optional[str]:
+        if not self._has_valid_separate_selection():
+            return None
+        model = (self.selection_model_name or "").strip()
+        return model or None
+
+    def validation_model(self) -> Optional[str]:
+        if not self.validation_use_separate_model:
+            return None
+        model = (self.validation_model_name or "").strip()
+        return model or None
+
+    def resolve_assistant_provider(self) -> str:
+        if self.assistant_use_separate_model and self._known(self.assistant_provider):
+            return self.assistant_provider  # type: ignore[return-value]
+        return self.resolve_active_provider()
+
+    def resolve_selection_provider(self) -> str:
+        if self._has_valid_separate_selection():
+            return (self.selection_provider or "").strip()
+        return self.resolve_active_provider()
+
+    def resolve_validation_provider(self) -> str:
+        if self.validation_use_separate_model and self._known(self.validation_provider):
+            return self.validation_provider  # type: ignore[return-value]
+        return self.resolve_active_provider()
+
+    # -- endpoint construction ----------------------------------------------
+
+    def endpoint_for(self, function: str = "polish") -> LlmEndpoint:
+        """Build the endpoint a given function ("polish" | "assistant" |
+        "selection" | "validation") actually talks to."""
+        if function == "assistant":
+            provider, model = self.resolve_assistant_provider(), self.assistant_model()
+        elif function == "selection":
+            provider, model = self.resolve_selection_provider(), self.selection_model()
+        elif function == "validation":
+            provider, model = self.resolve_validation_provider(), self.validation_model()
+        else:
+            provider, model = self.resolve_active_provider(), None
+
+        custom = next((p for p in self.custom_providers if p.id == provider), None)
+        if custom is not None:
+            return endpoint_for_config(
+                "custom",
+                base_url=custom.base_url,
+                model=model or custom.model or None,
+                api_format=custom.api_format,
+            )
+        return endpoint_for_config(
+            provider,
+            base_url=self.custom_base_url if provider == "custom" else None,
+            model=model or (self.custom_model if provider == "custom" else None),
+        )
+
+    # -- serialization (engine.json / profile storage) ----------------------
+
+    def to_dict(self) -> Dict[str, Any]:
+        out: Dict[str, Any] = {"active": self.active, "reasoning_mode": self.reasoning_mode.value}
+        for key, value in (
+            ("custom_base_url", self.custom_base_url),
+            ("custom_model", self.custom_model),
+            ("assistant_model", self.assistant_model_name),
+            ("assistant_provider", self.assistant_provider),
+            ("selection_model", self.selection_model_name),
+            ("selection_provider", self.selection_provider),
+            ("validation_model", self.validation_model_name),
+            ("validation_provider", self.validation_provider),
+        ):
+            if value is not None:
+                out[key] = value
+        for key, mode in (
+            ("polish_reasoning_mode", self.polish_reasoning_mode_override),
+            ("assistant_reasoning_mode", self.assistant_reasoning_mode_override),
+            ("selection_reasoning_mode", self.selection_reasoning_mode_override),
+        ):
+            if mode is not None:
+                out[key] = mode.value
+        for key, flag in (
+            ("assistant_use_separate_model", self.assistant_use_separate_model),
+            ("selection_use_separate_model", self.selection_use_separate_model),
+            ("validation_use_separate_model", self.validation_use_separate_model),
+        ):
+            if flag:
+                out[key] = True
+        if self.custom_providers:
+            out["custom_providers"] = [
+                {
+                    "id": p.id,
+                    "name": p.name,
+                    "base_url": p.base_url,
+                    "model": p.model,
+                    "api_format": p.api_format.value,
+                }
+                for p in self.custom_providers
+            ]
+        return out
+
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any]) -> "LlmProviderConfig":
+        def mode(key):
+            raw = data.get(key)
+            try:
+                return ReasoningMode(raw) if raw is not None else None
+            except ValueError:
+                return None
+
+        providers = []
+        for item in data.get("custom_providers", []) or []:
+            if not isinstance(item, dict) or not item.get("id"):
+                continue
+            try:
+                fmt = ApiFormat(item.get("api_format", "openai_compat"))
+            except ValueError:
+                fmt = ApiFormat.OPENAI_COMPAT
+            providers.append(
+                CustomProvider(
+                    id=item["id"],
+                    name=item.get("name", ""),
+                    base_url=item.get("base_url", ""),
+                    model=item.get("model", ""),
+                    api_format=fmt,
+                )
+            )
+        return cls(
+            active=data.get("active", "cerebras"),
+            custom_base_url=data.get("custom_base_url"),
+            custom_model=data.get("custom_model"),
+            reasoning_mode=mode("reasoning_mode") or ReasoningMode.PROVIDER_DEFAULT,
+            polish_reasoning_mode_override=mode("polish_reasoning_mode"),
+            assistant_reasoning_mode_override=mode("assistant_reasoning_mode"),
+            assistant_use_separate_model=bool(data.get("assistant_use_separate_model")),
+            assistant_model_name=data.get("assistant_model"),
+            assistant_provider=data.get("assistant_provider"),
+            selection_reasoning_mode_override=mode("selection_reasoning_mode"),
+            selection_use_separate_model=bool(data.get("selection_use_separate_model")),
+            selection_model_name=data.get("selection_model"),
+            selection_provider=data.get("selection_provider"),
+            validation_use_separate_model=bool(data.get("validation_use_separate_model")),
+            validation_provider=data.get("validation_provider"),
+            validation_model_name=data.get("validation_model"),
+            custom_providers=providers,
+        )
