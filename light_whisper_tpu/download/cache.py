@@ -17,7 +17,8 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from typing import Dict, Optional
+import shutil
+from typing import Dict, List, Optional
 
 QWEN3_ASR_MODELS: Dict[str, Dict] = {
     "qwen3-asr-0.6b": {
@@ -183,3 +184,57 @@ def _legacy_weights_present(snapshot: str) -> bool:
                 except OSError:
                     return False
     return found
+
+
+# ---------------------------------------------------------------------------
+# models-directory migration (funasr.rs:635-720)
+# ---------------------------------------------------------------------------
+
+
+def migrate_model_dirs(src: str, dst: str, progress=None) -> List[str]:
+    """Prepare-copy every ``models--*`` repo from ``src`` into ``dst``.
+
+    Sources are PRESERVED — the caller removes them only after the new
+    directory is committed to config (crash-safe ordering). The target may
+    already hold partial copies; they are completed/overwritten. Refuses a
+    destination nested inside the source. Returns the copied source paths.
+    """
+    canonical_src = os.path.realpath(src)
+    canonical_dst = os.path.realpath(dst)
+    if canonical_dst == canonical_src or canonical_dst.startswith(
+        canonical_src + os.sep
+    ):
+        raise ValueError("目标模型目录不能位于当前模型目录内部")
+
+    entries = [
+        name
+        for name in sorted(os.listdir(src))
+        if name.startswith("models--") and os.path.isdir(os.path.join(src, name))
+    ]
+    copied: List[str] = []
+    for i, name in enumerate(entries):
+        src_path = os.path.join(src, name)
+        dst_path = os.path.join(dst, name)
+        shutil.copytree(src_path, dst_path, dirs_exist_ok=True)
+        copied.append(src_path)
+        if progress is not None:
+            progress(
+                {
+                    "status": "migrating",
+                    "message": f"正在迁移 {i + 1}/{len(entries)}...",
+                    "progress": round((i + 1) / len(entries) * 100.0),
+                }
+            )
+    return copied
+
+
+def cleanup_migrated_sources(sources: List[str]) -> List[str]:
+    """Remove migrated source repos; failures are reported, never raised —
+    a locked file must not invalidate a completed migration."""
+    failures: List[str] = []
+    for source in sources:
+        try:
+            shutil.rmtree(source)
+        except OSError as exc:
+            failures.append(f"{source} — {exc}")
+    return failures

@@ -26,7 +26,7 @@ import os
 import re
 import tempfile
 import threading
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 VALID_ENGINES = ("qwen3-asr-0.6b", "qwen3-asr-1.7b", "glm-asr", "alibaba-asr")
 DEFAULT_ENGINE = "qwen3-asr-0.6b"
@@ -214,3 +214,78 @@ def is_asr_capable_model_id(model_id: str) -> bool:
     if "-vl-" in lowered or lowered.endswith("-vl"):
         return False
     return True
+
+
+# -- models directory (funasr.rs:444-735, paths.rs:420-434) -----------------
+
+
+def remove_engine_json_field(key: str) -> None:
+    with _RMW_LOCK:
+        obj = read_engine_json()
+        if key in obj:
+            del obj[key]
+            _write_engine_json(obj)
+
+
+def read_models_dir() -> Optional[str]:
+    """The custom models directory, or None when using the default cache."""
+    value = read_engine_json().get("models_dir")
+    if isinstance(value, str) and value.strip():
+        return value.strip()
+    return None
+
+
+def get_effective_models_dir() -> str:
+    """Where model repos actually live: custom override, else the HF cache."""
+    custom = read_models_dir()
+    if custom:
+        return custom
+    from light_whisper_tpu.download.cache import hf_cache_root
+
+    return hf_cache_root()
+
+
+def set_models_dir(
+    path: Optional[str],
+    migrate: bool = False,
+    progress=None,
+) -> Dict[str, Any]:
+    """Point the engine at a new models directory, optionally migrating repos.
+
+    Mirrors ``set_models_dir`` (``funasr.rs:484-633``): the migration is
+    prepare-then-commit — every ``models--*`` repo is COPIED to the target
+    (sources preserved) before the config is written, and sources are only
+    removed after the new config is committed. A crash at any point leaves
+    a usable state: either the old config with intact sources, or the new
+    config with complete copies. Passing ``None``/empty restores the
+    default directory.
+
+    Returns ``{"message", "migrated", "cleanup_failures"}``.
+    """
+    from light_whisper_tpu.download.cache import (
+        cleanup_migrated_sources,
+        hf_cache_root,
+        migrate_model_dirs,
+    )
+
+    restore_default = not (path and path.strip())
+    old_dir = get_effective_models_dir()
+    new_dir = hf_cache_root() if restore_default else os.path.abspath(path.strip())
+
+    if restore_default:
+        remove_engine_json_field("models_dir")
+        return {"message": "已恢复默认模型目录", "migrated": 0, "cleanup_failures": []}
+
+    os.makedirs(new_dir, exist_ok=True)
+    sources = []
+    if migrate and os.path.isdir(old_dir) and os.path.abspath(old_dir) != new_dir:
+        sources = migrate_model_dirs(old_dir, new_dir, progress=progress)
+
+    update_engine_json_field("models_dir", new_dir)
+
+    cleanup_failures = cleanup_migrated_sources(sources) if sources else []
+    return {
+        "message": "模型目录已更新",
+        "migrated": len(sources),
+        "cleanup_failures": cleanup_failures,
+    }

@@ -122,3 +122,60 @@ def test_cli_serve_defaults_to_config_store(monkeypatch):
     # env wins over the store
     monkeypatch.setenv("LIGHT_WHISPER_ASR_ENGINE", "qwen3-asr-1.7b")
     assert engine_cli._configured_local_engine() == "qwen3-asr-1.7b"
+
+
+# -- models directory management (funasr.rs:444-735) --------------------------
+
+
+def test_models_dir_set_and_restore(tmp_path, monkeypatch):
+    from light_whisper_tpu.runtime import config
+
+    monkeypatch.setenv("LIGHT_WHISPER_DATA_DIR", str(tmp_path / "data"))
+    monkeypatch.setenv("HF_HUB_CACHE", str(tmp_path / "default_cache"))
+
+    assert config.read_models_dir() is None
+    assert config.get_effective_models_dir() == str(tmp_path / "default_cache")
+
+    custom = tmp_path / "custom_models"
+    result = config.set_models_dir(str(custom))
+    assert result["message"] == "模型目录已更新"
+    assert config.read_models_dir() == str(custom)
+    assert config.get_effective_models_dir() == str(custom)
+
+    restored = config.set_models_dir(None)
+    assert restored["message"] == "已恢复默认模型目录"
+    assert config.read_models_dir() is None
+
+
+def test_models_dir_migration_moves_repos_crash_safely(tmp_path, monkeypatch):
+    from light_whisper_tpu.runtime import config
+
+    monkeypatch.setenv("LIGHT_WHISPER_DATA_DIR", str(tmp_path / "data"))
+    old = tmp_path / "old_cache"
+    monkeypatch.setenv("HF_HUB_CACHE", str(old))
+    repo = old / "models--org--model" / "snapshots" / "abc"
+    repo.mkdir(parents=True)
+    (repo / "weights.gguf").write_bytes(b"W" * 64)
+    (old / "not-a-repo").mkdir()  # ignored by migration
+
+    new = tmp_path / "new_cache"
+    events = []
+    result = config.set_models_dir(str(new), migrate=True, progress=events.append)
+    assert result["migrated"] == 1
+    assert result["cleanup_failures"] == []
+    migrated = new / "models--org--model" / "snapshots" / "abc" / "weights.gguf"
+    assert migrated.read_bytes() == b"W" * 64
+    assert not (old / "models--org--model").exists()  # source cleaned up
+    assert (old / "not-a-repo").exists()  # unrelated dirs untouched
+    assert events and events[-1]["progress"] == 100
+
+
+def test_models_dir_rejects_nested_destination(tmp_path, monkeypatch):
+    import pytest
+
+    from light_whisper_tpu.download.cache import migrate_model_dirs
+
+    src = tmp_path / "cache"
+    (src / "models--a--b").mkdir(parents=True)
+    with pytest.raises(ValueError, match="内部"):
+        migrate_model_dirs(str(src), str(src / "sub"))
