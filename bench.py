@@ -187,16 +187,16 @@ def main() -> None:
     decode_ms = []
     for _ in range(3):
         step_cache = dec.init_cache(cfg.decoder, 1024)._replace(pos=jnp.int32(160))
-        _tokens, count, _c = dec.decode_greedy(
+        _tokens, step_count, _c = dec.decode_greedy(
             cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, step_budget
         )
-        jax.device_get(count)  # warm/compile
+        jax.device_get(step_count)  # warm/compile
         step_cache = dec.init_cache(cfg.decoder, 1024)._replace(pos=jnp.int32(160))
         t0 = time.perf_counter()
-        _tokens, count, _c = dec.decode_greedy(
+        _tokens, step_count, _c = dec.decode_greedy(
             cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, step_budget
         )
-        n = int(jax.device_get(count))
+        n = int(jax.device_get(step_count))
         decode_ms.append((time.perf_counter() - t0) / max(n, 1) * 1000)
     decode_ms.sort()
     decode_ms_per_step = decode_ms[len(decode_ms) // 2]
