@@ -315,3 +315,48 @@ def _default_multipart_transport():
                 return resp.status, resp.read().decode("utf-8", "replace")
 
     return _T()
+
+
+# ---------------------------------------------------------------------------
+# config-driven orchestration (the shell's online transcribe path,
+# funasr.rs:139-178 — engine/region from engine.json, key from the store)
+# ---------------------------------------------------------------------------
+
+
+def transcribe_online(
+    wav_bytes: bytes,
+    hot_words: Sequence[str] = (),
+    secret_store=None,
+    transport=None,
+) -> CloudTranscription:
+    """Transcribe via the CONFIGURED online engine.
+
+    Resolves everything the Rust shell resolves before calling a cloud
+    backend: the active engine and region from ``engine.json``, the matching
+    endpoint, and the API key from the secret store's engine+region slot.
+    """
+    from light_whisper_tpu.runtime import config
+    from light_whisper_tpu.storage.secrets import SecretStore
+
+    engine = config.read_engine_config()
+    if not config.is_online_engine(engine):
+        raise CloudAsrError(f"当前引擎不是在线引擎: {engine}")
+    store = secret_store or SecretStore()
+    if engine == "alibaba-asr":
+        region = config.read_alibaba_region()
+        api_key = store.online_asr_api_key(engine, region)
+        return dashscope_transcribe(
+            wav_bytes,
+            api_key,
+            model=config.read_alibaba_model(),
+            endpoint=config.read_alibaba_endpoint(),
+            transport=transport,
+        )
+    api_key = store.online_asr_api_key(engine)
+    return glm_transcribe(
+        wav_bytes,
+        api_key,
+        hot_words=hot_words,
+        endpoint=config.read_glm_endpoint(),
+        transport=transport,
+    )

@@ -116,3 +116,50 @@ def test_omni_chat_streaming_path():
     assert url.endswith("/compatible-mode/v1/chat/completions")
     assert body["stream"] is True
     assert body["messages"][1]["content"][0]["type"] == "input_audio"
+
+
+def test_transcribe_online_resolves_config_and_secrets(tmp_path, monkeypatch):
+    """The orchestration wires engine.json (engine/region/model/endpoint) and
+    the secret store's engine+region key slot (funasr.rs:139-178)."""
+    import json as _json
+
+    from light_whisper_tpu.cloud.asr import CloudAsrError, transcribe_online
+    from light_whisper_tpu.runtime import config
+    from light_whisper_tpu.storage.secrets import SERVICE, SecretStore
+
+    monkeypatch.setenv("LIGHT_WHISPER_DATA_DIR", str(tmp_path))
+    store = SecretStore(str(tmp_path / "secrets.json"))
+
+    # local engine configured → typed refusal
+    config.write_engine_config("qwen3-asr-0.6b")
+    with pytest.raises(CloudAsrError, match="在线"):
+        transcribe_online(b"RIFF", secret_store=store)
+
+    # alibaba domestic: key slot + model + endpoint all resolved from config
+    config.write_engine_config("alibaba-asr")
+    config.write_alibaba_region("domestic")
+    config.write_alibaba_model("qwen3-asr-flash")
+    store.set_password(SERVICE, "alibaba-asr-cn-api-key", "sk-ali")
+
+    calls = {}
+
+    class FakeJsonTransport:
+        def post_json(self, url, headers, body, timeout):
+            calls["url"] = url
+            calls["auth"] = headers.get("Authorization")
+            calls["model"] = body.get("model")
+            return 200, False, {
+                "output": {"choices": [{"message": {"content": [{"text": "你好"}]}}]}
+            }
+
+    wav_bytes = wav()
+    result = transcribe_online(wav_bytes, secret_store=store, transport=FakeJsonTransport())
+    assert result.text == "你好"
+    assert calls["auth"] == "Bearer sk-ali"
+    assert "dashscope.aliyuncs.com" in calls["url"]
+    assert calls["model"] == "qwen3-asr-flash"
+
+    # missing key → the backend's typed refusal
+    store.delete_password(SERVICE, "alibaba-asr-cn-api-key")
+    with pytest.raises(CloudAsrError, match="Key"):
+        transcribe_online(wav_bytes, secret_store=store, transport=FakeJsonTransport())
