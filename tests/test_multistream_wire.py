@@ -210,3 +210,63 @@ def test_solo_transcribe_keeps_session_fast_path():
     assert conv.recv()["text"] == "solo"
     assert model.solo_calls == 1 and model.batch_sizes == []
     conv.close()
+
+
+def test_concurrent_storm_keeps_correlation_exact():
+    """Race-detection stress: many writers hammer the wire with mixed
+    transcribes, status probes, garbage lines and blank lines at once; every
+    well-formed command must get exactly one response with its request_id
+    and the dispatch loop must stay alive throughout (the invariant the
+    reference enforces by holding the process mutex across I/O,
+    funasr_service.rs:1353-1388 — here concurrency is allowed and
+    correlation carries the weight)."""
+    engine, model = make_engine()
+    convo = Conversation(engine)
+    try:
+        n_writers, per_writer = 4, 12
+        write_lock = threading.Lock()  # line-atomicity, as stdin gives the server
+
+        def writer(base):
+            for i in range(per_writer):
+                rid = base + i
+                with write_lock:
+                    if i % 4 == 3:
+                        convo.send("}{ total garbage")
+                        convo.send("")
+                    if i % 2 == 0:
+                        convo.send(transcribe_cmd(rid))
+                    else:
+                        convo.send(json.dumps({"action": "status", "request_id": rid}))
+
+        threads = [
+            threading.Thread(target=writer, args=(1000 * (w + 1),))
+            for w in range(n_writers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        expected = {
+            1000 * (w + 1) + i for w in range(n_writers) for i in range(per_writer)
+        }
+        seen = {}
+        garbage_errors = 0
+        while set(expected) - set(seen):
+            response = convo.recv()
+            rid = response.get("request_id")
+            if rid is None:
+                garbage_errors += 1  # typed error for the garbage lines
+                continue
+            assert rid in expected, f"unknown request_id {rid}"
+            assert rid not in seen, f"duplicate response for {rid}"
+            seen[rid] = response
+        # every transcribe answered as a transcribe, every status as a status
+        for rid, response in seen.items():
+            if rid % 2 == 0:
+                assert "text" in response or response.get("success") is not None
+            else:
+                assert response.get("engine") or "model_loaded" in response or response.get("success") is not None
+        assert garbage_errors >= n_writers  # the garbage never killed the loop
+    finally:
+        convo.close()
