@@ -170,3 +170,90 @@ def fused_ffn_step(
         expand_f,
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# half-fused variant: gate/up matmuls + silu·mul in one launch
+#
+# The full 3-contraction kernel above exceeds the remote compiler's ceiling
+# when embedded in a scan (DEVNOTES round-2); this 2-contraction version
+# keeps the down projection on the stacked q8 kernel and still removes the
+# split + silu + mul glue and one launch per layer.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_gateup(
+    idx_ref,
+    h_ref,  # [T, D] bf16 — already normalized
+    gate_q_ref,  # [1, bf, D] int8
+    up_q_ref,  # [1, bf, D] int8
+    gate_st_ref,  # [1, D // 32, bf]
+    up_st_ref,  # [1, D // 32, bf]
+    expand_d_ref,  # [D // 32, D]
+    o_ref,  # [T, F] bf16 — silu(gate)*up tile per program
+):
+    h = h_ref[...]
+    w_gate = _dequant(gate_q_ref[0], gate_st_ref[0], expand_d_ref[...])
+    w_up = _dequant(up_q_ref[0], up_st_ref[0], expand_d_ref[...])
+    gate = jax.lax.dot_general(
+        h, w_gate, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    up = jax.lax.dot_general(
+        h, w_up, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (gate * jax.lax.logistic(gate) * up).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_f", "interpret"))
+def fused_gateup_silu(
+    h: jax.Array,  # [T, D] bf16 (normalized input)
+    gateup_q: jax.Array,  # [L, 2F, D] int8
+    gateup_s_t: jax.Array,  # [L, D // 32, 2F] bf16
+    layer: jax.Array,
+    block_f: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """``silu(gate(h)) * up(h)`` in one layer-indexed launch → [T, F] bf16."""
+    T, D = h.shape
+    L, two_f, _ = gateup_q.shape
+    F = two_f // 2
+    while block_f > 128 and F % block_f != 0:
+        block_f //= 2
+    f_tiles = F // block_f
+    expand_d = jnp.repeat(jnp.eye(D // Q8_0_BLOCK, dtype=jnp.bfloat16), Q8_0_BLOCK, axis=1)
+    idx = jnp.reshape(layer.astype(jnp.int32), (1,))
+
+    return pl.pallas_call(
+        _kernel_gateup,
+        out_shape=jax.ShapeDtypeStruct((T, F), jnp.bfloat16),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(f_tiles,),
+            in_specs=[
+                pl.BlockSpec((T, D), lambda j, idx: (0, 0)),
+                pl.BlockSpec((1, block_f, D), lambda j, idx: (idx[0], j, 0)),
+                pl.BlockSpec(
+                    (1, block_f, D),
+                    lambda j, idx, _ft=f_tiles: (idx[0], _ft + j, 0),
+                ),
+                pl.BlockSpec((1, D // Q8_0_BLOCK, block_f), lambda j, idx: (idx[0], 0, j)),
+                pl.BlockSpec(
+                    (1, D // Q8_0_BLOCK, block_f),
+                    lambda j, idx, _ft=f_tiles: (idx[0], 0, _ft + j),
+                ),
+                pl.BlockSpec((D // Q8_0_BLOCK, D), lambda j, idx: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((T, block_f), lambda j, idx: (0, j)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * D * 2 * F,
+            bytes_accessed=2 * D * F + 2 * D * F // Q8_0_BLOCK * 2 + T * (D + F) * 2,
+            transcendentals=T * F,
+        ),
+        interpret=interpret,
+    )(idx, h.astype(jnp.bfloat16), gateup_q, gateup_q, gateup_s_t, gateup_s_t, expand_d)

@@ -186,3 +186,68 @@ def test_decoder_stacked_path_matches_default(monkeypatch):
         rtol=3e-2,
         atol=3e-2,
     )
+
+
+def test_fused_gateup_silu_matches_unfused():
+    """Half-fused FFN kernel: silu(gate)·up in one layer-indexed launch."""
+    import jax
+
+    from light_whisper_tpu.ops.fused_ffn import fused_gateup_silu
+
+    rng = np.random.default_rng(4)
+    L, D, F, T = 2, 512, 1024, 8
+    qs, ss = [], []
+    for _ in range(L):
+        w = (rng.standard_normal((2 * F, D)) * 0.05).astype(np.float32)
+        q, s = quantize_q8_0(w)
+        qs.append(q)
+        ss.append(s)
+    gq = jnp.asarray(np.stack(qs))
+    gs = jnp.asarray(np.stack(ss))
+    gs_t = gs.astype(jnp.bfloat16).transpose(0, 2, 1)
+    h = jnp.asarray(rng.standard_normal((T, D)).astype(np.float32)).astype(jnp.bfloat16)
+    for layer in range(L):
+        got = np.asarray(
+            fused_gateup_silu(h, gq, gs_t, jnp.int32(layer), interpret=True),
+            np.float32,
+        )
+        gu = q8_matmul_xla(h, gq[layer], gs[layer])
+        g, u = jnp.split(gu, 2, -1)
+        want = np.asarray((jax.nn.silu(g) * u).astype(jnp.bfloat16), np.float32)
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_ffn_step_matches_unfused():
+    """Full fused FFN kernel (norm+gate/up+silu+down+residual, one launch)."""
+    import jax
+
+    from light_whisper_tpu.ops.fused_ffn import fused_ffn_step
+
+    rng = np.random.default_rng(2)
+    L, D, F, T = 2, 512, 1024, 8
+    gq_l, gs_l, dq_l, ds_l = [], [], [], []
+    for _ in range(L):
+        wg = (rng.standard_normal((2 * F, D)) * 0.05).astype(np.float32)
+        wd = (rng.standard_normal((D, F)) * 0.05).astype(np.float32)
+        q1, s1 = quantize_q8_0(wg)
+        q2, s2 = quantize_q8_0(wd)
+        gq_l.append(q1), gs_l.append(s1), dq_l.append(q2), ds_l.append(s2)
+    gq, gs = jnp.asarray(np.stack(gq_l)), jnp.asarray(np.stack(gs_l))
+    dq, ds = jnp.asarray(np.stack(dq_l)), jnp.asarray(np.stack(ds_l))
+    gs_t = gs.astype(jnp.bfloat16).transpose(0, 2, 1)
+    ds_t = ds.astype(jnp.bfloat16).transpose(0, 2, 1)
+    norm_w = jnp.asarray(rng.standard_normal(D).astype(np.float32) * 0.1 + 1.0)
+    x = jnp.asarray(rng.standard_normal((T, D)).astype(np.float32)).astype(jnp.bfloat16)
+
+    for layer in range(L):
+        got = np.asarray(
+            fused_ffn_step(x, norm_w, gq, gs_t, dq, ds_t, jnp.int32(layer), interpret=True)
+        )
+        xf = x.astype(jnp.float32)
+        scale = jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + 1e-6)
+        hh = (xf * scale * norm_w).astype(jnp.bfloat16)
+        gu = q8_matmul_xla(hh, gq[layer], gs[layer])
+        g, u = jnp.split(gu, 2, -1)
+        inner = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
+        want = np.asarray(xf + q8_matmul_xla(inner, dq[layer], ds[layer]))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
