@@ -209,6 +209,167 @@ def _q8_matmul_stacked_2d(
     )(idx, x.astype(jnp.bfloat16), q, s_t, expand)
 
 
+def _kernel_stacked_fused(
+    idx_ref, x_ref, scale_ref, norm_ref, res_ref, q_ref, st_ref, expand_ref,
+    o_ref, acc_ref, *, with_norm: bool, with_residual: bool,
+):
+    """Stacked Q8 matmul with elementwise prologue/epilogue folded in.
+
+    Same single-main-contraction shape as :func:`_kernel_stacked` (the only
+    kernel shape the remote compiler accepts under a scan — DEVNOTES
+    round-2 differential), plus optional folds:
+
+    - prologue: ``x * scale * norm_w`` — the rms-norm multiply, with the
+      (tiny) rsqrt-of-mean-square reduction precomputed outside;
+    - epilogue: ``+ residual`` at flush.
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    if with_norm:
+        x = (
+            x.astype(jnp.float32) * scale_ref[...] * norm_ref[...]
+        ).astype(jnp.bfloat16)
+    q = q_ref[0]
+    s = st_ref[0].T
+    s_full = jax.lax.dot_general(
+        s,
+        expand_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+    w = q.astype(jnp.bfloat16) * s_full
+
+    acc_ref[...] += jax.lax.dot_general(
+        x,
+        w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _flush():
+        acc = acc_ref[...]
+        if with_residual:
+            acc = acc + res_ref[...].astype(jnp.float32)
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block_t", "block_o", "block_k", "with_norm", "with_residual", "interpret"
+    ),
+)
+def _q8_matmul_stacked_fused_2d(
+    x: jax.Array,  # [T, in]
+    scale: jax.Array,  # [T, 1] f32 — rsqrt(mean(x²)+eps), ones when unused
+    norm_w: jax.Array,  # [1, in] f32, ones when unused
+    residual: jax.Array,  # [T, out] f32, zeros when unused
+    q: jax.Array,  # [L, out, in] int8
+    s_t: jax.Array,  # [L, in // 32, out] bf16
+    layer: jax.Array,
+    block_t: int,
+    block_o: int,
+    block_k: int,
+    with_norm: bool,
+    with_residual: bool,
+    interpret: bool = False,
+) -> jax.Array:
+    T = x.shape[0]
+    _, out_features, in_features = q.shape
+    nb = block_k // Q8_0_BLOCK
+    expand = jnp.repeat(jnp.eye(nb, dtype=jnp.bfloat16), Q8_0_BLOCK, axis=1)
+    idx = jnp.reshape(layer.astype(jnp.int32), (1,))
+
+    grid = (T // block_t, out_features // block_o, in_features // block_k)
+    kernel = functools.partial(
+        _kernel_stacked_fused, with_norm=with_norm, with_residual=with_residual
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, out_features), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_t, block_k), lambda t, o, k, idx: (t, k)),
+                pl.BlockSpec((block_t, 1), lambda t, o, k, idx: (t, 0)),
+                pl.BlockSpec((1, block_k), lambda t, o, k, idx: (0, k)),
+                pl.BlockSpec((block_t, block_o), lambda t, o, k, idx: (t, o)),
+                pl.BlockSpec(
+                    (1, block_o, block_k), lambda t, o, k, idx: (idx[0], o, k)
+                ),
+                pl.BlockSpec(
+                    (1, block_k // Q8_0_BLOCK, block_o),
+                    lambda t, o, k, idx: (idx[0], k, o),
+                ),
+                pl.BlockSpec((nb, block_k), lambda t, o, k, idx: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_t, block_o), lambda t, o, k, idx: (t, o)),
+            scratch_shapes=[pltpu.VMEM((block_t, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(idx, x.astype(jnp.bfloat16), scale, norm_w, residual, q, s_t, expand)
+
+
+def q8_matmul_pallas_stacked_fused(
+    x: jax.Array,  # [T, in] — UNNORMALIZED when norm_w given
+    q: jax.Array,
+    s_t: jax.Array,
+    layer: jax.Array,
+    norm_w=None,  # [in] rms weight → fold rms-norm into the kernel
+    eps: float = 1e-6,
+    residual=None,  # [T, out] → fold the residual add into the flush
+    interpret: bool = False,
+) -> jax.Array:
+    """Stacked Q8 matmul with folded rms-norm prologue / residual epilogue.
+
+    The rsqrt-of-mean-square scale is computed outside (a [T,1] reduction —
+    one tiny fused op); the expensive part of rms-norm (the [T,in]
+    elementwise multiply and its materialization) happens inside the kernel
+    on the already-loaded x block.
+    """
+    T, in_features = x.shape
+    out_features = q.shape[1]
+    block_t = 8 if T <= 8 else _pick(T, 256)
+    pad_t = -T % max(block_t, 8)
+    if pad_t or T < 8:
+        x = jnp.pad(x, ((0, pad_t), (0, 0)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, pad_t), (0, 0)))
+        block_t = _pick(x.shape[0], max(block_t, 8))
+    Tp = x.shape[0]
+    block_o = _pick(out_features, 2048)
+    block_k = 512
+
+    with_norm = norm_w is not None
+    if with_norm:
+        xf = x.astype(jnp.float32)
+        scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        norm2d = norm_w.astype(jnp.float32)[None, :]
+    else:
+        scale = jnp.ones((Tp, 1), jnp.float32)
+        norm2d = jnp.ones((1, in_features), jnp.float32)
+    with_residual = residual is not None
+    res = (
+        residual.astype(jnp.float32)
+        if with_residual
+        else jnp.zeros((Tp, out_features), jnp.float32)
+    )
+
+    y = _q8_matmul_stacked_fused_2d(
+        x, scale, norm2d, res, q, s_t, layer,
+        block_t, block_o, block_k, with_norm, with_residual, interpret,
+    )
+    return y[:T]
+
+
 def q8_matmul_pallas_stacked(
     x: jax.Array,
     q: jax.Array,  # [L, out, in] int8

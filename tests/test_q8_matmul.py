@@ -251,3 +251,51 @@ def test_fused_ffn_step_matches_unfused():
         inner = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
         want = np.asarray(xf + q8_matmul_xla(inner, dq[layer], ds[layer]))
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_stacked_norm_prologue_and_residual_epilogue():
+    """q8_matmul_pallas_stacked_fused folds rms-norm / residual correctly,
+    and its bare mode is bit-identical to the unfused stacked kernel."""
+    import jax
+    import ml_dtypes
+
+    from light_whisper_tpu.ops.q8_matmul import (
+        q8_matmul_pallas_stacked,
+        q8_matmul_pallas_stacked_fused,
+    )
+
+    rng = np.random.default_rng(7)
+    L, O, K, T = 2, 256, 512, 8
+    qs, ss = [], []
+    for _ in range(L):
+        w = (rng.standard_normal((O, K)) * 0.05).astype(np.float32)
+        q, s = quantize_q8_0(w)
+        qs.append(q)
+        ss.append(s)
+    q = jnp.asarray(np.stack(qs))
+    s = jnp.asarray(np.stack(ss))
+    s_t = s.astype(jnp.bfloat16).transpose(0, 2, 1)
+    x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32)).astype(jnp.bfloat16)
+    norm_w = jnp.asarray(rng.standard_normal(K).astype(np.float32) * 0.1 + 1.0)
+    res = jnp.asarray(rng.standard_normal((T, O)).astype(np.float32))
+
+    for layer in range(L):
+        got = np.asarray(
+            q8_matmul_pallas_stacked_fused(
+                x, q, s_t, jnp.int32(layer), norm_w=norm_w, residual=res,
+                interpret=True,
+            )
+        )
+        xf = np.asarray(x, np.float32)
+        scale = 1.0 / np.sqrt((xf ** 2).mean(-1, keepdims=True) + 1e-6)
+        h = (xf * scale * np.asarray(norm_w)).astype(ml_dtypes.bfloat16)
+        want = np.asarray(q8_matmul_xla(jnp.asarray(h), q[layer], s[layer])) + np.asarray(res)
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+        bare_fused = np.asarray(
+            q8_matmul_pallas_stacked_fused(x, q, s_t, jnp.int32(layer), interpret=True)
+        )
+        bare = np.asarray(
+            q8_matmul_pallas_stacked(x, q, s_t, jnp.int32(layer), interpret=True)
+        )
+        np.testing.assert_array_equal(bare_fused, bare)
