@@ -517,10 +517,17 @@ def apply_reasoning_controls(
 
     if kind == ReasoningControl.ANTHROPIC_THINKING:
         if mode != ReasoningMode.OFF:
-            body["thinking"] = {
-                "type": "enabled",
-                "budget_tokens": _ANTHROPIC_THINKING_BUDGETS[mode],
-            }
+            budget = _ANTHROPIC_THINKING_BUDGETS[mode]
+            body["thinking"] = {"type": "enabled", "budget_tokens": budget}
+            # The Anthropic API requires max_tokens strictly greater than
+            # thinking.budget_tokens (thinking spends from the same budget).
+            # build_llm_body pins max_tokens to the visible-output cap, so a
+            # DEEP budget equal to it would 400 every request — grow the cap
+            # by the budget so the answer keeps its full allowance. (The
+            # reference carries this as a latent defect; fixed here.)
+            max_tokens = body.get("max_tokens")
+            if isinstance(max_tokens, int) and max_tokens <= budget:
+                body["max_tokens"] = budget + max_tokens
     elif kind == ReasoningControl.VOLCENGINE_THINKING_TYPE:
         body["thinking"] = {
             "type": {

@@ -43,17 +43,24 @@ def _response_indicates_inline_unsupported(response: Dict[str, Any]) -> bool:
     """Did the engine answer an inline-PCM transcribe as if it got a path?
 
     Mirrors ``response_indicates_inline_unsupported``
-    (``funasr_service.rs:1236-1251``): a missing/``path`` ``input_mode`` means
-    the runtime predates the memory protocol; specific error shapes mean it
-    tried to treat the inline payload as a filename.
+    (``funasr_service.rs:1236-1251``) with one deliberate divergence: the
+    reference treats ANY response without ``input_mode`` as a legacy runtime,
+    but this engine's own generic error responses (init failures, worker
+    tracebacks from ``server._run_transcribe``) also omit the field — one
+    transient failure must not permanently downgrade the session to temp-WAV
+    transport. A missing ``input_mode`` therefore only pins path transport
+    when the engine actually *succeeded* without echoing it (a legacy runtime
+    that silently treated the payload as a path) or when the error text shows
+    the inline payload was mishandled as a filename. Generic errors leave the
+    capability unprobed.
     """
     input_mode = response.get("input_mode")
     if input_mode == "memory":
         return False
-    if input_mode is None or input_mode == "path":
+    if input_mode == "path":
         return True
     error = response.get("error") or ""
-    return any(
+    if any(
         marker in error
         for marker in (
             "音频文件不存在",
@@ -61,7 +68,9 @@ def _response_indicates_inline_unsupported(response: Dict[str, Any]) -> bool:
             "os.PathLike",
             "NoneType",
         )
-    )
+    ):
+        return True
+    return input_mode is None and bool(response.get("success"))
 
 
 class EngineCrashed(RuntimeError):
@@ -267,7 +276,11 @@ class EngineClient:
         if _response_indicates_inline_unsupported(response):
             self._inline_transport = False
             return self._transcribe_via_path(samples, sample_rate, hot_words, timeout)
-        self._inline_transport = True
+        if response.get("success"):
+            # Probed: the engine handled inline audio (echoed mode or not).
+            self._inline_transport = True
+        # Generic errors leave the capability unprobed — the next request
+        # retries inline rather than inheriting a transient failure's verdict.
         return response
 
     def _transcribe_via_path(

@@ -173,9 +173,14 @@ class EngineManager:
 
     def switch_engine(self, engine: str, **spawn_kwargs) -> EngineClient:
         """Reconfigure + restart; an in-flight start of the old engine is
-        invalidated both by the generation bump and the engine-name check."""
+        invalidated by the generation bump (and, once the new start wins the
+        owner slot, by the engine-name check too).
+
+        The configured engine is NOT mutated here — ``start`` writes it only
+        after winning the owner CAS, so a switch that loses the CAS (another
+        start already in flight) raises :class:`EngineStartRejected` without
+        altering which engine later starts use (start()'s own invariant)."""
         with self._lock:
-            self._engine = engine
             self._generation += 1
         with self._commit_lock:
             client, self._client = self._client, None

@@ -40,6 +40,12 @@ LONG_FORM_THRESHOLD_SECONDS = 120.0
 # interim loop), leading-trim wobble within this many samples (150 ms) is
 # pinned to the previous trim so KV session reuse survives VAD jitter.
 TRIM_PIN_TOLERANCE_SAMPLES = 2400
+# Trim pinning only matters for the interim loop's growing window (≤12 s plus
+# a little pre/post padding). Retaining arbitrarily large request audio for
+# the prefix compare would hold up to ~128 MB (33-min max request) for the
+# process lifetime — cap what the pin remembers instead; longer audio simply
+# re-trims fresh, which is the stateless behavior.
+TRIM_PIN_MAX_SAMPLES = 30 * SAMPLE_RATE
 
 
 def _default_model_factory(model_path: str):
@@ -295,21 +301,31 @@ class Qwen3EngineServer:
         reuse the previous start and keep the end monotone — semantics are
         unchanged (the pinned boundary still lies in VAD-confirmed outer
         silence, within 150 ms of this tick's own estimate), and the byte
-        prefix stays stable. Genuinely different audio re-trims fresh."""
+        prefix stays stable. Genuinely different audio re-trims fresh.
+
+        Retention is capped at :data:`TRIM_PIN_MAX_SAMPLES` and the O(n)
+        prefix compare runs OUTSIDE ``_stats_lock`` (holding it across a
+        multi-second array compare would stall stats reads and concurrent
+        transcribe threads as interim windows grow)."""
         if os.environ.get("LIGHT_WHISPER_DISABLE_SESSION_REUSE"):
+            return start, end
+        if len(raw) > TRIM_PIN_MAX_SAMPLES:
+            with self._stats_lock:
+                self._prev_trim = None
             return start, end
         with self._stats_lock:
             prev = self._prev_trim
-            if prev is not None:
-                prev_raw, prev_start, prev_end = prev
-                if (
-                    len(raw) >= len(prev_raw)
-                    and abs(start - prev_start) <= TRIM_PIN_TOLERANCE_SAMPLES
-                    and prev_start < end
-                    and np.array_equal(raw[: len(prev_raw)], prev_raw)
-                ):
-                    start = prev_start
-                    end = max(end, min(prev_end, len(raw)))
+        if prev is not None:
+            prev_raw, prev_start, prev_end = prev
+            if (
+                len(raw) >= len(prev_raw)
+                and abs(start - prev_start) <= TRIM_PIN_TOLERANCE_SAMPLES
+                and prev_start < end
+                and np.array_equal(raw[: len(prev_raw)], prev_raw)
+            ):
+                start = prev_start
+                end = max(end, min(prev_end, len(raw)))
+        with self._stats_lock:
             self._prev_trim = (raw, start, end)
         return start, end
 

@@ -119,14 +119,21 @@ def test_switch_during_start_invalidates_old_engine_ticket():
     # switch cannot win the owner slot while the old start holds it
     with pytest.raises(EngineStartRejected):
         mgr.switch_engine("qwen3-asr-1.7b")
-    # ...but it already invalidated the in-flight ticket (engine + generation)
+    # ...but it already invalidated the in-flight ticket (generation bump),
+    # WITHOUT altering the configured engine — a rejected start must not
+    # change which engine later bare starts use (start()'s own invariant).
+    assert mgr.engine == "qwen3-asr-0.6b"
     spawner.gate.set()
     t.join(timeout=10)
     assert outcome.get("superseded") is True
     assert spawner.clients[0].shutdowns == 1
-    # the retry now starts the new engine
+    # a bare retry still starts the configured (old) engine...
     client = mgr.start()
+    assert client.engine == "qwen3-asr-0.6b"
+    # ...and retrying the switch itself lands the new one.
+    client = mgr.switch_engine("qwen3-asr-1.7b")
     assert client.engine == "qwen3-asr-1.7b"
+    assert mgr.engine == "qwen3-asr-1.7b"
 
 
 def test_spawn_failure_releases_owner_slot():
