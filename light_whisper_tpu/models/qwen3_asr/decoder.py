@@ -104,6 +104,22 @@ def prepare_stacked_scales(params: Dict) -> Dict:
     return dict(params, layers=new_layers)
 
 
+def _use_fused_stacked() -> bool:
+    """Fold rms-norm prologues / residual epilogues into the stacked Q8
+    kernels (``q8_matmul_pallas_stacked_fused``). Same single-contraction
+    kernel shape the remote compiler accepts under a scan; the folds remove
+    the XLA glue ops between the four projection launches of every layer
+    step. Rounding is bit-identical to the unfused path (the residual add
+    happens at the same bf16 precision the unfused epilogue used).
+
+    Gated by ``LWT_FUSED_DECODE`` (default off until the full fused decode
+    program is proven under the relay compile ceiling — the fused payloads
+    cost more remote compile time per shape; DEVNOTES round-2)."""
+    import os
+
+    return os.environ.get("LWT_FUSED_DECODE", "0") not in ("", "0")
+
+
 def _use_stacked_kernel(layers: Dict) -> bool:
     """All four projections carry prepared stacked-kernel scales on TPU."""
     try:
@@ -318,20 +334,43 @@ def _layer_forward_stacked(
     sin: jax.Array,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One layer through the layer-indexed kernels; cache stays whole."""
-    from light_whisper_tpu.ops.q8_matmul import q8_matmul_pallas_stacked
+    from light_whisper_tpu.ops.q8_matmul import (
+        q8_matmul_pallas_stacked,
+        q8_matmul_pallas_stacked_fused,
+    )
 
     T = x.shape[0]
     hd = cfg.key_length
     groups = cfg.head_count // cfg.head_count_kv
     n_kv = cfg.head_count_kv
     capacity = k_all.shape[2]
+    fused = _use_fused_stacked()
 
     def proj(name, h):
         p = layers[name]
         return q8_matmul_pallas_stacked(h, p["q"], p["s_t"], idx)
 
-    h = rms_norm(x, layer_small["attn_norm"], cfg.rms_epsilon)
-    q, k, v = _split_qkv(cfg, proj("qkv", h), T)
+    def proj_norm(name, h, norm_w):
+        """rms-norm prologue folded into the projection kernel."""
+        if not fused:
+            return proj(name, rms_norm(h, norm_w, cfg.rms_epsilon))
+        p = layers[name]
+        return q8_matmul_pallas_stacked_fused(
+            h, p["q"], p["s_t"], idx, norm_w=norm_w, eps=cfg.rms_epsilon
+        )
+
+    def proj_residual(name, h, residual):
+        """residual-add epilogue folded into the projection kernel."""
+        if not fused:
+            return residual + proj(name, h).astype(residual.dtype)
+        p = layers[name]
+        return q8_matmul_pallas_stacked_fused(
+            h, p["q"], p["s_t"], idx, residual=residual
+        ).astype(residual.dtype)
+
+    q, k, v = _split_qkv(
+        cfg, proj_norm("qkv", x, layer_small["attn_norm"]), T
+    )
     q = rms_norm(q, layer_small["q_norm"], cfg.rms_epsilon)
     k = rms_norm(k, layer_small["k_norm"], cfg.rms_epsilon)
     q = apply_rope(q, cos, sin)
@@ -364,11 +403,10 @@ def _layer_forward_stacked(
         )[0]
         attn = _attention(q, k_layer, v_layer, q_positions, groups, cfg.dtype)
 
-    x = x + proj("o", attn.reshape(T, -1)).astype(x.dtype)
-    h = rms_norm(x, layer_small["ffn_norm"], cfg.rms_epsilon)
-    gateup = proj("gateup", h)
+    x = proj_residual("o", attn.reshape(T, -1), x)
+    gateup = proj_norm("gateup", x, layer_small["ffn_norm"])
     gate, up = jnp.split(gateup, 2, axis=-1)
-    x = x + proj("down", (jax.nn.silu(gate) * up).astype(x.dtype)).astype(x.dtype)
+    x = proj_residual("down", (jax.nn.silu(gate) * up).astype(x.dtype), x)
     return x, k_all, v_all
 
 

@@ -253,7 +253,13 @@ def _kernel_stacked_fused(
     def _flush():
         acc = acc_ref[...]
         if with_residual:
-            acc = acc + res_ref[...].astype(jnp.float32)
+            # Match the unfused epilogue's rounding exactly: the unfused path
+            # computes ``residual_bf16 + matmul_f32.astype(bf16)`` in bf16,
+            # so round the accumulator to bf16 BEFORE the add. This keeps the
+            # fused decode bit-identical to the unfused decode.
+            acc = (
+                res_ref[...].astype(jnp.bfloat16) + acc.astype(jnp.bfloat16)
+            ).astype(jnp.float32)
         o_ref[...] = acc.astype(o_ref.dtype)
 
 

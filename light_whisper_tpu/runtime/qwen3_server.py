@@ -113,7 +113,7 @@ class Qwen3EngineServer:
 
         self.model = None
         self.vad = None
-        self._session = None  # streaming session bridge (see _transcribe_model)
+        self._session_pool = None  # per-stream KV sessions (see _transcribe_model)
         self._scheduler = None  # device-serialization + batch coalescing
         self._stats_lock = threading.Lock()
         self._init_lock = threading.Lock()  # pipelined requests may race init
@@ -127,7 +127,9 @@ class Qwen3EngineServer:
         self._vad_rejected = 0
         self._batched_requests = 0
         self._batch_dispatches = 0
-        self._prev_trim = None  # (raw_audio, start, end) of the last request
+        # Per-session-key trim pins: (raw_audio, start, end) of the last
+        # request on that stream (bounded alongside the session pool).
+        self._prev_trims: Dict[str, Any] = {}
         self._last_load_error: Optional[str] = None
         self._hotword_corrector = None
 
@@ -265,7 +267,7 @@ class Qwen3EngineServer:
         except Exception:
             return resample_linear(audio, source_rate, SAMPLE_RATE)
 
-    def _filter_speech(self, audio: np.ndarray):
+    def _filter_speech(self, audio: np.ndarray, session_key: str):
         """Trim leading/trailing silence only — inner pauses stay, so the
         model still sees natural phrase timing (``qwen3_asr_server.py:152-173``)."""
         started = time.perf_counter()
@@ -278,19 +280,19 @@ class Qwen3EngineServer:
         if not segments:
             with self._stats_lock:
                 self._vad_rejected += 1
-                self._prev_trim = None
+                self._prev_trims.pop(session_key, None)
             return np.empty(0, dtype=np.float32), 0, vad_ms
         start = max(0, int(segments[0]["start"]))
         end = min(len(audio), int(segments[-1]["end"]))
         if end <= start:
             with self._stats_lock:
                 self._vad_rejected += 1
-                self._prev_trim = None
+                self._prev_trims.pop(session_key, None)
             return np.empty(0, dtype=np.float32), 0, vad_ms
-        start, end = self._stabilize_trim(audio, start, end)
+        start, end = self._stabilize_trim(audio, start, end, session_key)
         return np.ascontiguousarray(audio[start:end]), len(segments), vad_ms
 
-    def _stabilize_trim(self, raw: np.ndarray, start: int, end: int):
+    def _stabilize_trim(self, raw: np.ndarray, start: int, end: int, session_key: str):
         """Pin the leading VAD trim across a growing interim window.
 
         Session KV reuse compares *post-trim* bytes (``SessionBridge``), so a
@@ -311,10 +313,10 @@ class Qwen3EngineServer:
             return start, end
         if len(raw) > TRIM_PIN_MAX_SAMPLES:
             with self._stats_lock:
-                self._prev_trim = None
+                self._prev_trims.pop(session_key, None)
             return start, end
         with self._stats_lock:
-            prev = self._prev_trim
+            prev = self._prev_trims.get(session_key)
         if prev is not None:
             prev_raw, prev_start, prev_end = prev
             if (
@@ -325,22 +327,33 @@ class Qwen3EngineServer:
             ):
                 start = prev_start
                 end = max(end, min(prev_end, len(raw)))
+        from light_whisper_tpu.serving.session_pool import max_sessions
+
+        cap = 2 * max_sessions()
         with self._stats_lock:
-            self._prev_trim = (raw, start, end)
+            # Bounded alongside the session pool: pins for evicted/stale
+            # streams age out once the dict outgrows 2× the session limit.
+            self._prev_trims.pop(session_key, None)
+            self._prev_trims[session_key] = (raw, start, end)
+            while len(self._prev_trims) > cap:
+                self._prev_trims.pop(next(iter(self._prev_trims)))
         return start, end
 
-    def _transcribe_model(self, audio: np.ndarray):
-        """Route through the streaming session when this request extends the
-        previous one (the shell's interim loop re-sends a growing window
-        every 140-460 ms, ``interim.rs:21-196``) — the session rolls its KV
-        prefix back and self-speculatively verifies the previous transcript,
-        so only new speech costs decode steps. Prefix equality is checked
+    def _transcribe_model(self, audio: np.ndarray, session_key: str):
+        """Route through the stream's own KV session when this request
+        extends that stream's previous one (the shell's interim loop
+        re-sends a growing window every 140-460 ms, ``interim.rs:21-196``)
+        — the session rolls its KV prefix back and self-speculatively
+        verifies the previous transcript, so only new speech costs decode
+        steps. Sessions are keyed per ``options.stream`` (bounded LRU pool),
+        so N interleaved dictation streams each keep their own reuse path
+        instead of resetting a shared one. Prefix equality is checked
         byte-for-byte; anything else resets to a full prefill, which is
         exactly the stateless behavior. Greedy-exact either way."""
-        session = self._streaming_session()
-        if session is None:
+        pool = self._streaming_sessions()
+        if pool is None:
             return self.model.transcribe(audio)
-        return session.transcribe_extending(audio)
+        return pool.bridge_for(session_key).transcribe_extending(audio)
 
     # -- multi-stream coalescing ---------------------------------------
 
@@ -360,11 +373,11 @@ class Qwen3EngineServer:
             self._scheduler = EngineScheduler()
         return self._scheduler
 
-    def _submit_decode(self, audio: np.ndarray, stream: str):
+    def _submit_decode(self, audio: np.ndarray, stream: str, session_key: str):
         scheduler = self._decode_scheduler()
         job = scheduler.submit_batchable(
             stream,
-            audio,
+            (session_key, audio),
             batch_key="transcribe",
             batch_runner=self._run_decode_batch,
             supersede=False,
@@ -372,31 +385,35 @@ class Qwen3EngineServer:
         )
         return scheduler.wait(job)
 
-    def _run_decode_batch(self, audios: List[np.ndarray]):
-        if len(audios) == 1:
-            # Solo request: keep the streaming-session fast path (KV reuse).
-            return [self._transcribe_model(audios[0])]
+    def _run_decode_batch(self, payloads):
+        if len(payloads) == 1:
+            # Solo request: keep the stream's KV-session fast path.
+            session_key, audio = payloads[0]
+            return [self._transcribe_model(audio, session_key)]
         with self._stats_lock:
-            self._batched_requests += len(audios)
+            self._batched_requests += len(payloads)
             self._batch_dispatches += 1
+        audios = [audio for _key, audio in payloads]
         if hasattr(self.model, "transcribe_batch"):
-            return self.model.transcribe_batch(list(audios))
+            return self.model.transcribe_batch(audios)
         return [self.model.transcribe(a) for a in audios]
 
-    def _streaming_session(self):
+    def _streaming_sessions(self):
         import os
 
         if os.environ.get("LIGHT_WHISPER_DISABLE_SESSION_REUSE"):
             return None
-        if self._session is None:
+        if self._session_pool is None:
             try:
-                from light_whisper_tpu.serving.session_bridge import SessionBridge
+                from light_whisper_tpu.serving.session_pool import SessionPool
 
-                self._session = SessionBridge(self.model)
+                pool = SessionPool(self.model)
+                pool.bridge_for(None)  # probe: fake models fail here
+                self._session_pool = pool
             except Exception:
                 # e.g. injected fake models without the real param trees
-                self._session = False
-        return self._session or None
+                self._session_pool = False
+        return self._session_pool or None
 
     def _correct_hot_words(self, text: str, hot_words: Optional[List[str]]) -> str:
         if not text or not hot_words or not self._apply_hot_words:
@@ -429,7 +446,14 @@ class Qwen3EngineServer:
         options = options or {}
         # Requests naming a stream share device-scheduler ordering; anonymous
         # requests each get their own so concurrent ones can batch together.
-        stream = str(options.get("stream") or f"req-{next(self._anon_stream)}")
+        named_stream = options.get("stream")
+        stream = str(named_stream or f"req-{next(self._anon_stream)}")
+        # KV sessions key on the NAMED stream; anonymous requests share the
+        # default session (single-user wire clients never set options.stream
+        # and must keep the interim KV-reuse path).
+        from light_whisper_tpu.serving.session_pool import DEFAULT_STREAM
+
+        session_key = str(named_stream) if named_stream else DEFAULT_STREAM
         try:
             audio, duration, input_mode = self._load_audio(
                 audio_path, audio_base64, audio_format, sample_rate
@@ -453,7 +477,7 @@ class Qwen3EngineServer:
                     audio, duration, input_mode, hot_words, stream
                 )
 
-            audio, vad_segments, vad_ms = self._filter_speech(audio)
+            audio, vad_segments, vad_ms = self._filter_speech(audio, session_key)
             speech_duration = len(audio) / float(SAMPLE_RATE)
             if not vad_segments:
                 return {
@@ -473,7 +497,7 @@ class Qwen3EngineServer:
                 }
 
             started = time.perf_counter()
-            result = self._submit_decode(audio, stream)
+            result = self._submit_decode(audio, stream, session_key)
             inference_ms = (time.perf_counter() - started) * 1000
             with self._stats_lock:
                 self._total_inference_ms += inference_ms
@@ -572,7 +596,7 @@ class Qwen3EngineServer:
         # session path unless disabled or unsupported (fake models).
         speculative = (
             not os.environ.get("LIGHT_WHISPER_DISABLE_SESSION_REUSE")
-            and self._session is not False
+            and self._session_pool is not False
         )
         stats = {
             "transcription_count": self.transcription_count,
@@ -595,12 +619,9 @@ class Qwen3EngineServer:
                 "punc": True,
             },
         }
-        session = self._session
-        if session:  # surface KV-reuse effectiveness (interim-loop health)
-            hits, resets = session.session_hits, session.session_resets
-            stats["session_hits"] = hits
-            stats["session_resets"] = resets
-            stats["session_hit_rate"] = round(hits / max(1, hits + resets), 4)
+        pool = self._session_pool
+        if pool:  # surface KV-reuse effectiveness (interim-loop health)
+            stats.update(pool.stats())
         if self._scheduler is not None:
             stats["scheduler"] = self._scheduler.stats()
         return stats

@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Relay compile-ceiling experiment: land the fused stacked Q8 kernels.
+
+Round-2 DEVNOTES: the production 1.7B decode program compiles in ~5 min,
+but swapping in the norm-prologue/residual-epilogue fused kernels at all
+four projection sites crossed the relay's ~30-40 min per-request compile
+wall. The axon plugin compiles LAZILY (``.lower().compile()`` returns
+instantly; the remote Mosaic/XLA compile happens at first execution), so
+every probe here executes once and times the first call.
+
+Weights are ``jnp.zeros`` created ON DEVICE — no relay data transfer; only
+compile time + one tiny execution is measured.
+
+  e1 — each fused payload standalone at 1.7B shapes, inside a lax.scan.
+  e2 — the full fused decode_greedy program (1.7B, capacity 1024, one
+       step), then a variant program (different max_new_tokens) to detect
+       server-side payload caching across compile requests.
+
+Run on the axon TPU: `python scripts/exp_fused_compile.py [e1|e2|all]`.
+"""
+
+import os
+import sys
+import time
+
+os.environ["LWT_FUSED_DECODE"] = "1"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from light_whisper_tpu.ops.q8_matmul import q8_matmul_pallas_stacked_fused
+
+L, D, F = 28, 2048, 6144
+SITES = {
+    "qkv": (4096, D, "norm"),
+    "o": (D, 2048, "res"),
+    "gateup": (2 * F, D, "norm"),
+    "down": (D, F, "res"),
+}
+
+
+def log(msg):
+    print(f"[exp {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def e1():
+    for name, (O, K, mode) in SITES.items():
+        q = jnp.zeros((L, O, K), jnp.int8)
+        s_t = jnp.zeros((L, K // 32, O), jnp.bfloat16)
+        norm = jnp.ones((K,), jnp.float32)
+        res = jnp.zeros((1, O), jnp.float32)
+
+        @jax.jit
+        def f(x, q, s_t, aux):
+            def step(c, i):
+                if mode == "norm":
+                    y = q8_matmul_pallas_stacked_fused(c, q, s_t, i, norm_w=aux)
+                else:
+                    y = q8_matmul_pallas_stacked_fused(c, q, s_t, i, residual=aux)
+                return c, y[:, :1]
+            _, ys = jax.lax.scan(step, x, jnp.arange(4))
+            return ys
+
+        x = jnp.zeros((1, K), jnp.bfloat16)
+        aux = norm if mode == "norm" else res
+        t0 = time.time()
+        jax.device_get(f(x, q, s_t, aux))
+        t1 = time.time()
+        jax.device_get(f(x, q, s_t, aux))
+        log(
+            f"E1 {name} ({mode}, O={O}, K={K}): first {t1 - t0:.1f}s, "
+            f"steady {time.time() - t1:.3f}s"
+        )
+
+
+def _run_decode(max_new):
+    import __graft_entry__ as graft
+    from light_whisper_tpu.models.qwen3_asr import decoder as dec
+
+    cfg = graft._flagship_config("1.7b")
+    d = cfg.decoder
+    qdim = d.head_count * d.key_length
+    kvdim = d.head_count_kv * d.key_length
+
+    def q8z(out_f, in_f):
+        return {
+            "q": jnp.zeros((d.block_count, out_f, in_f), jnp.int8),
+            "s": jnp.zeros((d.block_count, out_f, in_f // 32), jnp.bfloat16),
+            "s_t": jnp.zeros((d.block_count, in_f // 32, out_f), jnp.bfloat16),
+        }
+
+    vocab_padded = -(-d.vocab_size // 1024) * 1024
+    params = {
+        "embed": {
+            "q": jnp.zeros((vocab_padded, d.embedding_length), jnp.int8),
+            "s": jnp.zeros((vocab_padded, d.embedding_length // 32), jnp.bfloat16),
+        },
+        "layers": {
+            "attn_norm": jnp.ones((d.block_count, d.embedding_length), jnp.float32),
+            "qkv": q8z(qdim + 2 * kvdim, d.embedding_length),
+            "o": q8z(d.embedding_length, qdim),
+            "q_norm": jnp.ones((d.block_count, d.key_length), jnp.float32),
+            "k_norm": jnp.ones((d.block_count, d.key_length), jnp.float32),
+            "ffn_norm": jnp.ones((d.block_count, d.embedding_length), jnp.float32),
+            "gateup": q8z(2 * d.feed_forward_length, d.embedding_length),
+            "down": q8z(d.embedding_length, d.feed_forward_length),
+        },
+        "final_norm": jnp.ones((d.embedding_length,), jnp.float32),
+    }
+
+    def fresh_cache():
+        return dec.init_cache(d, 1024)._replace(pos=jnp.int32(160))
+
+    t0 = time.time()
+    tokens, count, _ = dec.decode_greedy(
+        d, params, jnp.int32(7), fresh_cache(), -2, max_new
+    )
+    n = int(jax.device_get(count))
+    t1 = time.time()
+    tokens, count, _ = dec.decode_greedy(
+        d, params, jnp.int32(7), fresh_cache(), -2, max_new
+    )
+    n = int(jax.device_get(count))
+    t2 = time.time()
+    log(
+        f"E2 fused decode_greedy max_new={max_new}: first {t1 - t0:.1f}s, "
+        f"steady {(t2 - t1) / max(n, 1) * 1000:.2f} ms/step over {n} steps"
+    )
+
+
+def e2():
+    _run_decode(64)
+    _run_decode(40)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    log(f"devices: {jax.devices()}")
+    if which in ("all", "e1"):
+        e1()
+    if which in ("all", "e2"):
+        e2()
+    log("done")

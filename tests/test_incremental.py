@@ -138,7 +138,9 @@ def test_server_session_bridge_matches_stateless(model, tmp_path):
 
     r1 = send(audio[: 16000 * 5])
     r2 = send(audio[: 16000 * 7])  # extends → session hit
-    bridge = server._session
+    pool = server._session_pool
+    assert pool is not None and pool is not False
+    bridge = pool.bridge_for(None)
     assert isinstance(bridge, SessionBridge)
     assert bridge.session_hits >= 1
 
@@ -194,7 +196,7 @@ def test_fake_models_fall_back_without_session(model):
         sample_rate=16000,
     )
     assert r["success"] and r["text"] == "x"
-    assert server._session is False  # bridge unavailable for fakes
+    assert server._session_pool is False  # pool unavailable for fakes
 
 
 def test_streaming_session_slide_passes_window_start(model):

@@ -187,6 +187,95 @@ def test_decoder_stacked_path_matches_default(monkeypatch):
         atol=3e-2,
     )
 
+    # Fused stacked path (norm prologue / residual epilogue folded into the
+    # projection kernels): the folds reproduce the unfused rounding sequence
+    # op-for-op — `test_fused_stacked_kernel_bit_matches_unfused` proves the
+    # kernel calls bit-identical in isolation. Through a full jitted forward
+    # the two paths are *different XLA programs*, so excess-precision /
+    # fusion freedom moves bf16 roundings around; the forward-level contract
+    # is the same bf16-ulp closeness the unfused-vs-default comparison uses.
+    monkeypatch.setenv("LWT_FUSED_DECODE", "1")
+    monkeypatch.setattr(
+        q8mod,
+        "q8_matmul_pallas_stacked_fused",
+        functools.partial(q8mod.q8_matmul_pallas_stacked_fused, interpret=True),
+    )
+    cache3 = dec.init_cache(cfg, 64)
+    fu_hidden, fu_cache = dec.forward(cfg, prepared, embeds, cache3)
+    np.testing.assert_allclose(
+        np.asarray(st_cache.k, np.float32),
+        np.asarray(fu_cache.k, np.float32),
+        rtol=1e-2,
+        atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_cache.v, np.float32),
+        np.asarray(fu_cache.v, np.float32),
+        rtol=1e-2,
+        atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_hidden, np.float32),
+        np.asarray(fu_hidden, np.float32),
+        rtol=2e-2,
+        atol=2e-2,
+    )
+
+
+def test_fused_stacked_kernel_bit_matches_unfused():
+    """The folded rms-norm prologue and residual epilogue reproduce the
+    unfused op sequence EXACTLY (same rounding points): called eagerly on
+    identical inputs, fused and unfused results are bit-equal."""
+    import jax
+
+    from light_whisper_tpu.formats.gguf import quantize_q8_0
+    from light_whisper_tpu.models.qwen3_asr.decoder import rms_norm
+    from light_whisper_tpu.ops.q8_matmul import (
+        q8_matmul_pallas_stacked,
+        q8_matmul_pallas_stacked_fused,
+    )
+
+    rng = np.random.default_rng(11)
+    L, O, K = 2, 1024, 512
+    w = (rng.standard_normal((L, O, K)) * (1.0 / np.sqrt(K))).astype(np.float32)
+    qs = [quantize_q8_0(w[i]) for i in range(L)]
+    q = jnp.stack([jnp.asarray(a) for a, _ in qs])
+    s = jnp.stack([jnp.asarray(b) for _, b in qs])
+    s_t = jnp.swapaxes(s.astype(jnp.bfloat16), 1, 2)
+
+    x = jnp.asarray(rng.standard_normal((4, K)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    norm = jnp.asarray(1.0 + rng.standard_normal(K).astype(np.float32) * 0.1)
+    eps = 1e-6
+
+    h = rms_norm(x, norm, eps)
+    want = np.asarray(q8_matmul_pallas_stacked(h, q, s_t, jnp.int32(1), interpret=True))
+    got = np.asarray(
+        q8_matmul_pallas_stacked_fused(
+            x, q, s_t, jnp.int32(1), norm_w=norm, eps=eps, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(want, got)
+
+    res = jnp.asarray(rng.standard_normal((4, O)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    want = np.asarray(
+        (
+            res
+            + q8_matmul_pallas_stacked(x, q, s_t, jnp.int32(0), interpret=True).astype(
+                res.dtype
+            )
+        ).astype(jnp.float32)
+    )
+    got = np.asarray(
+        q8_matmul_pallas_stacked_fused(x, q, s_t, jnp.int32(0), residual=res, interpret=True)
+        .astype(res.dtype)
+        .astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(want, got)
+
 
 def test_fused_gateup_silu_matches_unfused():
     """Half-fused FFN kernel: silu(gate)·up in one layer-indexed launch."""

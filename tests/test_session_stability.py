@@ -22,8 +22,16 @@ from light_whisper_tpu.runtime.qwen3_server import (
     TRIM_PIN_TOLERANCE_SAMPLES,
     Qwen3EngineServer,
 )
+from light_whisper_tpu.serving.session_pool import DEFAULT_STREAM
 
 SR = 16000
+
+
+def default_bridge(server):
+    """The default-stream KV session (requests that never name a stream)."""
+    pool = server._session_pool
+    assert pool is not None and pool is not False
+    return pool.bridge_for(None)
 
 
 @pytest.fixture(scope="module")
@@ -100,8 +108,8 @@ def test_session_hit_rate_survives_vad_jitter(model):
         assert resp["success"], resp
         texts.append(resp["raw_text"])
 
-    session = server._session
-    assert session is not None and session is not False
+    session = default_bridge(server)
+    assert session is not None
     hits, resets = session.session_hits, session.session_resets
     # First tick is necessarily a reset; every later tick must hit despite
     # the jittering trim (the documented floor for this synthetic corpus).
@@ -114,7 +122,7 @@ def test_session_hit_rate_survives_vad_jitter(model):
 
     # Greedy-exact: the pinned-trim result equals a stateless transcribe of
     # the same pinned window (quantized: what the server saw on the wire).
-    _raw, start, end = server._prev_trim
+    _raw, start, end = server._prev_trims[DEFAULT_STREAM]
     want = model.transcribe(np.ascontiguousarray(quantized(full)[start:end]))
     assert texts[-1] == want.text.strip()
 
@@ -139,9 +147,79 @@ def test_jitter_beyond_tolerance_retrims_fresh(model):
         )
         assert resp["success"]
 
-    _raw, start, _end = server._prev_trim
+    _raw, start, _end = server._prev_trims[DEFAULT_STREAM]
     assert start == lead + big_move  # second tick's own trim, not the pinned one
-    assert server._session.session_resets == 2
+    assert default_bridge(server).session_resets == 2
+
+
+def test_two_interleaved_streams_each_keep_kv_reuse(model):
+    """Two dictation streams interleaving growing windows must EACH stay on
+    their own KV-reuse fast path (per-stream ``SessionPool``): with a shared
+    single session every tick byte-differs from the *other* stream's previous
+    audio and resets it — the regression this pool exists to prevent. Floor:
+    each stream's hit rate matches the single-stream floor (first tick is the
+    only reset)."""
+    vad = JitterVad(true_start=0, start_jitter=[0], end_jitter=[0])
+    server = make_server(model, vad)
+    assert server.initialize()["success"]
+
+    rng = np.random.default_rng(11)
+    full_a = (rng.standard_normal(SR * 7) * 0.3).astype(np.float32)
+    full_b = (rng.standard_normal(SR * 7) * 0.3).astype(np.float32)
+
+    ticks = [3, 4, 5, 6, 7]
+    last = {}
+    for seconds in ticks:
+        for name, full in (("alice", full_a), ("bob", full_b)):
+            resp = server.transcribe(
+                audio_base64=pcm_b64(full[: seconds * SR]),
+                audio_format="pcm_s16le",
+                sample_rate=SR,
+                options={"stream": name},
+            )
+            assert resp["success"], resp
+            last[name] = resp["raw_text"]
+
+    stats = server.performance_stats()
+    per_stream = stats["session_streams"]
+    assert set(per_stream) >= {"alice", "bob"}
+    for name in ("alice", "bob"):
+        s = per_stream[name]
+        # Single-stream floor: one reset (the first tick), every later tick hits.
+        assert s["resets"] == 1 and s["hits"] == len(ticks) - 1, per_stream
+
+    # Greedy-exact per stream: each final interim equals a stateless decode.
+    for name, full in (("alice", full_a), ("bob", full_b)):
+        want = model.transcribe(np.ascontiguousarray(quantized(full)))
+        assert last[name] == want.text.strip()
+
+
+def test_session_pool_evicts_lru_and_stays_correct(model, monkeypatch):
+    """With the pool capped at 1, alternating streams force an eviction per
+    tick — results must stay identical to stateless decodes (the
+    ``SessionBridge`` reset contract) and evictions must be counted."""
+    monkeypatch.setenv("LWT_MAX_SESSIONS", "1")
+    vad = JitterVad(true_start=0, start_jitter=[0], end_jitter=[0])
+    server = make_server(model, vad)
+    assert server.initialize()["success"]
+
+    rng = np.random.default_rng(12)
+    full = (rng.standard_normal(SR * 4) * 0.3).astype(np.float32)
+
+    for seconds in (3, 4):
+        for name in ("alice", "bob"):
+            resp = server.transcribe(
+                audio_base64=pcm_b64(full[: seconds * SR]),
+                audio_format="pcm_s16le",
+                sample_rate=SR,
+                options={"stream": name},
+            )
+            assert resp["success"], resp
+
+    stats = server.performance_stats()
+    assert stats["session_evictions"] >= 2
+    want = model.transcribe(np.ascontiguousarray(quantized(full)))
+    assert resp["raw_text"] == want.text.strip()
 
 
 def test_non_extending_audio_resets_pin_state(model):
@@ -157,5 +235,5 @@ def test_non_extending_audio_resets_pin_state(model):
             audio_base64=pcm_b64(clip), audio_format="pcm_s16le", sample_rate=SR
         )
         assert resp["success"]
-    assert server._session.session_resets == 2
-    assert server._session.session_hits == 0
+    assert default_bridge(server).session_resets == 2
+    assert default_bridge(server).session_hits == 0
