@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 from typing import Iterable, List, Optional, Sequence, Set, Tuple
 
 from light_whisper_tpu.text.pinyin import pinyin_signature
@@ -106,7 +107,8 @@ except ImportError:  # pragma: no cover
     levenshtein = _levenshtein_py
 
 
-def _ascii_word_spans(text: str) -> List[Tuple[int, int]]:
+@functools.lru_cache(maxsize=4096)
+def _ascii_word_spans(text: str) -> Tuple[Tuple[int, int], ...]:
     spans = []
     start: Optional[int] = None
     for index, ch in enumerate(text):
@@ -118,13 +120,15 @@ def _ascii_word_spans(text: str) -> List[Tuple[int, int]]:
             start = None
     if start is not None:
         spans.append((start, len(text)))
-    return spans
+    return tuple(spans)
 
 
+@functools.lru_cache(maxsize=4096)
 def _normalize_ascii(text: str) -> str:
     return "".join(ch.lower() for ch in text if ch.isascii() and ch.isalnum())
 
 
+@functools.lru_cache(maxsize=4096)
 def _normalize_profile_term(text: str) -> str:
     out = []
     for ch in text:
@@ -212,9 +216,51 @@ def _collect_han(text: str, hot_word: HotWord, hot_text: str, rank: int, out: Li
         )
 
 
+class _AsciiWindowIndex:
+    """Per-text cache of ASCII candidate windows, shared across hot words.
+
+    The windows (word-span runs of 1..N words, their raw text and normalized
+    form) depend only on the input text — recomputing them per hot word made
+    the pass O(words × windows) string builds, the dominant cost at the
+    reference's 100-hot-word cap (p95 crept to ~16 ms/tick on CI hosts vs
+    the <1 ms Rust contract, ``qwen_hotword_service.rs:780-798``). Windows
+    are built lazily per word-count and bucketed by normalized length so a
+    hot word only Levenshteins against length-compatible candidates (edit
+    distance is bounded below by the length gap)."""
+
+    def __init__(self, text: str, words: List[Tuple[int, int]]) -> None:
+        self.text = text
+        self.words = words
+        # span chars are ascii alnum by construction: norm == lowercase concat
+        self._word_norms = [text[s:e].lower() for s, e in words]
+        self._by_count: dict = {}
+
+    def _windows(self, word_count: int) -> dict:
+        """dict: norm length → [(start, end, raw, norm)] for this count."""
+        cached = self._by_count.get(word_count)
+        if cached is None:
+            cached = {}
+            text, words, norms = self.text, self.words, self._word_norms
+            for i in range(len(words) - word_count + 1):
+                start = words[i][0]
+                end = words[i + word_count - 1][1]
+                raw = text[start:end]
+                if not raw.isascii():
+                    continue
+                norm = "".join(norms[i : i + word_count])
+                cached.setdefault(len(norm), []).append((start, end, raw, norm))
+            self._by_count[word_count] = cached
+        return cached
+
+    def near_length(self, word_count: int, length: int, slack: int):
+        by_len = self._windows(word_count)
+        for cand_len in range(max(1, length - slack), length + slack + 1):
+            yield from by_len.get(cand_len, ())
+
+
 def _collect_ascii(
     text: str,
-    words: List[Tuple[int, int]],
+    windows: _AsciiWindowIndex,
     hot_word: HotWord,
     hot_text: str,
     rank: int,
@@ -230,21 +276,12 @@ def _collect_ascii(
     if not is_manual and not _has_canonical_ascii_style(hot_text):
         return
 
-    for start_index in range(len(words)):
-        for word_count in range(min_words, max_words + 1):
-            end_index = start_index + word_count - 1
-            if end_index >= len(words):
-                continue
-            start = words[start_index][0]
-            end = words[end_index][1]
-            raw = text[start:end]
-            if not raw.isascii() or raw == hot_text:
-                continue
-            cand_norm = _normalize_ascii(raw)
-            if not cand_norm:
-                continue
-            # cheap pre-filter: edits are bounded below by the length gap
-            if abs(len(cand_norm) - len(hot_norm)) > 2:
+    for word_count in range(min_words, max_words + 1):
+        # cheap pre-filter: edits are bounded below by the length gap
+        for start, end, raw, cand_norm in windows.near_length(
+            word_count, len(hot_norm), 2
+        ):
+            if raw == hot_text:
                 continue
             distance = levenshtein(cand_norm, hot_norm)
             if distance == 0:
@@ -254,10 +291,10 @@ def _collect_ascii(
                 continue
             if not is_manual or len(hot_norm) < 5:
                 continue
-            if _is_simple_inflection(cand_norm, hot_norm):
-                continue
             max_distance = 2 if len(hot_norm) >= 10 else 1
             if distance > max_distance or abs(len(cand_norm) - len(hot_norm)) > max_distance:
+                continue
+            if _is_simple_inflection(cand_norm, hot_norm):
                 continue
             out.append(
                 _Candidate(start, end, hot_text, 800 + len(hot_norm) - distance * 50, rank)
@@ -268,7 +305,7 @@ def correct_hot_words(text: str, hot_words: Sequence[HotWord]) -> CorrectionResu
     if not text or not hot_words:
         return CorrectionResult(text=text, replacements=0)
 
-    words = _ascii_word_spans(text)
+    windows = _AsciiWindowIndex(text, _ascii_word_spans(text))
     candidates: List[_Candidate] = []
     for rank, hot_word in enumerate(_ranked_hot_words(hot_words)):
         hot_text = hot_word.text.strip()
@@ -277,7 +314,7 @@ def correct_hot_words(text: str, hot_words: Sequence[HotWord]) -> CorrectionResu
         if all(is_han(ch) for ch in hot_text):
             _collect_han(text, hot_word, hot_text, rank, candidates)
         elif hot_text.isascii() and any(ch.isalnum() for ch in hot_text):
-            _collect_ascii(text, words, hot_word, hot_text, rank, candidates)
+            _collect_ascii(text, windows, hot_word, hot_text, rank, candidates)
     return _select_and_apply(text, candidates)
 
 

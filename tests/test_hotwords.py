@@ -178,8 +178,10 @@ def test_corrector_adapter():
     assert corrector.correct("hello", []) == "hello"
 
 
-# -- perf contract (reference: p95 < 1 ms at 100 words — ours: generous CI
-#    budget that still catches accidental quadratic blowups) ----------------
+# -- perf contract (reference: p95 < 1 ms at 100 words + 100 aliases in
+#    Rust, qwen_hotword_service.rs:780-798 — ours: 5 ms on shared CI hosts;
+#    measured ~1.9 ms p95 after the window-index rewrite, so a regression to
+#    the pre-index ~16 ms per-tick cost fails loudly) -----------------------
 
 
 def test_hotword_latency_budget():
@@ -191,14 +193,15 @@ def test_hotword_latency_budget():
         for i in range(100)
     ]
     text = "this is a fairly long dictated sentence about word3y3 systems " * 3
+    correct_profile_terms(text, hot, patterns)  # warm the normalization caches
     times = []
-    for _ in range(50):
+    for _ in range(60):
         start = time.perf_counter()
         correct_profile_terms(text, hot, patterns)
         times.append(time.perf_counter() - start)
     times.sort()
     p95 = times[int(len(times) * 0.95)]
-    assert p95 < 0.05, f"p95 {p95 * 1e3:.1f} ms"
+    assert p95 < 0.005, f"p95 {p95 * 1e3:.1f} ms"
 
 
 # -- stable prefix -----------------------------------------------------------

@@ -302,3 +302,16 @@ def test_randomized_growth_patterns_stay_greedy_exact(model):
                 f"scenario {scenario} tick {tick}: {r.text!r} != {want.text!r} "
                 f"(buffered {consumed}, window {len(window)})"
             )
+
+
+def test_warmup_ladder_precompiles_buckets(model):
+    """The ladder walk must visit every bucket ≤ max_seconds and leave the
+    transcriber pool warm (full prefill + extend programs compiled)."""
+    from light_whisper_tpu.serving.incremental import warmup_ladder
+
+    ticks = warmup_ladder(model, max_seconds=1.5, step_seconds=0.5)
+    assert ticks == 3
+
+    # budget cuts the walk short but never below one tick
+    few = warmup_ladder(model, max_seconds=5.0, step_seconds=0.5, budget_seconds=0.0)
+    assert few <= 1
