@@ -112,12 +112,27 @@ def _use_fused_stacked() -> bool:
     step. Rounding is bit-identical to the unfused path (the residual add
     happens at the same bf16 precision the unfused epilogue used).
 
-    Gated by ``LWT_FUSED_DECODE`` (default off until the full fused decode
-    program is proven under the relay compile ceiling — the fused payloads
-    cost more remote compile time per shape; DEVNOTES round-2)."""
+    Default ON: proven under the relay compile ceiling in round 3 by
+    seeding each fused payload standalone first (``scripts/
+    exp_fused_compile.py`` e1), after which the full 1.7B decode program
+    compiles in ~4.6 min and steps at 4.93 ms (was 6.02 unfused).
+    ``LWT_FUSED_DECODE=0`` restores the unfused kernels. Applied only at
+    decode-shaped T (see call site) so prefill keeps its existing proven
+    payloads."""
     import os
 
-    return os.environ.get("LWT_FUSED_DECODE", "0") not in ("", "0")
+    return os.environ.get("LWT_FUSED_DECODE", "1") not in ("", "0")
+
+
+def _use_fused_ffn() -> bool:
+    """Route the decode FFN half through the single-launch megakernel
+    (``ops/fused_ffn.fused_ffn_step``). Off by default: the 3-contraction
+    body needs its Mosaic payload seeded standalone before the full decode
+    program fits under the relay's compile wall (``LWT_FUSED_FFN=1`` after
+    running ``scripts/exp_fused_compile.py``)."""
+    import os
+
+    return os.environ.get("LWT_FUSED_FFN", "0") not in ("", "0")
 
 
 def _use_stacked_kernel(layers: Dict) -> bool:
@@ -344,7 +359,10 @@ def _layer_forward_stacked(
     groups = cfg.head_count // cfg.head_count_kv
     n_kv = cfg.head_count_kv
     capacity = k_all.shape[2]
-    fused = _use_fused_stacked()
+    # Fused folds only at decode-shaped T: that's where per-step glue
+    # dominates; prefill (T ≥ 64) is compute-bound and keeps the unfused
+    # payloads the relay has already compiled.
+    fused = T <= 8 and _use_fused_stacked()
 
     def proj(name, h):
         p = layers[name]
@@ -404,9 +422,29 @@ def _layer_forward_stacked(
         attn = _attention(q, k_layer, v_layer, q_positions, groups, cfg.dtype)
 
     x = proj_residual("o", attn.reshape(T, -1), x)
-    gateup = proj_norm("gateup", x, layer_small["ffn_norm"])
-    gate, up = jnp.split(gateup, 2, axis=-1)
-    x = proj_residual("down", (jax.nn.silu(gate) * up).astype(x.dtype), x)
+    if fused and _use_fused_ffn():
+        # Whole FFN half (norm → gate/up → silu·mul → down → residual) in
+        # ONE launch: 2 fewer kernel entries + no [T, F] round trip per
+        # layer step. The 3-contraction body only compiles under the relay
+        # ceiling once its Mosaic payload has been seeded standalone
+        # (scripts/exp_fused_compile.py) — hence the separate gate.
+        from light_whisper_tpu.ops.fused_ffn import fused_ffn_step
+
+        gu, dn = layers["gateup"], layers["down"]
+        x = fused_ffn_step(
+            x,
+            layer_small["ffn_norm"],
+            gu["q"],
+            gu["s_t"],
+            dn["q"],
+            dn["s_t"],
+            idx,
+            eps=cfg.rms_epsilon,
+        ).astype(x.dtype)
+    else:
+        gateup = proj_norm("gateup", x, layer_small["ffn_norm"])
+        gate, up = jnp.split(gateup, 2, axis=-1)
+        x = proj_residual("down", (jax.nn.silu(gate) * up).astype(x.dtype), x)
     return x, k_all, v_all
 
 

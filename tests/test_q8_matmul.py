@@ -100,12 +100,10 @@ def test_stacked_kernel_matches_per_layer_kernel_bitwise():
         np.testing.assert_array_equal(stacked, per_layer)
 
 
-def test_decoder_stacked_path_matches_default(monkeypatch):
-    """forward() through the layer-indexed path is greedy-equivalent to the
-    per-layer path on identical Q8 params (kernel in interpret mode)."""
-    import functools
+def _tiny_stacked_setup():
+    """Tiny 2-layer decoder config + stacked Q8 params + input embeds."""
+    import jax
 
-    import light_whisper_tpu.ops.q8_matmul as q8mod
     from light_whisper_tpu.models.qwen3_asr import decoder as dec
     from light_whisper_tpu.models.qwen3_asr.config import DecoderConfig
 
@@ -145,7 +143,6 @@ def test_decoder_stacked_path_matches_default(monkeypatch):
                 "down": q8lin(cfg.feed_forward_length, cfg.embedding_length),
             }
         )
-    import jax
 
     stacked_layers = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     params = {
@@ -158,12 +155,25 @@ def test_decoder_stacked_path_matches_default(monkeypatch):
         rng.standard_normal((4, cfg.embedding_length)).astype(np.float32)
     ).astype(jnp.bfloat16)
 
-    cache = dec.init_cache(cfg, 64)
-    base_hidden, base_cache = dec.forward(cfg, params, embeds, cache)
-
     prepared = dec.prepare_stacked_scales(params)
     assert "s_t" in prepared["layers"]["qkv"]
+    return cfg, prepared, embeds, params
+
+
+def test_decoder_stacked_path_matches_default(monkeypatch):
+    """forward() through the layer-indexed path is greedy-equivalent to the
+    per-layer path on identical Q8 params (kernel in interpret mode)."""
+    import functools
+
+    import light_whisper_tpu.ops.q8_matmul as q8mod
+    from light_whisper_tpu.models.qwen3_asr import decoder as dec
+
+    cfg, prepared, embeds, params = _tiny_stacked_setup()
+
+    cache = dec.init_cache(cfg, 64)
+    base_hidden, base_cache = dec.forward(cfg, params, embeds, cache)
     monkeypatch.setattr(dec, "_use_stacked_kernel", lambda layers: "s_t" in layers.get("qkv", {}))
+    monkeypatch.setenv("LWT_FUSED_DECODE", "0")  # first compare the unfused path
     monkeypatch.setattr(
         q8mod,
         "q8_matmul_pallas_stacked",
@@ -217,6 +227,60 @@ def test_decoder_stacked_path_matches_default(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(st_hidden, np.float32),
         np.asarray(fu_hidden, np.float32),
+        rtol=2e-2,
+        atol=2e-2,
+    )
+
+
+def test_decoder_fused_ffn_path_matches(monkeypatch):
+    """LWT_FUSED_FFN routes the FFN half through the single-launch
+    megakernel; forward must agree with the fused-projection path to the
+    same bf16-ulp contract (the megakernel adds the residual in f32 — one
+    rounding instead of the unfused path's two)."""
+    import functools
+
+    import jax
+
+    import light_whisper_tpu.ops.fused_ffn as ffnmod
+    import light_whisper_tpu.ops.q8_matmul as q8mod
+    from light_whisper_tpu.models.qwen3_asr import decoder as dec
+
+    cfg, prepared, embeds, _params = _tiny_stacked_setup()
+    monkeypatch.setattr(
+        dec, "_use_stacked_kernel", lambda layers: "s_t" in layers.get("qkv", {})
+    )
+    monkeypatch.setenv("LWT_FUSED_DECODE", "1")
+    monkeypatch.setattr(
+        q8mod,
+        "q8_matmul_pallas_stacked",
+        functools.partial(q8mod.q8_matmul_pallas_stacked, interpret=True),
+    )
+    monkeypatch.setattr(
+        q8mod,
+        "q8_matmul_pallas_stacked_fused",
+        functools.partial(q8mod.q8_matmul_pallas_stacked_fused, interpret=True),
+    )
+
+    cache1 = dec.init_cache(cfg, 64)
+    base_hidden, base_cache = dec.forward(cfg, prepared, embeds, cache1)
+
+    monkeypatch.setenv("LWT_FUSED_FFN", "1")
+    monkeypatch.setattr(
+        ffnmod, "fused_ffn_step", functools.partial(ffnmod.fused_ffn_step, interpret=True)
+    )
+    jax.clear_caches()  # the env gate is read at trace time
+    cache2 = dec.init_cache(cfg, 64)
+    ffn_hidden, ffn_cache = dec.forward(cfg, prepared, embeds, cache2)
+
+    np.testing.assert_allclose(
+        np.asarray(base_cache.k, np.float32),
+        np.asarray(ffn_cache.k, np.float32),
+        rtol=1e-2,
+        atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(base_hidden, np.float32),
+        np.asarray(ffn_hidden, np.float32),
         rtol=2e-2,
         atol=2e-2,
     )
