@@ -104,6 +104,51 @@ def load_manifest(path: str) -> List[GoldenCase]:
     return cases
 
 
+def load_transcribe_cpp_fixture(path: str) -> List[GoldenCase]:
+    """Ingest externally produced transcribe.cpp outputs VERBATIM.
+
+    The reference runtime returns ``{"text": ..., "language": ...}`` per
+    utterance (``session.run`` consumed at ``qwen3_asr_server.py:318-321``).
+    A fixture recorded on a machine that can run the real artifacts is one
+    JSON object per line::
+
+        {"audio": "utt1.wav", "result": {"text": "...", "language": "zh"}}
+
+    ``result`` may also be inlined (``{"audio": ..., "text": ..., "language":
+    ...}`` — the shape the reference server emits on the wire). Audio paths
+    resolve relative to the fixture file, exactly like :func:`load_manifest`.
+    """
+    base = os.path.dirname(os.path.abspath(path))
+    cases: List[GoldenCase] = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line_no, line in enumerate(f, 1):
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError as exc:
+                raise ValueError(f"{path}:{line_no}: invalid JSON: {exc}") from exc
+            audio = obj.get("audio")
+            result = obj.get("result", obj)
+            if not audio or not isinstance(result, dict) or "text" not in result:
+                raise ValueError(
+                    f"{path}:{line_no}: need 'audio' and a result with 'text'"
+                )
+            if not os.path.isabs(audio):
+                audio = os.path.join(base, audio)
+            cases.append(
+                GoldenCase(
+                    audio=audio,
+                    text=result["text"],
+                    language=result.get("language"),
+                )
+            )
+    if not cases:
+        raise ValueError(f"{path}: empty fixture")
+    return cases
+
+
 def run_golden(cases: Iterable[GoldenCase], transcribe) -> GoldenReport:
     """``transcribe(audio_f32_16k) -> object with .text / .language``.
 
@@ -145,12 +190,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("model", help="GGUF model path")
     parser.add_argument("--precise", action="store_true", help="f32 fidelity mode")
     parser.add_argument("--json", action="store_true", help="machine-readable output")
+    parser.add_argument(
+        "--format",
+        choices=["manifest", "transcribe-cpp"],
+        default="manifest",
+        help="manifest: {audio, text}; transcribe-cpp: recorded "
+        "{audio, result:{text, language}} outputs ingested verbatim",
+    )
     args = parser.parse_args(argv)
 
     from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
 
+    loader = (
+        load_transcribe_cpp_fixture if args.format == "transcribe-cpp" else load_manifest
+    )
     model = Qwen3ASRModel(args.model, precise=args.precise)
-    report = run_golden(load_manifest(args.manifest), model.transcribe)
+    report = run_golden(loader(args.manifest), model.transcribe)
 
     if args.json:
         print(json.dumps(report.to_dict(), ensure_ascii=False))
