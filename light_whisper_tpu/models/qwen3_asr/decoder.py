@@ -169,6 +169,28 @@ _CHUNKED_PREFILL_MIN_CAPACITY = 8192
 _PREFILL_KEY_CHUNK = 1024
 
 
+def _use_flash_prefill(T: int, hd: int, capacity: int) -> bool:
+    """Single-launch Pallas online-softmax prefill (``ops/flash_prefill``).
+
+    Opt-in (``LWT_FLASH_PREFILL=1``): the 2-contraction body inside the
+    layer scan needs its Mosaic payload seeded standalone first
+    (``scripts/exp_fused_compile.py e4``) to fit the remote compiler's
+    per-request wall."""
+    import os
+
+    if os.environ.get("LWT_FLASH_PREFILL", "0") in ("", "0"):
+        return False
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    from light_whisper_tpu.ops.flash_prefill import usable
+
+    return usable(T, hd, capacity)
+
+
 def _attention_chunked(
     q: jax.Array,  # [T, Hq, hd]
     k_cache: jax.Array,  # [Hkv, C, hd]
@@ -252,6 +274,10 @@ def _attention(
         and capacity >= _CHUNKED_PREFILL_MIN_CAPACITY
         and capacity % _PREFILL_KEY_CHUNK == 0
     ):
+        if dtype == jnp.bfloat16 and _use_flash_prefill(T, hd, capacity):
+            from light_whisper_tpu.ops.flash_prefill import flash_prefill_attention
+
+            return flash_prefill_attention(q, k_cache, v_cache, q_positions)
         return _attention_chunked(q, k_cache, v_cache, q_positions, head_groups, dtype)
 
     # Grouped-query attention without materializing repeated K/V: the cache

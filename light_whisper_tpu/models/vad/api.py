@@ -48,6 +48,58 @@ def _vad_probs_padded(params, cmvn_mean, cmvn_inv_std, waveform, valid_frames, f
     return dfsmn.dfsmn_probs(params, feat, valid_frames)
 
 
+# Long-form batching: recordings past the fine buckets split into fixed
+# 16 s frame windows with a halo that covers the DFSMN receptive field
+# ((NUM_BLOCKS+1) memory blocks × 20 taps = 160 frames each way), batched
+# through ONE vmapped program. vs the monolithic pass this caps the
+# power-of-two padding waste (a 17-min clip no longer pads to 32 min) and
+# turns the per-frame MLPs into batched matmuls. Central frames see real
+# audio to ≥ the receptive field on both sides, so probabilities match the
+# monolithic pass.
+_LONGFORM_BATCH_MIN = 2 * _FINE_MAX  # 32 s
+_WINDOW_FRAMES = 1600  # 16 s of 10 ms frames
+_HALO_FRAMES = 200  # > 160-frame receptive field
+
+
+@functools.partial(jax.jit, static_argnames=("frames",))
+def _vad_probs_batched(params, cmvn_mean, cmvn_inv_std, waveforms, valid_frames, frames: int):
+    def one(waveform, valid):
+        pcm = jnp.clip(waveform * 32768.0, -32768.0, 32767.0)
+        feat = kfb._fbank_impl(pcm, frames)
+        feat = (feat - cmvn_mean) * cmvn_inv_std
+        return dfsmn.dfsmn_probs(params, feat, valid)
+
+    return jax.vmap(one)(waveforms, valid_frames)
+
+
+def _vad_device():
+    """Device policy (``LWT_VAD_DEVICE``: auto | cpu | default).
+
+    The DFSMN is a ~1 M-param net; its per-call cost on an accelerator is
+    pure dispatch latency. When the accelerator is a *remote* relay
+    (platform ``axon``, ~30 ms round trip) that latency lands inside every
+    interim tick, so ``auto`` pins the VAD to the host CPU backend — the
+    reference's placement too (onnxruntime CPU EP, 1 thread,
+    ``firered_vad.py:81-85``). On a directly attached TPU (platform
+    ``tpu``) dispatch is microseconds and audio already lives device-side,
+    so ``auto`` keeps the default device.
+    """
+    mode = os.environ.get("LWT_VAD_DEVICE", "auto")
+    if mode == "default":
+        return None
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+    if mode == "cpu":
+        return cpu
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return None
+    return cpu if platform == "axon" else None
+
+
 class FireRedVadTPU:
     """Run FireRedVAD on the accelerator with exact reference semantics."""
 
@@ -67,9 +119,16 @@ class FireRedVadTPU:
         flat: Dict[str, np.ndarray] = {
             name: t.array() for name, t in f.tensors.items() if not name.startswith("cmvn.")
         }
-        self._params = dfsmn.prepare_device_params(flat)
-        self._cmvn_mean = jnp.asarray(f.tensors["cmvn.mean"].array())
-        self._cmvn_inv_std = jnp.asarray(f.tensors["cmvn.inv_std"].array())
+        self._device = _vad_device()
+        if self._device is not None:
+            with jax.default_device(self._device):
+                self._params = dfsmn.prepare_device_params(flat)
+                self._cmvn_mean = jnp.asarray(f.tensors["cmvn.mean"].array())
+                self._cmvn_inv_std = jnp.asarray(f.tensors["cmvn.inv_std"].array())
+        else:
+            self._params = dfsmn.prepare_device_params(flat)
+            self._cmvn_mean = jnp.asarray(f.tensors["cmvn.mean"].array())
+            self._cmvn_inv_std = jnp.asarray(f.tensors["cmvn.inv_std"].array())
         f.close()
 
     # ------------------------------------------------------------------
@@ -79,19 +138,81 @@ class FireRedVadTPU:
         true_frames = kfb.num_frames(len(samples))
         if true_frames == 0:
             return np.empty(0, dtype=np.float32)
+        if len(samples) > _LONGFORM_BATCH_MIN and os.environ.get(
+            "LWT_VAD_BATCHED", "1"
+        ) not in ("", "0"):
+            return self._probabilities_longform(samples, true_frames)
         bucket = bucket_samples(len(samples))
         padded = np.zeros(bucket, dtype=np.float32)
         padded[: len(samples)] = samples
         frames = kfb.num_frames(bucket)
-        probs = _vad_probs_padded(
-            self._params,
-            self._cmvn_mean,
-            self._cmvn_inv_std,
-            jnp.asarray(padded),
-            jnp.int32(true_frames),
-            frames,
-        )
+        if self._device is not None:
+            with jax.default_device(self._device):
+                probs = _vad_probs_padded(
+                    self._params,
+                    self._cmvn_mean,
+                    self._cmvn_inv_std,
+                    jnp.asarray(padded),
+                    jnp.int32(true_frames),
+                    frames,
+                )
+        else:
+            probs = _vad_probs_padded(
+                self._params,
+                self._cmvn_mean,
+                self._cmvn_inv_std,
+                jnp.asarray(padded),
+                jnp.int32(true_frames),
+                frames,
+            )
         return np.asarray(probs[:true_frames])
+
+    def _probabilities_longform(self, samples: np.ndarray, total_frames: int) -> np.ndarray:
+        W, H = _WINDOW_FRAMES, _HALO_FRAMES
+        win_frames = W + 2 * H
+        win_samples = (win_frames - 1) * kfb.FRAME_SHIFT + kfb.FRAME_LENGTH
+
+        starts = list(range(0, total_frames, W))
+        batch = np.zeros((len(starts), win_samples), dtype=np.float32)
+        valid = np.zeros(len(starts), dtype=np.int32)
+        keep = []
+        for i, fs in enumerate(starts):
+            halo_lo = min(H, fs)
+            f0 = fs - halo_lo
+            f1 = min(fs + W + H, total_frames)
+            s0 = f0 * kfb.FRAME_SHIFT
+            s1 = min(len(samples), (f1 - 1) * kfb.FRAME_SHIFT + kfb.FRAME_LENGTH)
+            seg = samples[s0:s1]
+            batch[i, : len(seg)] = seg
+            valid[i] = f1 - f0
+            keep.append((halo_lo, halo_lo + min(W, total_frames - fs)))
+
+        run = (
+            functools.partial(jax.default_device, self._device)
+            if self._device is not None
+            else None
+        )
+        if run is not None:
+            with run():
+                probs = _vad_probs_batched(
+                    self._params,
+                    self._cmvn_mean,
+                    self._cmvn_inv_std,
+                    jnp.asarray(batch),
+                    jnp.asarray(valid),
+                    win_frames,
+                )
+        else:
+            probs = _vad_probs_batched(
+                self._params,
+                self._cmvn_mean,
+                self._cmvn_inv_std,
+                jnp.asarray(batch),
+                jnp.asarray(valid),
+                win_frames,
+            )
+        probs = np.asarray(probs)
+        return np.concatenate([probs[i, lo:hi] for i, (lo, hi) in enumerate(keep)])
 
     def warmup(self) -> None:
         self.probabilities(np.zeros(SAMPLE_RATE, dtype=np.float32))

@@ -141,6 +141,74 @@ def e2():
     _run_decode(40)
 
 
+def e3():
+    """Seed the fused-FFN megakernel payload, then the full decode program
+    with LWT_FUSED_FFN=1 (norm→gate/up→silu·mul→down→residual in ONE
+    launch: 2 fewer kernel entries per layer step than e2's folded
+    projections)."""
+    os.environ["LWT_FUSED_FFN"] = "1"
+    from light_whisper_tpu.ops.fused_ffn import fused_ffn_step
+
+    D, F = 2048, 6144
+    gateup_q = jnp.zeros((L, 2 * F, D), jnp.int8)
+    gateup_st = jnp.zeros((L, D // 32, 2 * F), jnp.bfloat16)
+    down_q = jnp.zeros((L, D, F), jnp.int8)
+    down_st = jnp.zeros((L, F // 32, D), jnp.bfloat16)
+    norm = jnp.ones((D,), jnp.float32)
+
+    @jax.jit
+    def f(x):
+        def step(c, i):
+            y = fused_ffn_step(c, norm, gateup_q, gateup_st, down_q, down_st, i)
+            return c, y[:, :1]
+
+        _, ys = jax.lax.scan(step, x, jnp.arange(4))
+        return ys
+
+    x = jnp.zeros((1, D), jnp.bfloat16)
+    t0 = time.time()
+    jax.device_get(f(x))
+    t1 = time.time()
+    jax.device_get(f(x))
+    log(f"E3 ffn payload seed: first {t1 - t0:.1f}s, steady {time.time() - t1:.3f}s")
+    _run_decode(64)
+    _run_decode(40)
+
+
+def e4():
+    """Seed + time the flash-prefill attention payload at the long-form
+    bench shape (T=512 queries vs a 32k cache, GQA 16/8, hd 128)."""
+    from light_whisper_tpu.ops.flash_prefill import flash_prefill_attention
+
+    T, H, Hkv, hd, C = 512, 16, 8, 128, 32768
+    q = jnp.zeros((T, H, hd), jnp.bfloat16)
+    k = jnp.zeros((Hkv, C, hd), jnp.bfloat16)
+    v = jnp.zeros((Hkv, C, hd), jnp.bfloat16)
+    qpos = jnp.arange(C - T, C, dtype=jnp.int32)
+
+    f = jax.jit(flash_prefill_attention)
+    t0 = time.time()
+    jax.device_get(f(q, k, v, qpos))
+    t1 = time.time()
+    best = float("inf")
+    for _ in range(3):
+        ts = time.time()
+        jax.device_get(f(q, k, v, qpos))
+        best = min(best, time.time() - ts)
+    log(f"E4 flash prefill 32k: first {t1 - t0:.1f}s, steady {best * 1000:.2f} ms")
+
+    from light_whisper_tpu.models.qwen3_asr.decoder import _attention_chunked
+
+    g = jax.jit(lambda q, k, v, p: _attention_chunked(q, k, v, p, H // Hkv, jnp.bfloat16))
+    jax.device_get(g(q, k, v, qpos))
+    best = float("inf")
+    for _ in range(3):
+        ts = time.time()
+        jax.device_get(g(q, k, v, qpos))
+        best = min(best, time.time() - ts)
+    log(f"E4 chunked XLA 32k (same process): steady {best * 1000:.2f} ms")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     log(f"devices: {jax.devices()}")
@@ -148,4 +216,8 @@ if __name__ == "__main__":
         e1()
     if which in ("all", "e2"):
         e2()
+    if which == "e3":
+        e3()
+    if which == "e4":
+        e4()
     log("done")

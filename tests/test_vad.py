@@ -213,3 +213,40 @@ def test_segment_end_clamped_to_audio_length():
     opts = SegmenterOptions(smooth_window_frames=1, speech_pad_ms=120)
     segs = speech_segments(probs, 50 * 160 + 100, opts)
     assert segs[-1]["end"] == 50 * 160 + 100
+
+
+def test_vad_cpu_device_mode_matches_default(monkeypatch):
+    """LWT_VAD_DEVICE=cpu pins the DFSMN to the host backend; probabilities
+    must be identical to the default placement (same program, same math)."""
+    import numpy as np
+
+    from light_whisper_tpu.models.vad.api import FireRedVadTPU
+
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+
+    default = FireRedVadTPU().probabilities(audio)
+    monkeypatch.setenv("LWT_VAD_DEVICE", "cpu")
+    pinned = FireRedVadTPU().probabilities(audio)
+    np.testing.assert_allclose(default, pinned, rtol=1e-6, atol=1e-6)
+
+
+def test_longform_batched_probs_match_monolithic(monkeypatch):
+    """>32 s audio routes through the batched window pass; probabilities
+    must match the monolithic single-program pass (halo covers the DFSMN
+    receptive field, so every kept frame sees identical context)."""
+    import numpy as np
+
+    from light_whisper_tpu.models.vad.api import FireRedVadTPU
+
+    rng = np.random.default_rng(6)
+    audio = (rng.standard_normal(16000 * 70) * 0.3).astype(np.float32)
+
+    vad = FireRedVadTPU()
+    monkeypatch.setenv("LWT_VAD_BATCHED", "0")
+    mono = vad.probabilities(audio)
+    monkeypatch.setenv("LWT_VAD_BATCHED", "1")
+    batched = vad.probabilities(audio)
+
+    assert mono.shape == batched.shape
+    np.testing.assert_allclose(mono, batched, rtol=1e-4, atol=1e-5)
