@@ -51,16 +51,41 @@ def file_fingerprint(path: str) -> str:
     return h.hexdigest()
 
 
+def baked_fingerprint() -> Optional[str]:
+    """Build-time stamped archive fingerprint, if this is a release build.
+
+    ``scripts/release_gate.py build`` generates
+    ``light_whisper_tpu/_build_stamp.py`` after verifying the archive — the
+    analogue of the reference stamping
+    ``LIGHT_WHISPER_ENGINE_ARCHIVE_FINGERPRINT`` into the binary at build
+    time (``build.rs:18-51``). Dev builds have no stamp and return None.
+    """
+    try:
+        from light_whisper_tpu._build_stamp import ENGINE_ARCHIVE_FINGERPRINT
+
+        return ENGINE_ARCHIVE_FINGERPRINT or None
+    except Exception:
+        return None
+
+
 def expected_fingerprint(archive_path: str) -> str:
     """Fingerprint an install should carry for this archive.
 
-    Prefers the packager's sidecar stamp (``<archive>.version``) and verifies
-    the archive against it — a mismatch means a torn download or a stale
-    sidecar, both of which must fail loudly rather than install silently.
-    Without a sidecar the archive hash itself is authoritative.
+    A release build's baked stamp (see :func:`baked_fingerprint`) is
+    authoritative: an archive that doesn't match it is the wrong archive for
+    this build and must be refused (``build_support.rs:28-50`` semantics).
+    Otherwise the packager's sidecar stamp (``<archive>.version``) is
+    verified against the archive — a mismatch means a torn download or a
+    stale sidecar, both of which must fail loudly rather than install
+    silently. Without either, the archive hash itself is authoritative.
     """
     stamp_path = archive_path + VERSION_MARKER
     actual = file_fingerprint(archive_path)
+    baked = baked_fingerprint()
+    if baked is not None and baked != actual:
+        raise AsrError(
+            f"引擎归档与本构建不符: 构建标记 {baked[:12]}…, 实际 {actual[:12]}…"
+        )
     if os.path.isfile(stamp_path):
         with open(stamp_path, "r", encoding="utf-8") as f:
             stamped = f.read().strip()
