@@ -77,6 +77,9 @@ def _wire_eos_bench(model, model_size: str, trials: int = 5) -> dict:
         pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
         return base64.b64encode(pcm.tobytes()).decode()
 
+    init_line = _json.loads(from_server.readline())  # dispatch loop init result
+    assert init_line.get("success"), init_line
+
     rid = 0
 
     def send_window(x):
@@ -97,7 +100,9 @@ def _wire_eos_bench(model, model_size: str, trials: int = 5) -> dict:
             + "\n"
         )
         to_server.flush()
-        return _json.loads(from_server.readline())
+        response = _json.loads(from_server.readline())
+        assert response.get("request_id") == rid, (rid, response)
+        return response
 
     # shape warmup (wire-path VAD trims differ from the raw buckets)
     send_window(base)
