@@ -348,6 +348,31 @@ def main() -> None:
     decode_ms_per_step = decode_ms[len(decode_ms) // 2]
     print(f"[bench] decode ms/step: {[round(v, 2) for v in decode_ms]}", file=sys.stderr, flush=True)
 
+    # Relay-amortized decode: the 64-step loop carries one dispatch+fetch
+    # round trip (~relay_rtt ms) spread over 64 steps; a 256-step run pins
+    # the on-device per-step cost to ±rtt/256. The spread between the two
+    # numbers is attributable relay overhead, not kernel time.
+    decode256_cap = 1024  # 160+256 fits; reuses the capacity-1024 payload family
+    decode_ms_256 = []
+    for _ in range(2):
+        step_cache = dec.init_cache(cfg.decoder, decode256_cap)._replace(pos=jnp.int32(160))
+        _t, c256, _c = dec.decode_greedy(
+            cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, 256
+        )
+        jax.device_get(c256)
+        step_cache = dec.init_cache(cfg.decoder, decode256_cap)._replace(pos=jnp.int32(160))
+        t0 = time.perf_counter()
+        _t, c256, _c = dec.decode_greedy(
+            cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, 256
+        )
+        n = int(jax.device_get(c256))
+        decode_ms_256.append((time.perf_counter() - t0) / max(n, 1) * 1000)
+    decode_ms_per_step_256 = min(decode_ms_256)
+    print(
+        f"[bench] decode ms/step @256 (relay-amortized): {[round(v, 2) for v in decode_ms_256]}",
+        file=sys.stderr, flush=True,
+    )
+
     # --- long-form prefill attention: chunked vs dense ------------------
     # 32k-context windows (long-form audio) used to materialize the
     # [Hkv, G, T, C] logits tensor during prefill; the chunked online-softmax
@@ -435,6 +460,7 @@ def main() -> None:
                     "wire_session_hit_rate": wire["session_hit_rate"],
                     "relay_rtt_ms_p50": round(relay_rtt_ms, 2),
                     "decode_ms_per_step": round(decode_ms_per_step, 2),
+                    "decode_ms_per_step_256_amortized": round(decode_ms_per_step_256, 2),
                     "longform_prefill_attn_ms_dense_32k": (
                         round(prefill_dense_ms, 2) if prefill_dense_ms else None
                     ),
