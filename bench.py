@@ -414,11 +414,14 @@ def main() -> None:
     )
 
     def _time(fn):
-        jax.device_get(fn(q_pf, k_pf, v_pf, pos_pf))  # compile+warm
+        # Fetch a scalar reduction: pulling the [512,16,128] output through
+        # the relay costs ~100 ms of transfer and swamps the kernel time.
+        reduced = jax.jit(lambda q, k, v, p: jnp.sum(fn(q, k, v, p)))
+        jax.device_get(reduced(q_pf, k_pf, v_pf, pos_pf))  # compile+warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.device_get(fn(q_pf, k_pf, v_pf, pos_pf))
+            jax.device_get(reduced(q_pf, k_pf, v_pf, pos_pf))
             best = min(best, time.perf_counter() - t0)
         return best * 1000
 

@@ -236,7 +236,11 @@ class IncrementalTranscriber:
 
         if can_extend:
             # One fused dispatch: encode + tail-segment prefill from rollback,
-            # with the previous tick's transcript verified as a draft.
+            # with the previous tick's transcript verified as a draft. The
+            # decode below is dispatched with DEVICE-side budget/position so
+            # no host round trip sits between the two dispatches — on a
+            # remote-relay backend each blocking fetch costs a full RTT
+            # (~34 ms measured), which used to double the interim tick.
             stable = self._stable_tokens
             draft = self._last_generated[:DRAFT_TOKENS]
             draft_padded = np.zeros(DRAFT_TOKENS, dtype=np.int32)
@@ -260,15 +264,32 @@ class IncrementalTranscriber:
                 prefix_len,
                 seg_bucket,
             )
-            accepted_v, clip_v = jax.device_get((accepted_dev, clip_dev))
+            cache = cache._replace(
+                pos=jnp.int32(true_len) + accepted_dev.astype(jnp.int32)
+            )
+            tokens, count, cache = dec.decode_greedy(
+                cfg.decoder,
+                model.decoder_params,
+                first,
+                cache,
+                cfg.eos_token_id,
+                self.max_new_tokens,
+                budget=jnp.int32(self.max_new_tokens) - accepted_dev.astype(jnp.int32),
+            )
+            # ONE blocking fetch for the whole tick.
+            tokens_np, count_v, accepted_v, clip_v = jax.device_get(
+                (tokens, count, accepted_dev, clip_dev)
+            )
             accepted = int(accepted_v)
             clip_max = float(clip_v)
             if self._clip_max is not None and clip_max > self._clip_max + CLIP_MAX_EPS:
                 # Louder audio raised the per-clip mel clamp floor: the KV
                 # cached for the stable prefix was computed under a different
                 # normalization than a stateless run of this window would
-                # use. Discard the tick and redo as a full prefill so the
-                # greedy-exact contract holds.
+                # use. Discard the tick (decode results included) and redo as
+                # a full prefill so the greedy-exact contract holds. Rare —
+                # the deferred guard trades one wasted decode on loud onsets
+                # for one fewer round trip on every normal tick.
                 self.clip_guard_prefills += 1
                 can_extend = False
                 accepted = 0
@@ -277,6 +298,14 @@ class IncrementalTranscriber:
                 self.incremental_prefills += 1
                 self.draft_tokens_offered += len(draft)
                 self.draft_tokens_accepted += accepted
+                self._cache = cache
+                self._window_start = window_start_sample
+                self._stable_tokens = self._stable_boundary(len(window), n_audio)
+                generated = list(draft[:accepted]) + [
+                    int(t) for t in np.asarray(tokens_np)[: int(count_v)]
+                ]
+                self._last_generated = generated
+                return model._parse_output(generated)
 
         if not can_extend:
             # Full fused prefill of prefix + audio + suffix. ``cache`` is the
@@ -302,7 +331,7 @@ class IncrementalTranscriber:
             )
             self.full_prefills += 1
 
-        cache = cache._replace(pos=jnp.int32(true_len + accepted))
+        cache = cache._replace(pos=jnp.int32(true_len))
         tokens, count, cache = dec.decode_greedy(
             cfg.decoder,
             model.decoder_params,
@@ -310,25 +339,18 @@ class IncrementalTranscriber:
             cache,
             cfg.eos_token_id,
             self.max_new_tokens,
-            budget=jnp.int32(max(0, self.max_new_tokens - accepted)),
         )
-        if clip_max is None:
-            tokens_np, count_v, clip_v = jax.device_get((tokens, count, clip_dev))
-            clip_max = float(clip_v)
-        else:
-            tokens_np, count_v = jax.device_get((tokens, count))
+        tokens_np, count_v, clip_v = jax.device_get((tokens, count, clip_dev))
+        clip_max = float(clip_v)
         self._cache = cache
         self._window_start = window_start_sample
-        if not can_extend or self._clip_max is None:
-            # Anchor at full prefills only: every cached row was computed at
-            # this floor, so the guard bounds drift vs the stalest row rather
-            # than just the previous tick.
-            self._clip_max = clip_max
+        # Anchor at full prefills only: every cached row was computed at
+        # this floor, so the guard bounds drift vs the stalest row rather
+        # than just the previous tick.
+        self._clip_max = clip_max
         self._stable_tokens = self._stable_boundary(len(window), n_audio)
 
-        generated = list(draft[:accepted]) + [
-            int(t) for t in np.asarray(tokens_np)[: int(count_v)]
-        ]
+        generated = [int(t) for t in np.asarray(tokens_np)[: int(count_v)]]
         self._last_generated = generated
         return model._parse_output(generated)
 

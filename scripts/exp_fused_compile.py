@@ -186,27 +186,29 @@ def e4():
     v = jnp.zeros((Hkv, C, hd), jnp.bfloat16)
     qpos = jnp.arange(C - T, C, dtype=jnp.int32)
 
-    f = jax.jit(flash_prefill_attention)
+    # Fetch a SCALAR reduction: device_get of the full [512,16,128] output
+    # costs ~100 ms of relay transfer alone and swamps the kernel time.
+    f = jax.jit(lambda q, k, v, p: jnp.sum(flash_prefill_attention(q, k, v, p)))
     t0 = time.time()
     jax.device_get(f(q, k, v, qpos))
     t1 = time.time()
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         ts = time.time()
         jax.device_get(f(q, k, v, qpos))
         best = min(best, time.time() - ts)
-    log(f"E4 flash prefill 32k: first {t1 - t0:.1f}s, steady {best * 1000:.2f} ms")
+    log(f"E4 flash prefill 32k: first {t1 - t0:.1f}s, steady {best * 1000:.2f} ms (scalar fetch)")
 
     from light_whisper_tpu.models.qwen3_asr.decoder import _attention_chunked
 
-    g = jax.jit(lambda q, k, v, p: _attention_chunked(q, k, v, p, H // Hkv, jnp.bfloat16))
+    g = jax.jit(lambda q, k, v, p: jnp.sum(_attention_chunked(q, k, v, p, H // Hkv, jnp.bfloat16)))
     jax.device_get(g(q, k, v, qpos))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         ts = time.time()
         jax.device_get(g(q, k, v, qpos))
         best = min(best, time.time() - ts)
-    log(f"E4 chunked XLA 32k (same process): steady {best * 1000:.2f} ms")
+    log(f"E4 chunked XLA 32k (same process): steady {best * 1000:.2f} ms (scalar fetch)")
 
 
 if __name__ == "__main__":
