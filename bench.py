@@ -413,17 +413,27 @@ def main() -> None:
         lambda q, k, v, p: _attention_chunked(q, k, v, p, groups, jnp.bfloat16)
     )
 
-    def _time(fn):
-        # Fetch a scalar reduction: pulling the [512,16,128] output through
-        # the relay costs ~100 ms of transfer and swamps the kernel time.
-        reduced = jax.jit(lambda q, k, v, p: jnp.sum(fn(q, k, v, p)))
-        jax.device_get(reduced(q_pf, k_pf, v_pf, pos_pf))  # compile+warm
+    def _time(fn, iters: int = 16):
+        # A single-op dispatch through the relay measures only the round
+        # trip (~34 ms — round-2's 82-138 ms "per layer" numbers were
+        # transfer artifacts). Iterate the op in-dispatch and subtract the
+        # measured RTT for the true device-side per-layer time.
+        @jax.jit
+        def run(q, k, v, p):
+            def body(i, carry):
+                # carry feeds q so iterations can't be CSE'd away
+                out = fn(q + (carry * 1e-9).astype(q.dtype), k, v, p)
+                return jnp.sum(out).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        jax.device_get(run(q_pf, k_pf, v_pf, pos_pf))  # compile+warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.device_get(reduced(q_pf, k_pf, v_pf, pos_pf))
+            jax.device_get(run(q_pf, k_pf, v_pf, pos_pf))
             best = min(best, time.perf_counter() - t0)
-        return best * 1000
+        return max(0.01, (best * 1000 - relay_rtt_ms)) / iters
 
     try:
         prefill_dense_ms = _time(dense_attn)
@@ -432,8 +442,9 @@ def main() -> None:
         prefill_dense_ms = None
     prefill_chunked_ms = _time(chunked_fn)
     print(
-        f"[bench] 32k prefill attention (per layer): dense {prefill_dense_ms} ms, "
-        f"chunked {round(prefill_chunked_ms, 2)} ms",
+        f"[bench] 32k prefill attention (device ms/layer, rtt-corrected): "
+        f"dense {prefill_dense_ms and round(prefill_dense_ms, 2)}, "
+        f"chunked {round(prefill_chunked_ms, 2)}",
         file=sys.stderr, flush=True,
     )
     print(

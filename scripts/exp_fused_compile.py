@@ -211,6 +211,52 @@ def e4():
     log(f"E4 chunked XLA 32k (same process): steady {best * 1000:.2f} ms (scalar fetch)")
 
 
+def e5():
+    """True device-side per-layer prefill attention time: iterate the op
+    N times inside ONE dispatch (single-op dispatches measure only the
+    relay RTT, ~34 ms — e4's scalar-fetch numbers bottomed out there)."""
+    from light_whisper_tpu.models.qwen3_asr.decoder import _attention_chunked
+    from light_whisper_tpu.ops.flash_prefill import flash_prefill_attention
+
+    T, H, Hkv, hd, C = 512, 16, 8, 128, 32768
+    N = 16
+    q = jnp.ones((T, H, hd), jnp.bfloat16) * 0.01
+    k = jnp.ones((Hkv, C, hd), jnp.bfloat16) * 0.01
+    v = jnp.ones((Hkv, C, hd), jnp.bfloat16) * 0.01
+    qpos = jnp.arange(C - T, C, dtype=jnp.int32)
+
+    def iterate(attn_fn):
+        @jax.jit
+        def run(q, k, v, p):
+            def body(i, carry):
+                # carry feeds q so iterations can't be CSE'd away
+                out = attn_fn(q + carry * 1e-9, k, v, p)
+                return jnp.sum(out).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+
+        return run
+
+    for name, fn in (
+        ("flash", lambda q, k, v, p: flash_prefill_attention(q, k, v, p)),
+        ("chunked", lambda q, k, v, p: _attention_chunked(q, k, v, p, H // Hkv, jnp.bfloat16)),
+    ):
+        run = iterate(fn)
+        t0 = time.time()
+        jax.device_get(run(q, k, v, qpos))
+        t1 = time.time()
+        best = float("inf")
+        for _ in range(3):
+            ts = time.time()
+            jax.device_get(run(q, k, v, qpos))
+            best = min(best, time.time() - ts)
+        per_layer = (best * 1000 - 34.0) / N  # subtract one RTT
+        log(
+            f"E5 {name} x{N} in-dispatch: first {t1 - t0:.1f}s, "
+            f"wall {best * 1000:.1f} ms -> ~{per_layer:.2f} ms/layer"
+        )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     log(f"devices: {jax.devices()}")
@@ -222,4 +268,6 @@ if __name__ == "__main__":
         e3()
     if which == "e4":
         e4()
+    if which == "e5":
+        e5()
     log("done")
