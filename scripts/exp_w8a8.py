@@ -86,18 +86,45 @@ def w8a8_matmul(x, wq, ws):
     )
 
 
-def bench(fn, x, wq, ws, iters=20):
-    jax.device_get(fn(x, wq, ws))
-    best = float("inf")
-    for _ in range(iters):
+def measure_rtt():
+    """Median round-trip of a trivial dispatch through the relay."""
+    one = jnp.float32(1.0)
+    f = jax.jit(lambda v: v + 1.0)
+    jax.device_get(f(one))
+    samples = []
+    for _ in range(9):
         t0 = time.perf_counter()
-        jax.device_get(fn(x, wq, ws))
+        jax.device_get(f(one))
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return samples[len(samples) // 2] * 1000
+
+
+def bench(fn, x, wq, ws, rtt_ms, iters=256):
+    """Iterate the op in ONE dispatch: single-op dispatches through the
+    relay measure only the ~34 ms RTT, not sub-ms kernel time."""
+
+    @jax.jit
+    def run(x, wq, ws):
+        def body(i, carry):
+            out = fn(x + (carry * 1e-9).astype(x.dtype), wq, ws)
+            return jnp.sum(out).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    jax.device_get(run(x, wq, ws))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get(run(x, wq, ws))
         best = min(best, time.perf_counter() - t0)
-    return best * 1000
+    return max(0.001, best * 1000 - rtt_ms) / iters
 
 
 def main():
     log(f"devices: {jax.devices()}")
+    rtt_ms = measure_rtt()
+    log(f"relay rtt p50: {rtt_ms:.2f} ms (subtracted from in-dispatch timings)")
     rng = np.random.default_rng(0)
     # 1.7B decode shapes: the four projections
     shapes = {
@@ -112,16 +139,20 @@ def main():
         wq = jnp.asarray(rng.integers(-127, 128, size=(O, K)).astype(np.int8))
         ws = jnp.asarray((rng.standard_normal((O, K // B)) * 0.01).astype(np.float32)).astype(jnp.bfloat16)
 
-        a = bench(dequant_matmul, x, wq, ws)
-        b = bench(w8a8_matmul, x, wq, ws)
+        a = bench(dequant_matmul, x, wq, ws, rtt_ms)
+        b = bench(w8a8_matmul, x, wq, ws, rtt_ms)
 
         ya = np.asarray(dequant_matmul(x, wq, ws))
         yb = np.asarray(w8a8_matmul(x, wq, ws))
-        denom = np.maximum(np.abs(ya), 1e-3)
+        denom = np.maximum(np.abs(ya), np.abs(ya).mean())
         rel = np.abs(ya - yb) / denom
+        # Caveat on (a): XLA hoists the loop-invariant dequant out of the
+        # timing loop, so (a) here reads 2x the real shipped-kernel bytes
+        # (bf16 w instead of int8+VMEM dequant). If (b) loses even to this
+        # handicapped (a), the w8a8 path is dead.
         log(
-            f"{name} (O={O}, K={K}): dequant {a:.3f} ms, w8a8 {b:.3f} ms "
-            f"({a / b:.2f}x), max rel diff {rel.max():.4f}"
+            f"{name} (O={O}, K={K}): dequant(hoisted) {a:.4f} ms, "
+            f"w8a8 {b:.4f} ms ({a / b:.2f}x), max rel diff {rel.max():.4f}"
         )
 
 
