@@ -433,7 +433,7 @@ def main() -> None:
             t0 = time.perf_counter()
             jax.device_get(run(q_pf, k_pf, v_pf, pos_pf))
             best = min(best, time.perf_counter() - t0)
-        return max(0.01, (best * 1000 - relay_rtt_ms)) / iters
+        return max(0.01, (best * 1000 - relay_rtt_ms) / iters)
 
     try:
         prefill_dense_ms = _time(dense_attn)

@@ -9,6 +9,7 @@ kaldi-native-fbank + onnxruntime on CPU threads.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 from typing import Dict, List, Optional
@@ -120,16 +121,17 @@ class FireRedVadTPU:
             name: t.array() for name, t in f.tensors.items() if not name.startswith("cmvn.")
         }
         self._device = _vad_device()
-        if self._device is not None:
-            with jax.default_device(self._device):
-                self._params = dfsmn.prepare_device_params(flat)
-                self._cmvn_mean = jnp.asarray(f.tensors["cmvn.mean"].array())
-                self._cmvn_inv_std = jnp.asarray(f.tensors["cmvn.inv_std"].array())
-        else:
+        with self._placement():
             self._params = dfsmn.prepare_device_params(flat)
             self._cmvn_mean = jnp.asarray(f.tensors["cmvn.mean"].array())
             self._cmvn_inv_std = jnp.asarray(f.tensors["cmvn.inv_std"].array())
         f.close()
+
+    def _placement(self):
+        """Pin computation to the policy device (no-op under ``default``)."""
+        if self._device is not None:
+            return jax.default_device(self._device)
+        return contextlib.nullcontext()
 
     # ------------------------------------------------------------------
 
@@ -146,17 +148,7 @@ class FireRedVadTPU:
         padded = np.zeros(bucket, dtype=np.float32)
         padded[: len(samples)] = samples
         frames = kfb.num_frames(bucket)
-        if self._device is not None:
-            with jax.default_device(self._device):
-                probs = _vad_probs_padded(
-                    self._params,
-                    self._cmvn_mean,
-                    self._cmvn_inv_std,
-                    jnp.asarray(padded),
-                    jnp.int32(true_frames),
-                    frames,
-                )
-        else:
+        with self._placement():
             probs = _vad_probs_padded(
                 self._params,
                 self._cmvn_mean,
@@ -173,8 +165,15 @@ class FireRedVadTPU:
         win_samples = (win_frames - 1) * kfb.FRAME_SHIFT + kfb.FRAME_LENGTH
 
         starts = list(range(0, total_frames, W))
-        batch = np.zeros((len(starts), win_samples), dtype=np.float32)
-        valid = np.zeros(len(starts), dtype=np.int32)
+        # Pad the window count to a power of two so the batched program
+        # compiles for O(log n) distinct leading dims instead of one per
+        # distinct recording length (~117 shapes for 32 s–33 min audio).
+        # Pad rows carry valid=0 and are dropped by the keep slicing.
+        n_rows = 1
+        while n_rows < len(starts):
+            n_rows *= 2
+        batch = np.zeros((n_rows, win_samples), dtype=np.float32)
+        valid = np.zeros(n_rows, dtype=np.int32)
         keep = []
         for i, fs in enumerate(starts):
             halo_lo = min(H, fs)
@@ -187,22 +186,7 @@ class FireRedVadTPU:
             valid[i] = f1 - f0
             keep.append((halo_lo, halo_lo + min(W, total_frames - fs)))
 
-        run = (
-            functools.partial(jax.default_device, self._device)
-            if self._device is not None
-            else None
-        )
-        if run is not None:
-            with run():
-                probs = _vad_probs_batched(
-                    self._params,
-                    self._cmvn_mean,
-                    self._cmvn_inv_std,
-                    jnp.asarray(batch),
-                    jnp.asarray(valid),
-                    win_frames,
-                )
-        else:
+        with self._placement():
             probs = _vad_probs_batched(
                 self._params,
                 self._cmvn_mean,

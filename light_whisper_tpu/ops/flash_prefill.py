@@ -69,7 +69,11 @@ def _kernel(
     m_prev = m_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    # Mask explicitly instead of relying on exp underflow: in a fully
+    # masked row m_new stays NEG_INF, so exp(s - m_new) would be 1 per
+    # entry and l would reach `capacity` — the flush guard's l == 0
+    # invariant for padding rows (qpos = -1) holds only with this where.
+    p = jnp.where(allowed, jnp.exp(s - m_new), 0.0)
     l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)

@@ -279,9 +279,19 @@ class EngineClient:
         if response.get("success"):
             # Probed: the engine handled inline audio (echoed mode or not).
             self._inline_transport = True
-        # Generic errors leave the capability unprobed — the next request
-        # retries inline rather than inheriting a transient failure's verdict.
-        return response
+            return response
+        # Generic error without input_mode: could be a transient engine
+        # failure (ours) or a legacy runtime whose inline-rejection text we
+        # don't recognize (the reference pins path for ANY missing
+        # input_mode, funasr_service.rs:1236-1251). Retry this one request
+        # via the path transport WITHOUT pinning: a path success is evidence
+        # the runtime works only via files (pin path); a path failure is a
+        # genuine engine error (stay unprobed so the next request retries
+        # inline rather than inheriting a transient verdict).
+        retried = self._transcribe_via_path(samples, sample_rate, hot_words, timeout)
+        if retried.get("success"):
+            self._inline_transport = False
+        return retried
 
     def _transcribe_via_path(
         self,

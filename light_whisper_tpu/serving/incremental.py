@@ -432,4 +432,27 @@ def warmup_ladder(
             )
         ticks += 1
         seconds += step_seconds
+    # Second pass: the growing walk above only FULL-prefills at the first
+    # tick and at cache-capacity doublings (every other tick rides the
+    # incremental extend segment). A clip-guard redo or a fresh session
+    # landing on any other bucket would still hit a cold full-prefill
+    # compile mid-dictation — reset before each bucket so the full-prefill
+    # program is compiled for every (bucket, capacity) pair too. Buckets
+    # whose program was already compiled in pass 1 replay from the
+    # in-process cache in well under a second.
+    seconds = step_seconds
+    while seconds <= max_seconds + 1e-9:
+        if budget_seconds is not None:
+            if _time.perf_counter() - started > budget_seconds:
+                break
+        t0 = _time.perf_counter()
+        inc.reset()
+        inc.transcribe_window(full[: int(seconds * sr)], window_start_sample=0)
+        if log is not None:
+            log(
+                "warmup full-prefill bucket %.1fs: %.2fs"
+                % (seconds, _time.perf_counter() - t0)
+            )
+        ticks += 1
+        seconds += step_seconds
     return ticks

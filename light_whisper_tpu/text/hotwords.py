@@ -107,8 +107,27 @@ except ImportError:  # pragma: no cover
     levenshtein = _levenshtein_py
 
 
-@functools.lru_cache(maxsize=4096)
 def _ascii_word_spans(text: str) -> Tuple[Tuple[int, int], ...]:
+    """Spans of ASCII-alnum runs; memoized only for short texts.
+
+    The repeating keys are hot-word/correction terms (tiny, hit every
+    tick). Transcripts are also routed through here but every interim tick
+    produces a NEW transcript string — caching those retains up to 4096
+    arbitrarily large texts (a 33-min transcript is ~600 KB of spans) for
+    process lifetime with a near-zero hit rate, so long texts bypass the
+    cache.
+    """
+    if len(text) <= 256:
+        return _ascii_word_spans_cached(text)
+    return _ascii_word_spans_impl(text)
+
+
+@functools.lru_cache(maxsize=4096)
+def _ascii_word_spans_cached(text: str) -> Tuple[Tuple[int, int], ...]:
+    return _ascii_word_spans_impl(text)
+
+
+def _ascii_word_spans_impl(text: str) -> Tuple[Tuple[int, int], ...]:
     spans = []
     start: Optional[int] = None
     for index, ch in enumerate(text):

@@ -262,6 +262,53 @@ def test_inline_error_shape_triggers_fallback():
     assert client._inline_transport is False
 
 
+def test_unrecognized_inline_error_retries_via_path_and_pins_on_success():
+    # A legacy runtime whose inline-rejection text matches none of the known
+    # markers: the client must still reach it via the path transport (the
+    # reference pins path for ANY missing input_mode), but only pin once the
+    # path attempt actually succeeds.
+    client, stdin = make_client(
+        [
+            '{"success": false, "request_id": 1, "error": "unbekannter Fehler"}\n',
+            '{"success": true, "request_id": 2, "text": "via path"}\n',
+            '{"success": true, "request_id": 3, "text": "still path"}\n',
+        ]
+    )
+    samples = np.ones(16000, dtype="<i2")
+    result = client.transcribe_pcm16(samples, 16000)
+    assert result["text"] == "via path"
+    assert client._inline_transport is False
+    client.transcribe_pcm16(samples, 16000)
+    sent = [json.loads(l) for l in stdin.getvalue().splitlines()]
+    assert "audio_base64" in sent[0]
+    assert "audio_path" in sent[1]
+    assert "audio_path" in sent[2]  # pinned after the successful path probe
+
+
+def test_transient_engine_error_leaves_transport_unprobed():
+    # Both the inline attempt and the path retry fail (a genuine engine
+    # error, e.g. init failure): no verdict is pinned, and the next request
+    # tries inline again rather than inheriting the failure.
+    client, stdin = make_client(
+        [
+            '{"success": false, "request_id": 1, "error": "worker exploded"}\n',
+            '{"success": false, "request_id": 2, "error": "worker exploded"}\n',
+            '{"success": true, "request_id": 3, "input_mode": "memory", "text": "ok"}\n',
+        ]
+    )
+    samples = np.ones(16000, dtype="<i2")
+    result = client.transcribe_pcm16(samples, 16000)
+    assert result["success"] is False
+    assert client._inline_transport is None
+    result2 = client.transcribe_pcm16(samples, 16000)
+    assert result2["text"] == "ok"
+    assert client._inline_transport is True
+    sent = [json.loads(l) for l in stdin.getvalue().splitlines()]
+    assert "audio_base64" in sent[0]
+    assert "audio_path" in sent[1]
+    assert "audio_base64" in sent[2]
+
+
 def test_non_16k_audio_rides_wav_path_preserving_rate():
     client, stdin = make_client(
         ['{"success": true, "request_id": 1, "input_mode": "path"}\n']

@@ -77,3 +77,32 @@ def test_padding_rows_are_exact_zero_and_sliced():
     got = flash_prefill_attention(q, k, v, q_pos, interpret=True)
     assert got.shape == (T, n_heads, hd)
     assert np.isfinite(np.asarray(got, np.float32)).all()
+
+    # Pin the kernel's documented invariant directly: fully masked rows
+    # (qpos = -1) leave l == 0 and flush to EXACT zero — not mean-of-V
+    # (the failure mode when exp(s - m) is left unmasked and m stays
+    # NEG_INF). A future caller using in-band masked rows instead of
+    # sliced padding relies on this.
+    from light_whisper_tpu.ops.flash_prefill import _flash_rows
+
+    groups = n_heads // n_kv
+    rows = groups * T  # 24: ragged → one padded row tile of 32
+    pad = -rows % 8
+    q_rows = (
+        q.reshape(T, n_kv, groups, hd).transpose(1, 2, 0, 3).reshape(n_kv, rows, hd)
+    ).astype(jnp.bfloat16)
+    q_rows = jnp.pad(q_rows, ((0, 0), (0, pad), (0, 0)))
+    qpos_rows = jnp.pad(
+        jnp.tile(q_pos.astype(jnp.int32), (groups,)), (0, pad), constant_values=-1
+    )
+    out = _flash_rows(
+        q_rows,
+        k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16),
+        qpos_rows[None, :],
+        rows + pad,
+        512,
+        True,
+    )
+    padding = np.asarray(out[:, rows:], np.float32)
+    np.testing.assert_array_equal(padding, np.zeros_like(padding))

@@ -309,8 +309,12 @@ def test_warmup_ladder_precompiles_buckets(model):
     transcriber pool warm (full prefill + extend programs compiled)."""
     from light_whisper_tpu.serving.incremental import warmup_ladder
 
+    # Pass 1 walks the growing window (extend segments); pass 2 resets per
+    # bucket so the FULL-prefill program is compiled for every bucket, not
+    # just the first tick and capacity doublings (clip-guard redos and fresh
+    # sessions land on arbitrary buckets).
     ticks = warmup_ladder(model, max_seconds=1.5, step_seconds=0.5)
-    assert ticks == 3
+    assert ticks == 6
 
     # budget cuts the walk short but never below one tick
     few = warmup_ladder(model, max_seconds=5.0, step_seconds=0.5, budget_seconds=0.0)

@@ -156,8 +156,13 @@ def test_store_roundtrip_and_debounce(tmp_path):
 
     store.schedule_save(profile)
     store.schedule_save(profile)  # coalesces
-    time.sleep(0.2)
+    # The debounce timer fires on its own; poll rather than a fixed sleep so
+    # scheduler delay under a loaded test machine can't flake the assertion.
+    deadline = time.monotonic() + 10.0
     loaded = store.load()
+    while not loaded.hot_words and time.monotonic() < deadline:
+        time.sleep(0.05)
+        loaded = store.load()
     assert loaded.hot_words[0].text == "JAX"
     assert loaded.correction_patterns[0].original == "光子"
     assert loaded.correction_patterns[0].source == Source.USER
