@@ -201,9 +201,12 @@ class FireRedVadTPU:
     def warmup(self) -> None:
         self.probabilities(np.zeros(SAMPLE_RATE, dtype=np.float32))
 
-    def speech_timestamps(self, audio: np.ndarray) -> List[Dict[str, int]]:
+    def speech_timestamps(
+        self, audio: np.ndarray, probs: Optional[np.ndarray] = None
+    ) -> List[Dict[str, int]]:
         samples = np.asarray(audio, dtype=np.float32).reshape(-1)
-        probs = self.probabilities(samples)
+        if probs is None:
+            probs = self.probabilities(samples)
         try:  # native hysteresis segmenter (same semantics, C++)
             from light_whisper_tpu.native import binding
 
@@ -222,3 +225,64 @@ class FireRedVadTPU:
         except Exception:
             pass
         return speech_segments(probs, len(samples), self.options)
+
+
+class VadPrefixSession:
+    """Incremental probabilities over a growing audio buffer.
+
+    The shell's interim loop re-sends the SAME recording with ~0.5 s of new
+    audio appended every tick (``interim.rs:21-196``); running the DFSMN
+    over the whole 12 s window each time made VAD the largest term in the
+    wire end-of-speech latency (p50 ~95 ms of a ~200 ms tick on the bench
+    host). Frames more than the receptive field behind the previous end are
+    mathematically unchanged when audio is appended (the DFSMN sees ±160
+    frames; fbank frames are sample-local), so this session recomputes only
+    the tail — ``new audio + 2·HALO`` frames of context — and stitches it
+    onto the cached prefix. Same halo argument as the long-form batching
+    above (halo 200 > 160), so the stitched vector equals the monolithic
+    pass up to float reassociation.
+
+    Reuse applies only while the buffer byte-extends the previous one and
+    stays within the fine buckets (≤ 16 s — the interim window is capped at
+    12 s); anything else recomputes fresh, which is the stateless behavior.
+    Retention is one ≤16 s float32 buffer + one probs vector.
+    """
+
+    def __init__(self, vad: FireRedVadTPU):
+        self._vad = vad
+        self._samples: Optional[np.ndarray] = None
+        self._probs: Optional[np.ndarray] = None
+        self.reused_ticks = 0
+
+    def probabilities(self, audio: np.ndarray) -> np.ndarray:
+        samples = np.asarray(audio, dtype=np.float32).reshape(-1)
+        # Capture state ONCE: overlapping ticks on one stream must each see
+        # a consistent (samples, probs) pair, not a mix of generations.
+        prev, prev_probs = self._samples, self._probs
+        if (
+            prev is None
+            or prev_probs is None
+            or len(samples) < len(prev)
+            or len(samples) > _FINE_MAX
+            or len(prev_probs) == 0
+            or not np.array_equal(samples[: len(prev)], prev)
+        ):
+            probs = self._vad.probabilities(samples)
+            if 0 < len(samples) <= _FINE_MAX:
+                self._samples, self._probs = samples, probs
+            else:
+                self._samples = self._probs = None
+            return probs
+        total_frames = kfb.num_frames(len(samples))
+        keep = max(0, len(prev_probs) - _HALO_FRAMES)
+        fs = max(0, keep - _HALO_FRAMES)  # keep-fs >= HALO > receptive field
+        tail = self._vad.probabilities(samples[fs * kfb.FRAME_SHIFT :])
+        probs = np.concatenate([prev_probs[:keep], tail[keep - fs :]])
+        assert len(probs) == total_frames, (len(probs), total_frames)
+        self.reused_ticks += 1
+        self._samples, self._probs = samples, probs
+        return probs
+
+    def speech_timestamps(self, audio: np.ndarray) -> List[Dict[str, int]]:
+        samples = np.asarray(audio, dtype=np.float32).reshape(-1)
+        return self._vad.speech_timestamps(samples, probs=self.probabilities(samples))

@@ -130,6 +130,10 @@ class Qwen3EngineServer:
         # Per-session-key trim pins: (raw_audio, start, end) of the last
         # request on that stream (bounded alongside the session pool).
         self._prev_trims: Dict[str, Any] = {}
+        # Per-session-key incremental VAD (prefix-reuse across interim
+        # ticks); bounded with the same LRU policy as the trim pins.
+        self._vad_sessions: Dict[str, Any] = {}
+        self._vad_prefix_reuse = 0
         self._last_load_error: Optional[str] = None
         self._hotword_corrector = None
 
@@ -309,7 +313,7 @@ class Qwen3EngineServer:
         """Trim leading/trailing silence only — inner pauses stay, so the
         model still sees natural phrase timing (``qwen3_asr_server.py:152-173``)."""
         started = time.perf_counter()
-        segments = self.vad.speech_timestamps(audio)
+        segments = self._vad_timestamps(audio, session_key)
         vad_ms = (time.perf_counter() - started) * 1000
         with self._stats_lock:
             self._vad_calls += 1
@@ -329,6 +333,37 @@ class Qwen3EngineServer:
             return np.empty(0, dtype=np.float32), 0, vad_ms
         start, end = self._stabilize_trim(audio, start, end, session_key)
         return np.ascontiguousarray(audio[start:end]), len(segments), vad_ms
+
+    def _vad_timestamps(self, audio: np.ndarray, session_key: str):
+        """Segment via the stream's incremental VAD session when possible.
+
+        Interim ticks re-send the same recording with ~0.5 s appended;
+        :class:`VadPrefixSession` recomputes only the new tail plus a
+        receptive-field halo and stitches it onto cached prefix
+        probabilities (monolithic-equal, see its docstring). Anything the
+        session can't extend — shrunk/different audio, long-form, session
+        reuse disabled, or a custom VAD without ``probabilities`` — falls
+        back to the stateless full pass.
+        """
+        if os.environ.get("LIGHT_WHISPER_DISABLE_SESSION_REUSE") or not hasattr(
+            self.vad, "probabilities"
+        ):
+            return self.vad.speech_timestamps(audio)
+        from light_whisper_tpu.models.vad.api import VadPrefixSession
+        from light_whisper_tpu.serving.session_pool import max_sessions
+
+        with self._stats_lock:
+            session = self._vad_sessions.pop(session_key, None)
+            if session is None:
+                session = VadPrefixSession(self.vad)
+            self._vad_sessions[session_key] = session  # LRU touch
+            while len(self._vad_sessions) > 2 * max_sessions():
+                self._vad_sessions.pop(next(iter(self._vad_sessions)))
+            reused_before = session.reused_ticks
+        segments = session.speech_timestamps(audio)
+        with self._stats_lock:
+            self._vad_prefix_reuse += session.reused_ticks - reused_before
+        return segments
 
     def _stabilize_trim(self, raw: np.ndarray, start: int, end: int, session_key: str):
         """Pin the leading VAD trim across a growing interim window.
@@ -645,6 +680,7 @@ class Qwen3EngineServer:
             "average_vad_ms": round(self._total_vad_ms / max(1, self._vad_calls), 3),
             "vad_calls": self._vad_calls,
             "vad_rejected": self._vad_rejected,
+            "vad_prefix_reuse": self._vad_prefix_reuse,
             "batch_dispatches": self._batch_dispatches,
             "batched_requests": self._batched_requests,
             "initialized": self.initialized,

@@ -270,3 +270,57 @@ def test_long_form_option_routes_through_batched_pipeline():
     assert result["text"] == "seg0"
     assert result["vad_segments"] == 1
     assert model.calls == [[49920]]  # one merged window + 120 ms pad
+
+
+def test_vad_prefix_reuse_on_growing_interim_stream():
+    """A growing interim buffer on one stream rides the incremental VAD
+    prefix path: only the new tail is re-scored and the stats counter
+    reflects the reused ticks; a fresh stream key starts cold."""
+    from light_whisper_tpu.audio import fbank as kfb
+
+    class PrefixFakeVad:
+        def __init__(self):
+            self.scored_samples = []
+
+        def probabilities(self, audio):
+            audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+            self.scored_samples.append(len(audio))
+            return np.ones(kfb.num_frames(len(audio)), dtype=np.float32)
+
+        def speech_timestamps(self, audio, probs=None):
+            n = len(np.asarray(audio).reshape(-1))
+            return [{"start": 0, "end": n}]
+
+        def warmup(self):
+            pass
+
+    vad = PrefixFakeVad()
+    server, _model, _ = make_server(vad=vad)
+    server.initialize()
+    rng = np.random.default_rng(9)
+    full = (rng.standard_normal(16000 * 7) * 0.3).astype(np.float32)
+
+    for end in (96000, 104000, 112000):
+        r = server.transcribe(
+            audio_base64=pcm_b64(full[:end]),
+            audio_format="pcm_s16le",
+            sample_rate=16000,
+            options={"stream": "s1"},
+        )
+        assert r["success"]
+
+    stats = server.performance_stats()
+    assert stats["vad_prefix_reuse"] == 2
+    # Ticks 2 and 3 scored only the tail (+halo), not the whole buffer.
+    assert vad.scored_samples[0] == 96000
+    assert vad.scored_samples[1] < 104000 and vad.scored_samples[2] < 112000
+
+    # A different stream key must not stitch onto s1's cache.
+    r = server.transcribe(
+        audio_base64=pcm_b64(full[:96000]),
+        audio_format="pcm_s16le",
+        sample_rate=16000,
+        options={"stream": "s2"},
+    )
+    assert r["success"]
+    assert server.performance_stats()["vad_prefix_reuse"] == 2

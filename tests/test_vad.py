@@ -250,3 +250,68 @@ def test_longform_batched_probs_match_monolithic(monkeypatch):
 
     assert mono.shape == batched.shape
     np.testing.assert_allclose(mono, batched, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# incremental prefix session (interim-tick reuse)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_session_matches_monolithic(vad):
+    """Growing a buffer tick-by-tick through VadPrefixSession must produce
+    the same probabilities as a fresh monolithic pass at every tick (the
+    halo exceeds the DFSMN receptive field, so stitching is exact up to
+    bucket-padding float noise)."""
+    from light_whisper_tpu.models.vad.api import VadPrefixSession
+
+    rng = np.random.default_rng(7)
+    full = (rng.standard_normal(16000 * 6) * 0.3).astype(np.float32)
+    sess = VadPrefixSession(vad)
+    ends = [32000, 40000, 48000, 80000, 96000]
+    for end in ends:
+        chunk = full[:end]
+        got = sess.probabilities(chunk)
+        want = vad.probabilities(chunk)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert sess.reused_ticks == len(ends) - 1
+    # Segment output through the session equals the stateless segmenter.
+    assert sess.speech_timestamps(full) == vad.speech_timestamps(full)
+
+
+def test_prefix_session_fallback_on_changed_or_shrunk_audio(vad):
+    from light_whisper_tpu.models.vad.api import VadPrefixSession
+
+    rng = np.random.default_rng(8)
+    a = (rng.standard_normal(32000) * 0.3).astype(np.float32)
+    sess = VadPrefixSession(vad)
+    sess.probabilities(a)
+
+    # Mutated prefix: must recompute fresh, not stitch onto stale state.
+    b = a.copy()
+    b[100] += 1.0
+    grown = np.concatenate([b, np.zeros(8000, np.float32)])
+    np.testing.assert_allclose(
+        sess.probabilities(grown), vad.probabilities(grown), rtol=1e-4, atol=1e-5
+    )
+    assert sess.reused_ticks == 0
+
+    # Shrunk buffer (new recording started): also a fresh pass.
+    np.testing.assert_allclose(
+        sess.probabilities(a), vad.probabilities(a), rtol=1e-4, atol=1e-5
+    )
+    assert sess.reused_ticks == 0
+
+
+def test_prefix_session_longform_not_cached(vad):
+    """Buffers beyond the fine buckets (>16 s) bypass retention entirely —
+    the interim window never grows that large, and long-form audio routes
+    through the batched pass."""
+    from light_whisper_tpu.models.vad.api import VadPrefixSession, _FINE_MAX
+
+    sess = VadPrefixSession(vad)
+    long_audio = np.zeros(_FINE_MAX + 16000, dtype=np.float32)
+    probs = sess.probabilities(long_audio)
+    assert probs.shape == vad.probabilities(long_audio).shape
+    assert sess._samples is None and sess._probs is None
+    assert sess.reused_ticks == 0
