@@ -528,14 +528,13 @@ def forward(
     return x, KVCache(k=new_k, v=new_v, pos=cache.pos + T)
 
 
-def forward_train(cfg: DecoderConfig, params: Dict, embeds: jax.Array) -> jax.Array:
-    """Cache-free causal forward over a full sequence (training / scoring).
+def make_train_layer(cfg: DecoderConfig, T: int):
+    """Scanned layer body for the cache-free causal forward.
 
-    embeds: [T, D] → hidden states [T, D]. Differentiable; uses the same
-    layer math as :func:`forward` but dense causal attention instead of a
-    cache, which is the natural formulation for fine-tuning.
+    Returns ``layer_fn(x, layer) -> (x, None)`` over a [T, D] sequence —
+    shared by :func:`forward_train` and the pipeline-parallel stages
+    (``parallel/pipeline.py``), so both paths run identical layer math.
     """
-    T = embeds.shape[0]
     positions = jnp.arange(T)
     cos, sin = rope_tables(positions, cfg.key_length, cfg.rope_freq_base)
     hd = cfg.key_length
@@ -567,6 +566,17 @@ def forward_train(cfg: DecoderConfig, params: Dict, embeds: jax.Array) -> jax.Ar
         x = x + apply_linear(layer["down"], (jax.nn.silu(gate) * up).astype(x.dtype)).astype(x.dtype)
         return x, None
 
+    return layer_fn
+
+
+def forward_train(cfg: DecoderConfig, params: Dict, embeds: jax.Array) -> jax.Array:
+    """Cache-free causal forward over a full sequence (training / scoring).
+
+    embeds: [T, D] → hidden states [T, D]. Differentiable; uses the same
+    layer math as :func:`forward` but dense causal attention instead of a
+    cache, which is the natural formulation for fine-tuning.
+    """
+    layer_fn = make_train_layer(cfg, embeds.shape[0])
     x, _ = jax.lax.scan(layer_fn, embeds, params["layers"])
     return rms_norm(x, params["final_norm"], cfg.rms_epsilon)
 

@@ -246,3 +246,156 @@ def test_sequence_parallel_encoder_matches_single_device(tmp_path):
 
     with pytest.raises(ValueError):
         encode_chunks_sp(acfg, params, mel[: 7 * acfg.chunk_frames], valid, 7, mesh)
+
+
+# ---------------------------------------------------------------------------
+# pipeline parallelism (pp)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_pp_setup(pp=4, M=5, T=12, seed=11):
+    import jax.numpy as jnp
+    import __graft_entry__ as graft
+    from light_whisper_tpu.models.qwen3_asr.config import (
+        AudioEncoderConfig,
+        DecoderConfig,
+        Qwen3ASRConfig,
+    )
+    from light_whisper_tpu.parallel.pipeline import (
+        make_pp_mesh,
+        place_decoder_params_pp,
+    )
+
+    dec_cfg = DecoderConfig(
+        vocab_size=256,
+        embedding_length=64,
+        block_count=pp * 2,
+        feed_forward_length=128,
+        head_count=8,
+        head_count_kv=4,
+        key_length=8,
+        context_length=256,
+    )
+    enc_cfg = AudioEncoderConfig(
+        num_mel_bins=128,
+        d_model=64,
+        block_count=1,
+        head_count=8,
+        feed_forward_length=128,
+        downsample_hidden_size=16,
+        output_dim=64,
+        n_window=50,
+        max_source_positions=32,
+    )
+    cfg = Qwen3ASRConfig(audio=enc_cfg, decoder=dec_cfg, audio_token_id=250)
+    _enc, params = graft._random_params(cfg, seed=seed)
+    mesh = make_pp_mesh(pp, devices=jax.devices()[:pp])
+    placed = place_decoder_params_pp(params, mesh)
+    rng = np.random.default_rng(seed)
+    embeds_mb = jnp.asarray(
+        rng.standard_normal((M, T, dec_cfg.embedding_length)).astype(np.float32)
+    )
+    return dec_cfg, params, placed, mesh, embeds_mb
+
+
+def test_pipeline_forward_matches_single_device():
+    """forward_train_pp must reproduce forward_train on every microbatch —
+    same scanned layer body, stage-split over pp with ppermute handoffs."""
+    from light_whisper_tpu.models.qwen3_asr import decoder as dec
+    from light_whisper_tpu.parallel.pipeline import forward_train_pp
+
+    cfg, params, placed, mesh, embeds_mb = _tiny_pp_setup()
+    got = np.asarray(forward_train_pp(cfg, placed, embeds_mb, mesh))
+    for i in range(embeds_mb.shape[0]):
+        want = np.asarray(dec.forward_train(cfg, params, embeds_mb[i]))
+        np.testing.assert_allclose(got[i], want, rtol=2e-3, atol=2e-3)
+
+
+def test_pipeline_fewer_microbatches_than_stages():
+    """M < pp exercises the all-bubble regime (every tick but M of them is
+    bubble work on some stage); outputs must still be exact."""
+    from light_whisper_tpu.models.qwen3_asr import decoder as dec
+    from light_whisper_tpu.parallel.pipeline import forward_train_pp
+
+    cfg, params, placed, mesh, embeds_mb = _tiny_pp_setup(pp=4, M=2)
+    got = np.asarray(forward_train_pp(cfg, placed, embeds_mb, mesh))
+    for i in range(2):
+        want = np.asarray(dec.forward_train(cfg, params, embeds_mb[i]))
+        np.testing.assert_allclose(got[i], want, rtol=2e-3, atol=2e-3)
+
+
+def test_pipeline_grads_match_single_device():
+    """Autodiff through the pipeline schedule (reverse ppermute = backward
+    pipeline) must produce the same layer gradients as the unpipelined
+    loss on one device."""
+    import jax.numpy as jnp
+    from light_whisper_tpu.models.qwen3_asr import decoder as dec
+    from light_whisper_tpu.parallel.pipeline import forward_train_pp
+    from light_whisper_tpu.parallel.train import IGNORE_LABEL
+
+    cfg, params, placed, mesh, embeds_mb = _tiny_pp_setup(M=3)
+    rng = np.random.default_rng(12)
+    labels = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, size=embeds_mb.shape[:2]).astype(np.int32)
+    )
+
+    def ce(logits, labels_i):
+        ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        picked = jnp.take_along_axis(ll, labels_i[..., None], axis=-1)[..., 0]
+        return -jnp.sum(picked)
+
+    def loss_pp(p):
+        hidden = forward_train_pp(cfg, p, embeds_mb, mesh)
+        logits = jax.vmap(lambda h: dec.logits_for(cfg, p, h))(hidden)
+        return ce(logits, labels) / labels.size
+
+    def loss_ref(p):
+        total = 0.0
+        for i in range(embeds_mb.shape[0]):
+            hidden = dec.forward_train(cfg, p, embeds_mb[i])
+            total = total + ce(dec.logits_for(cfg, p, hidden), labels[i])
+        return total / labels.size
+
+    g_pp = jax.grad(loss_pp)(placed)
+    g_ref = jax.grad(loss_ref)(params)
+    flat_pp = jax.tree.leaves_with_path(g_pp)
+    flat_ref = {jax.tree_util.keystr(k): v for k, v in jax.tree.leaves_with_path(g_ref)}
+    checked = 0
+    for key, leaf in flat_pp:
+        ref = flat_ref[jax.tree_util.keystr(key)]
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(ref), rtol=5e-3, atol=5e-3,
+            err_msg=jax.tree_util.keystr(key),
+        )
+        checked += 1
+    assert checked >= 10
+
+
+def test_pipeline_train_step_loss_decreases():
+    import jax.numpy as jnp
+    import optax
+    from light_whisper_tpu.parallel.pipeline import make_train_step_pp
+
+    cfg, _params, placed, mesh, embeds_mb = _tiny_pp_setup(M=4)
+    rng = np.random.default_rng(13)
+    labels = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, size=embeds_mb.shape[:2]).astype(np.int32)
+    )
+    optimizer = optax.adam(3e-3)
+    opt_state = optimizer.init(placed)
+    step = make_train_step_pp(cfg, mesh, optimizer)
+    losses = []
+    params = placed
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, embeds_mb, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_pipeline_rejects_indivisible_layers():
+    from light_whisper_tpu.parallel.pipeline import forward_train_pp, make_pp_mesh
+
+    cfg, params, placed, mesh, embeds_mb = _tiny_pp_setup(pp=4)
+    mesh3 = make_pp_mesh(3, devices=jax.devices()[:3])
+    with pytest.raises(ValueError):
+        forward_train_pp(cfg, placed, embeds_mb, mesh3)
