@@ -29,19 +29,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from light_whisper_tpu.models.qwen3_asr import decoder as dec
 from light_whisper_tpu.models.qwen3_asr.config import DecoderConfig
+from light_whisper_tpu.parallel.mesh import DATA_AXIS
 
 PIPE_AXIS = "pp"
 
 
 def make_pp_mesh(
-    pp: Optional[int] = None, devices: Optional[Sequence[jax.Device]] = None
+    pp: Optional[int] = None,
+    dp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """1-D pipeline mesh over the given (default: all) devices."""
+    """Pipeline mesh over the given (default: all) devices.
+
+    ``dp > 1`` composes data parallelism with the pipeline: a (dp, pp) grid
+    where each dp row runs an independent pipeline over its batch shard and
+    layer-gradient all-reduces ride the ``dp`` axis.
+    """
     devices = list(devices if devices is not None else jax.devices())
-    pp = len(devices) if pp is None else pp
-    if pp != len(devices):
-        raise ValueError(f"pp={pp} != {len(devices)} devices")
-    return Mesh(np.asarray(devices), (PIPE_AXIS,))
+    n = len(devices)
+    pp = n // dp if pp is None else pp
+    if dp * pp != n:
+        raise ValueError(f"mesh dp{dp}xpp{pp} != {n} devices")
+    if dp == 1:
+        return Mesh(np.asarray(devices), (PIPE_AXIS,))
+    return Mesh(np.asarray(devices).reshape(dp, pp), (DATA_AXIS, PIPE_AXIS))
 
 
 def shard_layers_pp(layers: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
@@ -58,7 +69,8 @@ def pipeline_apply(
     mesh: Mesh,
     stage_fn: Callable[[Any, jax.Array], jax.Array],
     layers: Dict[str, Any],
-    microbatches: jax.Array,  # [M, ...] stage-0 inputs (replicated)
+    microbatches: jax.Array,  # [M, ...] stage-0 inputs
+    batch_axis: Optional[int] = None,
 ) -> jax.Array:
     """Run ``microbatches`` through the full layer stack, pipelined.
 
@@ -69,8 +81,19 @@ def pipeline_apply(
     device. Schedule: ``M + pp - 1`` ticks; on tick ``t`` stage 0 ingests
     microbatch ``min(t, M-1)`` (trailing feeds are don't-care bubble work)
     and the last stage emits microbatch ``t - (pp - 1)``.
+
+    On a (dp, pp) mesh, pass ``batch_axis``: that microbatch dimension
+    shards over ``dp`` and each dp row pipelines its own batch shard
+    (layers are dp-replicated; their gradient all-reduce over ``dp`` falls
+    out of the shard_map transpose).
     """
     pp = mesh.shape[PIPE_AXIS]
+    mb_dims: list = [None] * microbatches.ndim
+    if batch_axis is not None:
+        if DATA_AXIS not in mesh.axis_names:
+            raise ValueError(f"batch_axis given but mesh has no '{DATA_AXIS}' axis")
+        mb_dims[batch_axis] = DATA_AXIS
+    mb_spec = P(*mb_dims)
 
     def local(layers_local, mb):
         stage = jax.lax.axis_index(PIPE_AXIS)
@@ -103,8 +126,8 @@ def pipeline_apply(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(layer_specs, P()),
-        out_specs=P(),
+        in_specs=(layer_specs, mb_spec),
+        out_specs=mb_spec,
         check_vma=False,
     )(layers, microbatches)
 
@@ -112,7 +135,7 @@ def pipeline_apply(
 def forward_train_pp(
     cfg: DecoderConfig,
     params: Dict[str, Any],
-    embeds_mb: jax.Array,  # [M, T, D] microbatched embeddings
+    embeds_mb: jax.Array,  # [M, T, D] or [M, B, T, D] microbatched embeddings
     mesh: Mesh,
 ) -> jax.Array:
     """Pipeline-parallel :func:`decoder.forward_train` over microbatches.
@@ -120,19 +143,28 @@ def forward_train_pp(
     Numerically identical (same scanned layer body via
     :func:`decoder.make_train_layer`) to running ``forward_train`` on each
     microbatch; the layer stack is split into ``pp`` contiguous stages.
-    Requires ``block_count % pp == 0``.
+    Requires ``block_count % pp == 0``. A 4-D ``[M, B, T, D]`` input adds a
+    within-microbatch batch dimension; on a (dp, pp) mesh it shards over
+    ``dp`` (each dp row pipelines ``B / dp`` examples per microbatch).
     """
     pp = mesh.shape[PIPE_AXIS]
     if cfg.block_count % pp != 0:
         raise ValueError(f"block_count={cfg.block_count} not divisible by pp={pp}")
-    M, T, _D = embeds_mb.shape
+    T = embeds_mb.shape[-2]
     layer_fn = dec.make_train_layer(cfg, T)
 
-    def stage(local_layers, x):
+    def run_stack(local_layers, x):
         y, _ = jax.lax.scan(layer_fn, x, local_layers)
         return y
 
-    hidden = pipeline_apply(mesh, stage, params["layers"], embeds_mb)
+    if embeds_mb.ndim == 4:
+        stage = lambda ll, x: jax.vmap(lambda xi: run_stack(ll, xi))(x)
+        batch_axis = 1 if DATA_AXIS in mesh.axis_names else None
+    else:
+        stage = run_stack
+        batch_axis = None
+
+    hidden = pipeline_apply(mesh, stage, params["layers"], embeds_mb, batch_axis)
     return jax.vmap(
         lambda h: dec.rms_norm(h, params["final_norm"], cfg.rms_epsilon)
     )(hidden)

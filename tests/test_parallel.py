@@ -399,3 +399,69 @@ def test_pipeline_rejects_indivisible_layers():
     mesh3 = make_pp_mesh(3, devices=jax.devices()[:3])
     with pytest.raises(ValueError):
         forward_train_pp(cfg, placed, embeds_mb, mesh3)
+
+
+def test_pipeline_dp_composition_matches_single_device():
+    """(dp, pp) mesh: each dp row pipelines its batch shard; outputs must
+    equal the unpipelined forward for every (microbatch, example) pair, and
+    layer grads must match the unpipelined loss (dp all-reduce via the
+    shard_map transpose)."""
+    import jax.numpy as jnp
+    from light_whisper_tpu.models.qwen3_asr import decoder as dec
+    from light_whisper_tpu.parallel.pipeline import (
+        forward_train_pp,
+        make_pp_mesh,
+        place_decoder_params_pp,
+    )
+
+    cfg, params, _placed, _mesh, _ = _tiny_pp_setup(pp=4)
+    mesh = make_pp_mesh(pp=4, dp=2)
+    assert mesh.shape == {"dp": 2, "pp": 4}
+    placed = place_decoder_params_pp(params, mesh)
+
+    M, B, T = 3, 4, 10
+    rng = np.random.default_rng(21)
+    embeds_mb = jnp.asarray(
+        rng.standard_normal((M, B, T, cfg.embedding_length)).astype(np.float32)
+    )
+    got = np.asarray(forward_train_pp(cfg, placed, embeds_mb, mesh))
+    for m in range(M):
+        for b in range(B):
+            want = np.asarray(dec.forward_train(cfg, params, embeds_mb[m, b]))
+            np.testing.assert_allclose(got[m, b], want, rtol=2e-3, atol=2e-3)
+
+    labels = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, size=(M, B, T)).astype(np.int32)
+    )
+
+    def ce(logits, labels_i):
+        ll = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        picked = jnp.take_along_axis(ll, labels_i[..., None], axis=-1)[..., 0]
+        return -jnp.sum(picked)
+
+    def loss_pp(p):
+        hidden = forward_train_pp(cfg, p, embeds_mb, mesh)
+        logits = jax.vmap(lambda h: dec.logits_for(cfg, p, h))(hidden)
+        return ce(logits, labels) / labels.size
+
+    def loss_ref(p):
+        total = 0.0
+        for m in range(M):
+            for b in range(B):
+                hidden = dec.forward_train(cfg, p, embeds_mb[m, b])
+                total = total + ce(dec.logits_for(cfg, p, hidden), labels[m, b])
+        return total / labels.size
+
+    g_pp = jax.grad(loss_pp)(placed)
+    g_ref = jax.grad(loss_ref)(params)
+    ref_by_key = {
+        jax.tree_util.keystr(k): v for k, v in jax.tree.leaves_with_path(g_ref)
+    }
+    for key, leaf in jax.tree.leaves_with_path(g_pp):
+        np.testing.assert_allclose(
+            np.asarray(leaf),
+            np.asarray(ref_by_key[jax.tree_util.keystr(key)]),
+            rtol=5e-3,
+            atol=5e-3,
+            err_msg=jax.tree_util.keystr(key),
+        )
