@@ -373,6 +373,49 @@ def main() -> None:
         file=sys.stderr, flush=True,
     )
 
+    # --- batched decode: aggregate throughput ---------------------------
+    # B streams step together with the stream dimension on the matmul ROW
+    # axis (decoder.forward_decode_batch), so the Q8 weight stack — the
+    # decode bottleneck — is read once per step for the whole batch.
+    # ms/step should stay near the single-stream cost while aggregate
+    # tokens/s multiplies; this is the economics the multistream scheduler
+    # coalesces concurrent dictation streams into.
+    from light_whisper_tpu.models.qwen3_asr.model import _decode_greedy_batch
+
+    B_batch = 8
+    batch_steps = 64
+
+    def _batched_run():
+        caches = jax.vmap(
+            lambda _: dec.init_cache(cfg.decoder, 1024)
+        )(jnp.arange(B_batch))
+        caches = caches._replace(pos=jnp.full((B_batch,), 160, jnp.int32))
+        firsts = jnp.full((B_batch,), 7, jnp.int32)
+        tokens, _c = _decode_greedy_batch(
+            cfg.decoder, decoder_params, firsts, caches, -2, batch_steps
+        )
+        return tokens
+
+    try:
+        jax.device_get(_batched_run())  # compile + warm
+        batched_ms = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(_batched_run())
+            batched_ms.append((time.perf_counter() - t0) / batch_steps * 1000)
+        batched_ms.sort()
+        batched_step_ms = batched_ms[len(batched_ms) // 2]
+        agg_tokens_per_s = B_batch / (batched_step_ms / 1000)
+        print(
+            f"[bench] batched decode B={B_batch}: {[round(v, 2) for v in batched_ms]} ms/step "
+            f"→ {agg_tokens_per_s:.0f} aggregate tok/s",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as exc:  # never let the batched section sink the headline
+        print(f"[bench] batched decode failed: {exc}", file=sys.stderr, flush=True)
+        batched_step_ms = None
+        agg_tokens_per_s = None
+
     # --- long-form prefill attention: chunked vs dense ------------------
     # 32k-context windows (long-form audio) used to materialize the
     # [Hkv, G, T, C] logits tensor during prefill; the chunked online-softmax
@@ -475,6 +518,13 @@ def main() -> None:
                     "relay_rtt_ms_p50": round(relay_rtt_ms, 2),
                     "decode_ms_per_step": round(decode_ms_per_step, 2),
                     "decode_ms_per_step_256_amortized": round(decode_ms_per_step_256, 2),
+                    "batched_decode_streams": B_batch,
+                    "batched_decode_ms_per_step": (
+                        round(batched_step_ms, 2) if batched_step_ms else None
+                    ),
+                    "batched_decode_aggregate_tokens_per_s": (
+                        round(agg_tokens_per_s, 1) if agg_tokens_per_s else None
+                    ),
                     "longform_prefill_attn_ms_dense_32k": (
                         round(prefill_dense_ms, 2) if prefill_dense_ms else None
                     ),

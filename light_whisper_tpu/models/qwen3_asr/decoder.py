@@ -675,3 +675,161 @@ def decode_greedy(
     )
     tokens, count, _token, cache, _done = jax.lax.while_loop(cond, step, init)
     return tokens, count, cache
+
+
+# ---------------------------------------------------------------------------
+# Batched decode: B independent streams, weights read once per step
+# ---------------------------------------------------------------------------
+
+
+def _attention_decode_batch(
+    q: jax.Array,  # [B, H, hd] — one query per stream
+    k_layer: jax.Array,  # [B, Hkv, C, hd] — per-stream cache, this layer
+    v_layer: jax.Array,
+    pos: jax.Array,  # [B] — per-stream fill level (== query position)
+    head_groups: int,
+    dtype,
+) -> jax.Array:
+    """Per-stream decode attention: row ``b`` attends to its own cache,
+    masked to positions ≤ ``pos[b]`` (its just-written slot included)."""
+    B, n_heads, hd = q.shape
+    n_kv, capacity = k_layer.shape[1], k_layer.shape[2]
+    scale = hd ** -0.5
+    qg = q.reshape(B, n_kv, head_groups, hd)
+    logits = jnp.einsum(
+        "bkgd,bkcd->bkgc", qg.astype(dtype), k_layer.astype(dtype),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [B, Hkv, G, C]
+    mask = jnp.arange(capacity)[None, :] <= pos[:, None]  # [B, C]
+    logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bkgc,bkcd->bkgd", weights.astype(dtype), v_layer.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, n_heads * hd).astype(q.dtype)
+
+
+def _layer_forward_batch(
+    cfg: DecoderConfig,
+    layers: Dict,
+    idx: jax.Array,  # int32 layer index
+    x: jax.Array,  # [B, D] — one new token per stream
+    k_all: jax.Array,  # [B, L, Hkv, C, hd]
+    v_all: jax.Array,
+    pos: jax.Array,  # [B]
+    cos: jax.Array,  # [B, hd] per-stream rope tables
+    sin: jax.Array,
+    use_stacked: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One layer over B single-token streams.
+
+    Projections treat the stream dimension as matmul ROWS — the stacked Q8
+    kernels see ``T = B``, so each layer's weight blocks cross HBM once for
+    the whole batch; only the cache write and attention are per-stream."""
+    B = x.shape[0]
+    groups = cfg.head_count // cfg.head_count_kv
+
+    if use_stacked:
+        from light_whisper_tpu.ops.q8_matmul import (
+            q8_matmul_pallas_stacked,
+            q8_matmul_pallas_stacked_fused,
+        )
+
+        fused = B <= 8 and _use_fused_stacked()
+
+        def proj(name, h):
+            p = layers[name]
+            return q8_matmul_pallas_stacked(h, p["q"], p["s_t"], idx)
+
+        def proj_norm(name, h, norm_w):
+            if not fused:
+                return proj(name, rms_norm(h, norm_w, cfg.rms_epsilon))
+            p = layers[name]
+            return q8_matmul_pallas_stacked_fused(
+                h, p["q"], p["s_t"], idx, norm_w=norm_w, eps=cfg.rms_epsilon
+            )
+
+        def proj_residual(name, h, residual):
+            if not fused:
+                return residual + proj(name, h).astype(residual.dtype)
+            p = layers[name]
+            return q8_matmul_pallas_stacked_fused(
+                h, p["q"], p["s_t"], idx, residual=residual
+            ).astype(residual.dtype)
+
+    else:
+
+        def layer_param(name):
+            return jax.tree.map(lambda a: a[idx], layers[name])
+
+        def proj(name, h):
+            return apply_linear(layer_param(name), h)
+
+        def proj_norm(name, h, norm_w):
+            return proj(name, rms_norm(h, norm_w, cfg.rms_epsilon))
+
+        def proj_residual(name, h, residual):
+            return residual + proj(name, h).astype(residual.dtype)
+
+    q, k, v = _split_qkv(cfg, proj_norm("qkv", x, layers["attn_norm"][idx]), B)
+    q = rms_norm(q, layers["q_norm"][idx], cfg.rms_epsilon)
+    k = rms_norm(k, layers["k_norm"][idx], cfg.rms_epsilon)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    def write(cache_b, new_b, p):
+        # cache_b: [L, Hkv, C, hd]; new_b: [Hkv, hd] — one new position.
+        return jax.lax.dynamic_update_slice(
+            cache_b, new_b[None, :, None, :].astype(cache_b.dtype), (idx, 0, p, 0)
+        )
+
+    k_all = jax.vmap(write)(k_all, k, pos)
+    v_all = jax.vmap(write)(v_all, v, pos)
+
+    k_layer = jax.lax.dynamic_slice_in_dim(k_all, idx, 1, axis=1)[:, 0]
+    v_layer = jax.lax.dynamic_slice_in_dim(v_all, idx, 1, axis=1)[:, 0]
+    attn = _attention_decode_batch(q, k_layer, v_layer, pos, groups, cfg.dtype)
+
+    x = proj_residual("o", attn, x)
+    gateup = proj_norm("gateup", x, layers["ffn_norm"][idx])
+    gate, up = jnp.split(gateup, 2, axis=-1)
+    x = proj_residual("down", (jax.nn.silu(gate) * up).astype(x.dtype), x)
+    return x, k_all, v_all
+
+
+def forward_decode_batch(
+    cfg: DecoderConfig,
+    params: Dict,
+    x: jax.Array,  # [B, D] — one new embedding per stream
+    cache: KVCache,  # batched: k/v [B, L, Hkv, C, hd], pos [B]
+) -> Tuple[jax.Array, KVCache]:
+    """One decode step for B independent streams (one token each).
+
+    ``cache`` uses the layout a vmapped :func:`init_cache` produces. Unlike
+    ``vmap(forward)`` — whose Pallas batching rule prepends a batch GRID
+    dimension, re-reading every layer's weight stack once PER STREAM — the
+    stream dimension here rides the matmul row axis, so the Q8 weight stack
+    crosses HBM once per step regardless of B. Decode is weight-DMA bound
+    (~3.2 ms floor at 1.7B; see ROADMAP), so this is the difference between
+    batching that multiplies aggregate tokens/s and batching that doesn't.
+    Reference: one C++ GGUF session per process serves one stream
+    (``qwen3_asr_server.py:114-133``); batched serving is the TPU-native
+    generalization the multi-stream scheduler coalesces into.
+    """
+    cos, sin = rope_tables(cache.pos, cfg.key_length, cfg.rope_freq_base)
+    layers = params["layers"]
+    use_stacked = _use_stacked_kernel(layers)
+
+    def body(carry, idx):
+        h, k_all, v_all = carry
+        h, k_all, v_all = _layer_forward_batch(
+            cfg, layers, idx, h, k_all, v_all, cache.pos, cos, sin, use_stacked
+        )
+        return (h, k_all, v_all), None
+
+    (h, new_k, new_v), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v), jnp.arange(cfg.block_count)
+    )
+    h = rms_norm(h, params["final_norm"], cfg.rms_epsilon)
+    return h, KVCache(k=new_k, v=new_v, pos=cache.pos + 1)

@@ -138,7 +138,12 @@ def _decode_greedy_batch(cfg, params, first_tokens, caches, eos_token_id, max_ne
     """Batched greedy decode: all streams step together until every one has
     emitted EOS (or the budget runs out). Finished streams keep stepping on
     dead positions — wasted FLOPs bounded by the batch's slowest stream,
-    which is what hardware-efficient batched serving amortizes anyway."""
+    which is what hardware-efficient batched serving amortizes anyway.
+
+    Each step runs :func:`decoder.forward_decode_batch`: the stream
+    dimension rides the matmul ROW axis, so the Q8 weight stack (the
+    dominant decode HBM traffic) is read once per step for the whole batch,
+    not once per stream as a ``vmap`` of the single-stream forward would."""
 
     B = first_tokens.shape[0]
 
@@ -149,14 +154,10 @@ def _decode_greedy_batch(cfg, params, first_tokens, caches, eos_token_id, max_ne
     def step(state):
         tokens, count, current, caches, done = state
         tokens = tokens.at[:, count].set(jnp.where(done, tokens[:, count], current))
-
-        def one(token, cache):
-            embeds = dec.embed_tokens(params, token[None])
-            hidden, cache = dec.forward(cfg, params, embeds, cache)
-            logits = dec.logits_for(cfg, params, hidden[-1:])
-            return jnp.argmax(logits[-1]).astype(jnp.int32), cache
-
-        next_tokens, caches = jax.vmap(one)(current, caches)
+        embeds = dec.embed_tokens(params, current)  # [B, D]
+        hidden, caches = dec.forward_decode_batch(cfg, params, embeds, caches)
+        logits = dec.logits_for(cfg, params, hidden)  # [B, V]
+        next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         newly_done = next_tokens == eos_token_id
         return tokens, count + 1, next_tokens, caches, jnp.logical_or(done, newly_done)
 
