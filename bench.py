@@ -368,8 +368,17 @@ def main() -> None:
         n = int(jax.device_get(c256))
         decode_ms_256.append((time.perf_counter() - t0) / max(n, 1) * 1000)
     decode_ms_per_step_256 = min(decode_ms_256)
+    # Device-side per-step cost: the N-step loop is ONE dispatch, so its wall
+    # time carries exactly one relay round trip; subtracting the measured RTT
+    # pins the on-device cost to ±rtt/256 — the same in-dispatch-iteration
+    # methodology the prefill section uses (VERDICT r2 #10). Raw wall numbers
+    # for both loop lengths stay alongside for attribution.
+    decode_ms_device = max(
+        0.01, (decode_ms_per_step_256 * 256 - relay_rtt_ms) / 256
+    )
     print(
-        f"[bench] decode ms/step @256 (relay-amortized): {[round(v, 2) for v in decode_ms_256]}",
+        f"[bench] decode ms/step @256 (relay-amortized): {[round(v, 2) for v in decode_ms_256]}"
+        f" → device {decode_ms_device:.2f}",
         file=sys.stderr, flush=True,
     )
 
@@ -516,8 +525,9 @@ def main() -> None:
                     "wire_inference_ms_p50": wire["inference_ms_p50"],
                     "wire_session_hit_rate": wire["session_hit_rate"],
                     "relay_rtt_ms_p50": round(relay_rtt_ms, 2),
-                    "decode_ms_per_step": round(decode_ms_per_step, 2),
-                    "decode_ms_per_step_256_amortized": round(decode_ms_per_step_256, 2),
+                    "decode_ms_per_step": round(decode_ms_device, 2),
+                    "decode_ms_per_step_64_wall": round(decode_ms_per_step, 2),
+                    "decode_ms_per_step_256_wall": round(decode_ms_per_step_256, 2),
                     "batched_decode_streams": B_batch,
                     "batched_decode_ms_per_step": (
                         round(batched_step_ms, 2) if batched_step_ms else None

@@ -347,47 +347,64 @@ class Qwen3ASRModel:
             )
             ids_padded[row, : len(ids)] = ids
 
-        embeds = jnp.stack(
-            [
-                _build_prompt_embeds(
-                    self.decoder_params,
-                    jnp.asarray(ids_padded[row]),
-                    embeds_list[row],
-                    jnp.int32(n_audio_list[row]),
-                    len(self.prefix_ids),
-                )
-                for row in range(len(audios))
-            ]
-        )
-
         capacity = 1024
         while capacity < bucket_len + self.max_new_tokens:
             capacity *= 2
-        caches = jax.vmap(lambda _: dec.init_cache(self.config.decoder, capacity, self.cache_dtype))(
-            jnp.arange(len(audios))
-        )
-        firsts, caches = _prefill_batch(
-            self.config.decoder,
-            self.decoder_params,
-            embeds,
-            caches,
-            jnp.asarray([l - 1 for l in prompt_lens], dtype=jnp.int32),
-        )
-        caches = caches._replace(pos=jnp.asarray(prompt_lens, dtype=jnp.int32))
 
-        tokens, _caches = _decode_greedy_batch(
-            self.config.decoder,
-            self.decoder_params,
-            firsts,
-            caches,
-            self.config.eos_token_id,
-            self.max_new_tokens,
-        )
-        tokens_np = np.asarray(tokens)
-        results = []
-        for row in range(len(audios)):
-            generated = [int(t) for t in tokens_np[row] if t >= 0]
-            results.append(self._parse_output(generated))
+        # KV memory bounds the decode batch (B × L × Hkv × C × hd × 2 × k/v);
+        # long-form recordings can plan dozens of windows, so run the batch
+        # in fixed-size chunks — tail chunks pad by repeating row 0 (results
+        # discarded) to keep one compiled shape per chunk size.
+        import os as _os
+
+        max_b = max(1, int(_os.environ.get("LWT_MAX_DECODE_BATCH", "8")))
+
+        def _run_rows(rows: List[int], pad_to: int) -> List[List[int]]:
+            padded_rows = rows + [rows[0]] * (pad_to - len(rows))
+            embeds = jnp.stack(
+                [
+                    _build_prompt_embeds(
+                        self.decoder_params,
+                        jnp.asarray(ids_padded[row]),
+                        embeds_list[row],
+                        jnp.int32(n_audio_list[row]),
+                        len(self.prefix_ids),
+                    )
+                    for row in padded_rows
+                ]
+            )
+            caches = jax.vmap(
+                lambda _: dec.init_cache(self.config.decoder, capacity, self.cache_dtype)
+            )(jnp.arange(pad_to))
+            lens = [prompt_lens[row] for row in padded_rows]
+            firsts, caches = _prefill_batch(
+                self.config.decoder,
+                self.decoder_params,
+                embeds,
+                caches,
+                jnp.asarray([l - 1 for l in lens], dtype=jnp.int32),
+            )
+            caches = caches._replace(pos=jnp.asarray(lens, dtype=jnp.int32))
+            tokens, _caches = _decode_greedy_batch(
+                self.config.decoder,
+                self.decoder_params,
+                firsts,
+                caches,
+                self.config.eos_token_id,
+                self.max_new_tokens,
+            )
+            tokens_np = np.asarray(tokens)
+            return [
+                [int(t) for t in tokens_np[i] if t >= 0] for i in range(len(rows))
+            ]
+
+        results: List[TranscriptionResult] = [None] * len(audios)  # type: ignore[list-item]
+        all_rows = list(range(len(audios)))
+        for c0 in range(0, len(all_rows), max_b):
+            chunk = all_rows[c0 : c0 + max_b]
+            pad_to = max_b if len(all_rows) > max_b else len(chunk)
+            for row, generated in zip(chunk, _run_rows(chunk, pad_to)):
+                results[row] = self._parse_output(generated)
         return results
 
     def _encode_padded(self, padded: np.ndarray, true_samples: int):

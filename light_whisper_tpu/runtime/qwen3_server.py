@@ -547,7 +547,12 @@ class Qwen3EngineServer:
             )
             if use_long_form and hasattr(self.model, "transcribe_batch"):
                 return self._transcribe_long_form(
-                    audio, duration, input_mode, hot_words, stream
+                    audio,
+                    duration,
+                    input_mode,
+                    hot_words,
+                    stream,
+                    max_window_seconds=options.get("long_form_max_window_seconds"),
                 )
 
             audio, vad_segments, vad_ms = self._filter_speech(audio, session_key)
@@ -604,8 +609,19 @@ class Qwen3EngineServer:
                 "input_mode": input_mode,
             }
 
-    def _transcribe_long_form(self, audio, duration, input_mode, hot_words, stream):
-        from light_whisper_tpu.serving.longform import transcribe_long_form
+    def _transcribe_long_form(
+        self, audio, duration, input_mode, hot_words, stream, max_window_seconds=None
+    ):
+        from light_whisper_tpu.serving.longform import (
+            DEFAULT_MAX_WINDOW_SECONDS,
+            transcribe_long_form,
+        )
+
+        try:
+            window_s = float(max_window_seconds or DEFAULT_MAX_WINDOW_SECONDS)
+        except (TypeError, ValueError):
+            window_s = DEFAULT_MAX_WINDOW_SECONDS
+        window_s = min(max(window_s, 1.0), DEFAULT_MAX_WINDOW_SECONDS)
 
         started = time.perf_counter()
         # Long-form work rides the same device scheduler (plain, unbatchable
@@ -613,7 +629,9 @@ class Qwen3EngineServer:
         scheduler = self._decode_scheduler()
         job = scheduler.submit(
             stream,
-            lambda: transcribe_long_form(self.model, self.vad, audio),
+            lambda: transcribe_long_form(
+                self.model, self.vad, audio, max_window_seconds=window_s
+            ),
             supersede=False,
         )
         result = scheduler.wait(job)

@@ -43,6 +43,19 @@ def test_batch_mixed_lengths_smoke(model):
         assert all(t >= 0 for t in r.tokens)
 
 
+def test_batch_chunked_matches_sequential(model, monkeypatch):
+    """More rows than LWT_MAX_DECODE_BATCH: the chunk loop (with a padded
+    tail chunk) must still reproduce per-stream output exactly."""
+    monkeypatch.setenv("LWT_MAX_DECODE_BATCH", "3")
+    rng = np.random.default_rng(7)
+    audios = [
+        (rng.standard_normal(8000) * 0.3).astype(np.float32) for _ in range(7)
+    ]
+    sequential = [model.transcribe(a) for a in audios]
+    batched = model.transcribe_batch(audios)
+    assert [r.tokens for r in batched] == [r.tokens for r in sequential]
+
+
 def test_batch_singleton_and_empty(model):
     assert model.transcribe_batch([]) == []
     rng = np.random.default_rng(2)

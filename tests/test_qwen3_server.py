@@ -272,6 +272,47 @@ def test_long_form_option_routes_through_batched_pipeline():
     assert model.calls == [[49920]]  # one merged window + 120 ms pad
 
 
+def test_long_form_window_cap_option_splits_windows():
+    """options.long_form_max_window_seconds caps each transcription window,
+    so the same audio that merged into one window above now splits."""
+
+    class BatchModel(FakeModel):
+        def transcribe_batch(self, clips):
+            self.calls.append([len(c) for c in clips])
+            return [
+                types.SimpleNamespace(text=f"seg{i}", language="zh", tokens=[])
+                for i in range(len(clips))
+            ]
+
+    model = BatchModel()
+    segments = [
+        {"start": 0, "end": 16000},
+        {"start": 32000, "end": 48000},
+    ]
+    server, _m, _v = make_server(segments=segments, model=model)
+    server.initialize()
+    audio = np.zeros(4 * 16000, dtype=np.float32)
+    result = server.transcribe(
+        audio_base64=pcm_b64(audio),
+        audio_format="pcm_s16le",
+        sample_rate=16000,
+        options={"long_form": True, "long_form_max_window_seconds": 1.5},
+    )
+    assert result["success"] and result.get("long_form") is True
+    assert result["vad_segments"] == 2  # window budget forces a split
+    assert result["text"] == "seg0 seg1"  # ASCII boundary join adds a space
+    assert len(model.calls) == 1 and len(model.calls[0]) == 2
+
+    # Out-of-range / garbage values fall back to the default budget.
+    result = server.transcribe(
+        audio_base64=pcm_b64(audio),
+        audio_format="pcm_s16le",
+        sample_rate=16000,
+        options={"long_form": True, "long_form_max_window_seconds": "bogus"},
+    )
+    assert result["success"] and result["vad_segments"] == 1
+
+
 def test_vad_prefix_reuse_on_growing_interim_stream():
     """A growing interim buffer on one stream rides the incremental VAD
     prefix path: only the new tail is re-scored and the stats counter
