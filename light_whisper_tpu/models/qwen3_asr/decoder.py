@@ -161,6 +161,29 @@ def _use_attention_kernel(T: int, n_heads: int, hd: int, capacity: int, n_kv: in
     return usable(T, n_heads, hd, capacity, n_kv)
 
 
+def _use_batched_attention_kernel(
+    B: int, n_heads: int, hd: int, capacity: int, n_kv: int
+) -> bool:
+    """Route the batched decode step's attention through the per-(stream,
+    head) Pallas kernel (``decode_attention_pallas_batched``), which reads
+    each stream's cache slice at a scalar-prefetched layer offset instead
+    of materializing the XLA path's per-layer ``dynamic_slice`` copy.
+    ``LWT_BATCHED_ATTN=0`` keeps the XLA batched-einsum fallback."""
+    import os
+
+    if os.environ.get("LWT_BATCHED_ATTN", "1") in ("", "0"):
+        return False
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    from light_whisper_tpu.ops.decode_attention import usable_batched
+
+    return usable_batched(B, n_heads, hd, capacity, n_kv)
+
+
 # Above this capacity, prefill attention switches to the chunked
 # online-softmax formulation: the one-shot einsum materializes
 # [Hkv, G, T, C] f32 logits (≈1 GB at T=512, C=32k), which turns long-form
@@ -787,9 +810,22 @@ def _layer_forward_batch(
     k_all = jax.vmap(write)(k_all, k, pos)
     v_all = jax.vmap(write)(v_all, v, pos)
 
-    k_layer = jax.lax.dynamic_slice_in_dim(k_all, idx, 1, axis=1)[:, 0]
-    v_layer = jax.lax.dynamic_slice_in_dim(v_all, idx, 1, axis=1)[:, 0]
-    attn = _attention_decode_batch(q, k_layer, v_layer, pos, groups, cfg.dtype)
+    if cfg.dtype == jnp.bfloat16 and _use_batched_attention_kernel(
+        B, cfg.head_count, cfg.key_length, k_all.shape[3], cfg.head_count_kv
+    ):
+        from light_whisper_tpu.ops.decode_attention import (
+            decode_attention_pallas_batched,
+        )
+
+        attn = (
+            decode_attention_pallas_batched(q, k_all, v_all, pos, idx)
+            .astype(q.dtype)
+            .reshape(B, -1)
+        )
+    else:
+        k_layer = jax.lax.dynamic_slice_in_dim(k_all, idx, 1, axis=1)[:, 0]
+        v_layer = jax.lax.dynamic_slice_in_dim(v_all, idx, 1, axis=1)[:, 0]
+        attn = _attention_decode_batch(q, k_layer, v_layer, pos, groups, cfg.dtype)
 
     x = proj_residual("o", attn, x)
     gateup = proj_norm("gateup", x, layers["ffn_norm"][idx])

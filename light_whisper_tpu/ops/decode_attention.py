@@ -166,3 +166,120 @@ def usable(T: int, n_heads: int, hd: int, capacity: int, n_kv: int) -> bool:
         and T <= 64
         and per_head_bytes <= 8 * 1024 * 1024
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched decode attention: one program per (stream, kv-head) pair
+# ---------------------------------------------------------------------------
+
+_ROW_PAD = 8  # Mosaic sublane tile: pad the per-program query rows to 8
+
+
+def _kernel_batched(idx_ref, q_ref, k_ref, v_ref, pos_ref, o_ref):
+    """Same math as :func:`_kernel` with a per-program position bound.
+
+    The grid walks (stream × kv-head) pairs; each program's K/V block is
+    its stream's cache slice at the scalar-prefetched layer offset, so the
+    batched step never materializes a per-layer cache copy (the
+    ``dynamic_slice`` the XLA path pays per layer per step)."""
+    q = q_ref[0]  # [ROW_PAD, hd] — G real rows + padding
+    k = k_ref[0, 0, 0]  # [C, hd]
+    v = v_ref[0, 0, 0]
+    hd = q.shape[-1]
+
+    logits = jax.lax.dot_general(
+        q.astype(jnp.bfloat16),
+        k.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (hd ** -0.5)  # [ROW_PAD, C]
+
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(key_pos <= pos_ref[0, 0], logits, NEG_INF)
+
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    weights = jnp.exp(logits)
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+
+    o_ref[0] = jax.lax.dot_general(
+        weights.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_pallas_batched(
+    q: jax.Array,  # [B, Hq, hd] — one query position per stream
+    k_cache: jax.Array,  # [B, L, Hkv, C, hd] — per-stream stacked caches
+    v_cache: jax.Array,
+    pos: jax.Array,  # [B] int32 — per-stream fill level (== query position)
+    layer: jax.Array,  # int32 scalar
+    interpret: bool = False,
+) -> jax.Array:
+    """Row-batched decode attention over per-stream caches, layer-indexed.
+
+    Companion of :func:`decoder.forward_decode_batch`: the XLA fallback
+    slices ``cache[:, layer]`` inside the layer scan, which materializes a
+    [B, Hkv, C, hd] copy per layer per step (~2× the necessary cache
+    traffic at decode shapes). Here each grid program DMAs exactly its
+    (stream, kv-head) slice of the stacked buffer at a scalar-prefetched
+    offset — every cache byte crosses HBM once. Query rows pad from G to
+    a sublane tile of 8 (the padded rows' outputs are discarded).
+    """
+    B, n_heads, hd = q.shape
+    _B, L, n_kv, C, _ = k_cache.shape
+    groups = n_heads // n_kv
+
+    # [B, Hkv, G, hd] → rows padded to the sublane tile → [B·Hkv, 8, hd]
+    q_heads = q.reshape(B, n_kv, groups, hd)
+    q_heads = jnp.pad(q_heads, ((0, 0), (0, 0), (0, _ROW_PAD - groups), (0, 0)))
+    q_heads = q_heads.reshape(B * n_kv, _ROW_PAD, hd)
+    pos_rows = jnp.repeat(pos.astype(jnp.int32), n_kv)[:, None]  # [B·Hkv, 1]
+    idx = jnp.reshape(layer.astype(jnp.int32), (1,))
+
+    out = pl.pallas_call(
+        _kernel_batched,
+        out_shape=jax.ShapeDtypeStruct((B * n_kv, _ROW_PAD, hd), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * n_kv,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, _ROW_PAD, hd), lambda h, idx: (h, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, C, hd),
+                    lambda h, idx: (h // n_kv, idx[0], h % n_kv, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, C, hd),
+                    lambda h, idx: (h // n_kv, idx[0], h % n_kv, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, 1), lambda h, idx: (h, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, _ROW_PAD, hd), lambda h, idx: (h, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(idx, q_heads, k_cache, v_cache, pos_rows)
+
+    # [B·Hkv, 8, hd] → drop row padding → [B, Hq, hd]
+    out = out.reshape(B, n_kv, _ROW_PAD, hd)[:, :, :groups]
+    return out.reshape(B, n_heads, hd)
+
+
+def usable_batched(B: int, n_heads: int, hd: int, capacity: int, n_kv: int) -> bool:
+    """Shape gate for the batched kernel (one (stream, head) per program)."""
+    per_head_bytes = 2 * capacity * hd * 2  # K+V bf16
+    return (
+        hd % 128 == 0
+        and capacity % 128 == 0
+        and n_heads % max(1, n_kv) == 0
+        and (n_heads // max(1, n_kv)) <= _ROW_PAD
+        and per_head_bytes <= 8 * 1024 * 1024
+    )

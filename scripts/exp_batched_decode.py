@@ -111,8 +111,12 @@ def main():
             ms.append((time.perf_counter() - t0) / steps * 1000)
         ms.sort()
         step_ms = ms[len(ms) // 2]
+        attn_mode = (
+            "kernel" if os.environ.get("LWT_BATCHED_ATTN", "1") not in ("", "0")
+            else "xla"
+        )
         log(
-            f"B={B}: {[round(v, 2) for v in ms]} ms/step → "
+            f"B={B} [{attn_mode} attention]: {[round(v, 2) for v in ms]} ms/step → "
             f"{B / (step_ms / 1000):.0f} aggregate tok/s "
             f"(efficiency {single_ms[len(single_ms)//2] * B / step_ms:.1f}x of {B}x ideal)"
         )

@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Block-size sweep for the stacked Q8 kernel (single-stream decode lever).
+
+The shipped tiling is (bt=8, bo=2048, bk=512) → ~581 GB/s effective weight
+bandwidth at 1.7B decode shapes (~71% of v5e's 819 GB/s). This sweeps
+(bo, bk) at the dominant projection shapes using the in-dispatch-iteration
+methodology (fori_loop with a carry feeding x so iterations can't CSE;
+subtract one measured relay RTT) so each config's true device time is
+resolvable through the relay.
+
+Each (shape × config) is a fresh Mosaic payload compiled in its own
+standalone request — the proven-safe path under the relay compile ceiling
+(DEVNOTES round-3 payload seeding). Run AFTER any concurrent bench has
+finished; relay contention distorts both.
+
+Usage: python scripts/exp_q8_block_sweep.py [--all-shapes]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from light_whisper_tpu.ops.q8_matmul import _q8_matmul_stacked_2d  # noqa: E402
+
+L = 28
+T = 8  # decode row tile (T=1 pads to 8)
+
+
+def log(msg):
+    print(f"[sweep {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def measure_rtt():
+    trivial = jax.jit(lambda v: v + 1.0)
+    z = jnp.zeros((8,), jnp.float32)
+    jax.device_get(trivial(z))
+    samples = []
+    for _ in range(11):
+        t0 = time.perf_counter()
+        jax.device_get(trivial(z))
+        samples.append((time.perf_counter() - t0) * 1000)
+    samples.sort()
+    return samples[len(samples) // 2]
+
+
+def bench_config(out_f, in_f, bo, bk, rtt_ms, iters=32):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(
+        rng.integers(-127, 127, size=(L, out_f, in_f), dtype=np.int8)
+    )
+    s_t = jnp.asarray(
+        (rng.standard_normal((L, in_f // 32, out_f)) * 0.01).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((T, in_f)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    @jax.jit
+    def run(x0):
+        def body(i, carry):
+            layer = jax.lax.rem(i, L)
+            y = _q8_matmul_stacked_2d(
+                x0 + (carry * 1e-9).astype(x0.dtype), q, s_t, layer, T, bo, bk
+            )
+            return jnp.sum(y).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    t0 = time.perf_counter()
+    jax.device_get(run(x))  # compile (standalone payload request)
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(run(x))
+        best = min(best, time.perf_counter() - t0)
+    per_call_ms = max(0.001, (best * 1000 - rtt_ms) / iters)
+    weight_bytes = out_f * in_f + out_f * in_f // 32 * 2  # int8 q + bf16 scales
+    gbps = weight_bytes / (per_call_ms / 1000) / 1e9
+    return per_call_ms, gbps, compile_s
+
+
+def main():
+    # 1.7B projection shapes: (name, out, in)
+    shapes = [("gateup", 12288, 2048)]
+    if "--all-shapes" in sys.argv:
+        shapes += [("qkv", 4096, 2048), ("o", 2048, 2048), ("down", 2048, 6144)]
+
+    configs = [
+        (2048, 512),  # shipped
+        (2048, 1024),
+        (4096, 512),
+        (1024, 1024),
+        (4096, 1024),
+    ]
+
+    rtt = measure_rtt()
+    log(f"device {jax.devices()[0]}, relay rtt p50 {rtt:.1f} ms")
+    for name, out_f, in_f in shapes:
+        for bo, bk in configs:
+            if out_f % bo != 0 or in_f % bk != 0:
+                log(f"{name} bo={bo} bk={bk}: skipped (indivisible)")
+                continue
+            try:
+                ms, gbps, compile_s = bench_config(out_f, in_f, bo, bk, rtt)
+                log(
+                    f"{name} [{out_f}x{in_f}] bo={bo} bk={bk}: "
+                    f"{ms:.3f} ms/layer-call → {gbps:.0f} GB/s weights "
+                    f"(compile {compile_s:.0f}s)"
+                )
+            except Exception as exc:
+                log(f"{name} bo={bo} bk={bk}: FAILED {type(exc).__name__}: {exc}")
+
+
+if __name__ == "__main__":
+    main()

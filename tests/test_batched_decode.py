@@ -185,3 +185,40 @@ def test_forward_decode_batch_stacked_interpret(monkeypatch, fused):
         atol=3e-2,
     )
     np.testing.assert_array_equal(np.asarray(out_ref.pos), np.asarray(out_st.pos))
+
+
+def test_forward_decode_batch_attention_kernel_interpret(monkeypatch):
+    """forward_decode_batch with the batched attention kernel (interpret)
+    matches the XLA batched attention path bit-for-bit at the layer level."""
+    import light_whisper_tpu.ops.decode_attention as da
+    from light_whisper_tpu.models.qwen3_asr import decoder as dmod
+
+    cfg, params, rng = _setup(seed=13)
+    lengths = [3, 9]
+    caches, x = _prefill_streams(cfg, params, rng, lengths, capacity=128)
+    batched = _stack_caches(caches)
+    hidden_ref, out_ref = dec.forward_decode_batch(cfg, params, x, batched)
+
+    monkeypatch.setattr(
+        dmod, "_use_batched_attention_kernel", lambda *a: True
+    )
+    monkeypatch.setattr(
+        da,
+        "decode_attention_pallas_batched",
+        functools.partial(da.decode_attention_pallas_batched, interpret=True),
+    )
+    batched2 = _stack_caches(caches)
+    hidden_k, out_k = dec.forward_decode_batch(cfg, params, x, batched2)
+
+    np.testing.assert_allclose(
+        np.asarray(hidden_ref, np.float32),
+        np.asarray(hidden_k, np.float32),
+        rtol=3e-2,
+        atol=3e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ref.k, np.float32),
+        np.asarray(out_k.k, np.float32),
+        rtol=3e-2,
+        atol=3e-2,
+    )

@@ -149,3 +149,69 @@ def test_stacked_attention_kernel_selects_layer():
             decode_attention_pallas(q, k_all[layer], v_all[layer], q_pos, interpret=True)
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_batched_kernel_matches_xla_batched_path():
+    """decode_attention_pallas_batched (interpret) vs the decoder's XLA
+    batched-einsum attention over per-stream caches at mixed positions."""
+    import jax
+
+    from light_whisper_tpu.models.qwen3_asr.decoder import _attention_decode_batch
+    from light_whisper_tpu.ops.decode_attention import (
+        decode_attention_pallas_batched,
+        usable_batched,
+    )
+
+    B, H, n_kv, C, hd, L = 4, 16, 8, 256, 128, 3
+    assert usable_batched(B, H, hd, C, n_kv)
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((B, H, hd)).astype(np.float32)
+    k_all = (rng.standard_normal((B, L, n_kv, C, hd)) * 0.3).astype(np.float32)
+    v_all = rng.standard_normal((B, L, n_kv, C, hd)).astype(np.float32)
+    pos = np.asarray([7, 100, 255, 0], dtype=np.int32)
+
+    for layer in range(L):
+        got = np.asarray(
+            decode_attention_pallas_batched(
+                jnp.asarray(q),
+                jnp.asarray(k_all),
+                jnp.asarray(v_all),
+                jnp.asarray(pos),
+                jnp.int32(layer),
+                interpret=True,
+            )
+        ).reshape(B, H * hd)
+        want = np.asarray(
+            _attention_decode_batch(
+                jnp.asarray(q),
+                jnp.asarray(k_all[:, layer]),
+                jnp.asarray(v_all[:, layer]),
+                jnp.asarray(pos),
+                H // n_kv,
+                jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_batched_kernel_row_padding_isolated():
+    """The padded query rows (G→8) must not leak into real outputs: perturb
+    nothing, change one stream's pos, only that stream's rows move."""
+    from light_whisper_tpu.ops.decode_attention import decode_attention_pallas_batched
+
+    B, H, n_kv, C, hd, L = 2, 4, 2, 128, 128, 1
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal((B, H, hd)).astype(np.float32)
+    k_all = (rng.standard_normal((B, L, n_kv, C, hd)) * 0.3).astype(np.float32)
+    v_all = rng.standard_normal((B, L, n_kv, C, hd)).astype(np.float32)
+
+    a = np.asarray(decode_attention_pallas_batched(
+        jnp.asarray(q), jnp.asarray(k_all), jnp.asarray(v_all),
+        jnp.asarray([50, 60], np.int32), jnp.int32(0), interpret=True,
+    ))
+    b = np.asarray(decode_attention_pallas_batched(
+        jnp.asarray(q), jnp.asarray(k_all), jnp.asarray(v_all),
+        jnp.asarray([50, 10], np.int32), jnp.int32(0), interpret=True,
+    ))
+    np.testing.assert_array_equal(a[0], b[0])
+    assert not np.array_equal(a[1], b[1])
