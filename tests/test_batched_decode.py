@@ -222,3 +222,53 @@ def test_forward_decode_batch_attention_kernel_interpret(monkeypatch):
         rtol=3e-2,
         atol=3e-2,
     )
+
+
+def test_decode_greedy_batch_staggered_eos(monkeypatch):
+    """Streams hitting EOS at different steps: each stream's token list must
+    cut at ITS EOS, later-finishing streams keep decoding, and a stream
+    whose FIRST token is EOS contributes nothing. The forward is stubbed
+    with a step-indexed emission schedule (random tiny models rarely emit
+    EOS, so real decodes never exercise the done mask)."""
+    from light_whisper_tpu.models.qwen3_asr import model as mmod
+
+    cfg, params, rng = _setup(seed=17)
+    eos = 99
+    scripts = [
+        [5, 6, eos],          # finishes at step 3
+        [7, 8, 9, 10, eos],   # finishes at step 5
+        [eos],                # first decoded token is EOS -> empty output
+    ]
+    max_steps = 8
+    schedule = np.zeros((max_steps, len(scripts)), np.int32)
+    for b, script in enumerate(scripts):
+        for i in range(max_steps):
+            schedule[i, b] = script[i] if i < len(script) else 0
+    sched = jnp.asarray(schedule)
+    pos0 = 4
+
+    def fake_forward(cfg_, params_, x, cache):
+        # thread the step index through the carried position
+        step = cache.pos[0] - pos0
+        h = jnp.full((x.shape[0], 1), step, jnp.int32)
+        return h, cache._replace(pos=cache.pos + 1)
+
+    def fake_logits(cfg_, params_, hidden):
+        i = jnp.clip(hidden[0, 0], 0, max_steps - 1)
+        return jax.nn.one_hot(sched[i], cfg.vocab_size, dtype=jnp.float32)
+
+    monkeypatch.setattr(dec, "forward_decode_batch", fake_forward)
+    monkeypatch.setattr(dec, "logits_for", fake_logits)
+    decode_fn = mmod._decode_greedy_batch.__wrapped__  # skip the jit cache
+
+    caches = dec.KVCache(
+        k=jnp.zeros((3, cfg.block_count, cfg.head_count_kv, 16, cfg.key_length), jnp.bfloat16),
+        v=jnp.zeros((3, cfg.block_count, cfg.head_count_kv, 16, cfg.key_length), jnp.bfloat16),
+        pos=jnp.asarray([pos0, pos0, pos0], jnp.int32),
+    )
+    firsts = jnp.asarray([5, 7, eos], jnp.int32)
+    tokens, _caches = decode_fn(cfg, params, firsts, caches, eos, max_steps)
+    rows = [[int(t) for t in row if t >= 0] for row in np.asarray(tokens)]
+    assert rows[0] == [5, 5, 6]       # first token echoed, then script; EOS excluded
+    assert rows[1] == [7, 7, 8, 9, 10]
+    assert rows[2] == []              # EOS-first stream stays silent
