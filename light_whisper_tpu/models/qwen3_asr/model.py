@@ -398,12 +398,21 @@ class Qwen3ASRModel:
                 [int(t) for t in tokens_np[i] if t >= 0] for i in range(len(rows))
             ]
 
+        def _bucket_b(n: int) -> int:
+            # Batch-size buckets (2, 4, 8, …): every distinct B is a fresh
+            # XLA program — minutes through a remote-compile relay — while a
+            # padded row costs ≤2× compute on a step that batching already
+            # amortizes. Same static-shape policy as audio/prompt buckets.
+            b = 2
+            while b < n:
+                b *= 2
+            return min(b, max_b)
+
         results: List[TranscriptionResult] = [None] * len(audios)  # type: ignore[list-item]
         all_rows = list(range(len(audios)))
         for c0 in range(0, len(all_rows), max_b):
             chunk = all_rows[c0 : c0 + max_b]
-            pad_to = max_b if len(all_rows) > max_b else len(chunk)
-            for row, generated in zip(chunk, _run_rows(chunk, pad_to)):
+            for row, generated in zip(chunk, _run_rows(chunk, _bucket_b(len(chunk)))):
                 results[row] = self._parse_output(generated)
         return results
 

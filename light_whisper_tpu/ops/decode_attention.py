@@ -175,13 +175,15 @@ def usable(T: int, n_heads: int, hd: int, capacity: int, n_kv: int) -> bool:
 _ROW_PAD = 8  # Mosaic sublane tile: pad the per-program query rows to 8
 
 
-def _kernel_batched(idx_ref, q_ref, k_ref, v_ref, pos_ref, o_ref):
+def _kernel_batched(idx_ref, pos_ref, q_ref, k_ref, v_ref, o_ref, *, n_kv: int):
     """Same math as :func:`_kernel` with a per-program position bound.
 
     The grid walks (stream × kv-head) pairs; each program's K/V block is
     its stream's cache slice at the scalar-prefetched layer offset, so the
     batched step never materializes a per-layer cache copy (the
-    ``dynamic_slice`` the XLA path pays per layer per step)."""
+    ``dynamic_slice`` the XLA path pays per layer per step). ``pos`` rides
+    scalar prefetch (SMEM) — one int per stream."""
+    del idx_ref  # consumed by the block index maps
     q = q_ref[0]  # [ROW_PAD, hd] — G real rows + padding
     k = k_ref[0, 0, 0]  # [C, hd]
     v = v_ref[0, 0, 0]
@@ -195,7 +197,7 @@ def _kernel_batched(idx_ref, q_ref, k_ref, v_ref, pos_ref, o_ref):
     ) * (hd ** -0.5)  # [ROW_PAD, C]
 
     key_pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(key_pos <= pos_ref[0, 0], logits, NEG_INF)
+    logits = jnp.where(key_pos <= pos_ref[pl.program_id(0) // n_kv], logits, NEG_INF)
 
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)
     weights = jnp.exp(logits)
@@ -236,37 +238,37 @@ def decode_attention_pallas_batched(
     q_heads = q.reshape(B, n_kv, groups, hd)
     q_heads = jnp.pad(q_heads, ((0, 0), (0, 0), (0, _ROW_PAD - groups), (0, 0)))
     q_heads = q_heads.reshape(B * n_kv, _ROW_PAD, hd)
-    pos_rows = jnp.repeat(pos.astype(jnp.int32), n_kv)[:, None]  # [B·Hkv, 1]
     idx = jnp.reshape(layer.astype(jnp.int32), (1,))
 
     out = pl.pallas_call(
-        _kernel_batched,
+        functools.partial(_kernel_batched, n_kv=n_kv),
         out_shape=jax.ShapeDtypeStruct((B * n_kv, _ROW_PAD, hd), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,  # (layer idx, per-stream positions)
             grid=(B * n_kv,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, _ROW_PAD, hd), lambda h, idx: (h, 0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (1, 1, 1, C, hd),
-                    lambda h, idx: (h // n_kv, idx[0], h % n_kv, 0, 0),
+                    (1, _ROW_PAD, hd),
+                    lambda h, idx, pos: (h, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
                     (1, 1, 1, C, hd),
-                    lambda h, idx: (h // n_kv, idx[0], h % n_kv, 0, 0),
+                    lambda h, idx, pos: (h // n_kv, idx[0], h % n_kv, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((1, 1), lambda h, idx: (h, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, 1, 1, C, hd),
+                    lambda h, idx, pos: (h // n_kv, idx[0], h % n_kv, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
             ],
             out_specs=pl.BlockSpec(
-                (1, _ROW_PAD, hd), lambda h, idx: (h, 0, 0), memory_space=pltpu.VMEM
+                (1, _ROW_PAD, hd), lambda h, idx, pos: (h, 0, 0), memory_space=pltpu.VMEM
             ),
         ),
         interpret=interpret,
-    )(idx, q_heads, k_cache, v_cache, pos_rows)
+    )(idx, pos.astype(jnp.int32), q_heads, k_cache, v_cache)
 
     # [B·Hkv, 8, hd] → drop row padding → [B, Hq, hd]
     out = out.reshape(B, n_kv, _ROW_PAD, hd)[:, :, :groups]

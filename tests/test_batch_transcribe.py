@@ -56,6 +56,30 @@ def test_batch_chunked_matches_sequential(model, monkeypatch):
     assert [r.tokens for r in batched] == [r.tokens for r in sequential]
 
 
+def test_batch_size_buckets_to_pow2(model, monkeypatch):
+    """3 concurrent streams must run as a padded batch of 4: every distinct
+    batch size is a fresh XLA program (minutes through a remote-compile
+    relay), so B buckets to powers of two like every other shape axis."""
+    import light_whisper_tpu.models.qwen3_asr.model as mmod
+
+    seen = []
+    real = mmod._prefill_batch
+
+    def recording(cfg, params, embeds, caches, last_indices):
+        seen.append(int(embeds.shape[0]))
+        return real(cfg, params, embeds, caches, last_indices)
+
+    monkeypatch.setattr(mmod, "_prefill_batch", recording)
+    rng = np.random.default_rng(4)
+    audios = [
+        (rng.standard_normal(8000) * 0.3).astype(np.float32) for _ in range(3)
+    ]
+    sequential = [model.transcribe(a) for a in audios]
+    batched = model.transcribe_batch(audios)
+    assert seen == [4]  # 3 rows padded into the B=4 bucket, one dispatch
+    assert [r.tokens for r in batched] == [r.tokens for r in sequential]
+
+
 def test_batch_singleton_and_empty(model):
     assert model.transcribe_batch([]) == []
     rng = np.random.default_rng(2)
