@@ -166,12 +166,18 @@ def _use_batched_attention_kernel(
 ) -> bool:
     """Route the batched decode step's attention through the per-(stream,
     head) Pallas kernel (``decode_attention_pallas_batched``), which reads
-    each stream's cache slice at a scalar-prefetched layer offset instead
-    of materializing the XLA path's per-layer ``dynamic_slice`` copy.
-    ``LWT_BATCHED_ATTN=0`` keeps the XLA batched-einsum fallback."""
+    each stream's cache slice at a scalar-prefetched layer offset.
+
+    Off by default: measured perf-NEUTRAL vs the XLA batched einsum at 1.7B
+    B=8 (8.64 vs 8.63 ms/step — XLA fuses the per-layer cache slice into
+    the contraction, so there was no materialization to save), and the XLA
+    path costs zero extra Mosaic payloads under the relay compile ceiling.
+    Same call as the fused-FFN megakernel (DEVNOTES). ``LWT_BATCHED_ATTN=1``
+    enables it (payload compiles in ~14 s warm, token-parity verified on
+    hardware)."""
     import os
 
-    if os.environ.get("LWT_BATCHED_ATTN", "1") in ("", "0"):
+    if os.environ.get("LWT_BATCHED_ATTN", "0") in ("", "0"):
         return False
     try:
         platform = jax.default_backend()
