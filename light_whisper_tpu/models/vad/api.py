@@ -120,11 +120,27 @@ class FireRedVadTPU:
         flat: Dict[str, np.ndarray] = {
             name: t.array() for name, t in f.tensors.items() if not name.startswith("cmvn.")
         }
+        # Host-side numpy mirror (combined FIR kernels): the streaming
+        # cascade and the fresh numpy pass use these — eager BLAS beats a
+        # jitted dispatch chain at these shapes on the host (~6× measured).
+        self._params_np: Dict[str, np.ndarray] = {}
+        for key, value in flat.items():
+            if key.endswith(".back"):
+                stem = key[: -len(".back")]
+                self._params_np[f"{stem}.filt"] = np.concatenate(
+                    [flat[f"{stem}.back"].T, flat[f"{stem}.ahead"].T], axis=0
+                ).astype(np.float32)
+            elif not key.endswith(".ahead"):
+                self._params_np[key] = np.asarray(value, dtype=np.float32)
+        self._cmvn_mean_np = np.asarray(f.tensors["cmvn.mean"].array(), dtype=np.float32)
+        self._cmvn_inv_std_np = np.asarray(
+            f.tensors["cmvn.inv_std"].array(), dtype=np.float32
+        )
         self._device = _vad_device()
         with self._placement():
             self._params = dfsmn.prepare_device_params(flat)
-            self._cmvn_mean = jnp.asarray(f.tensors["cmvn.mean"].array())
-            self._cmvn_inv_std = jnp.asarray(f.tensors["cmvn.inv_std"].array())
+            self._cmvn_mean = jnp.asarray(self._cmvn_mean_np)
+            self._cmvn_inv_std = jnp.asarray(self._cmvn_inv_std_np)
         f.close()
 
     def _placement(self):
@@ -144,6 +160,19 @@ class FireRedVadTPU:
             "LWT_VAD_BATCHED", "1"
         ) not in ("", "0"):
             return self._probabilities_longform(samples, true_frames)
+        if self._device is not None and os.environ.get("LWT_VAD_NUMPY", "1") not in (
+            "",
+            "0",
+        ):
+            # Host-pinned policy: run the numpy cascade eagerly. One fresh
+            # 10 s pass: ~34 ms vs ~220 ms through the jitted host backend
+            # on the single-core bench host (same probabilities to 1e-7).
+            from light_whisper_tpu.models.vad.streaming import StreamingVad
+
+            sv = StreamingVad(
+                self._params_np, self._cmvn_mean_np, self._cmvn_inv_std_np
+            )
+            return sv.extend(samples)[:true_frames]
         bucket = bucket_samples(len(samples))
         padded = np.zeros(bucket, dtype=np.float32)
         padded[: len(samples)] = samples
@@ -252,6 +281,19 @@ class VadPrefixSession:
         self._vad = vad
         self._samples: Optional[np.ndarray] = None
         self._probs: Optional[np.ndarray] = None
+        self._stream = None  # StreamingVad when the vad exposes host params
+        try:
+            on_host = vad._device is not None or jax.devices()[0].platform == "cpu"
+        except Exception:
+            on_host = True
+        if on_host and getattr(vad, "_params_np", None) and os.environ.get(
+            "LWT_VAD_NUMPY", "1"
+        ) not in ("", "0"):
+            from light_whisper_tpu.models.vad.streaming import StreamingVad
+
+            self._stream = StreamingVad(
+                vad._params_np, vad._cmvn_mean_np, vad._cmvn_inv_std_np
+            )
         self.reused_ticks = 0
 
     def probabilities(self, audio: np.ndarray) -> np.ndarray:
@@ -259,14 +301,38 @@ class VadPrefixSession:
         # Capture state ONCE: overlapping ticks on one stream must each see
         # a consistent (samples, probs) pair, not a mix of generations.
         prev, prev_probs = self._samples, self._probs
-        if (
+        extends = not (
             prev is None
             or prev_probs is None
             or len(samples) < len(prev)
             or len(samples) > _FINE_MAX
             or len(prev_probs) == 0
             or not np.array_equal(samples[: len(prev)], prev)
-        ):
+        )
+        if self._stream is not None:
+            # Exact streaming cascade: per-stage DFSMN activation caches —
+            # a tick recomputes only the appended frames + each stage's
+            # lookahead-provisional rows (models/vad/streaming.py), ~8×
+            # less per-tick work than the probability-halo restitch below.
+            if len(samples) > _FINE_MAX:
+                self._samples = self._probs = None
+                self._stream.reset()
+                return self._vad.probabilities(samples)
+            if not extends:
+                self._stream.reset()
+            try:
+                probs = self._stream.extend(samples)[: kfb.num_frames(len(samples))]
+            except Exception:
+                # Never let cascade state divergence take down a tick: reset
+                # and serve the stateless pass instead.
+                self._stream.reset()
+                self._samples = self._probs = None
+                return self._vad.probabilities(samples)
+            if extends:
+                self.reused_ticks += 1
+            self._samples, self._probs = samples, probs
+            return probs
+        if not extends:
             probs = self._vad.probabilities(samples)
             if 0 < len(samples) <= _FINE_MAX:
                 self._samples, self._probs = samples, probs
