@@ -174,6 +174,11 @@ def main() -> None:
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(1 << 16).astype(np.float32) * 0.05)
     audio = np.tile(audio, -(-n_samples // audio.size))[:n_samples]
+    # Snap to the s16 grid: real wire inputs are pcm_s16le, and the model
+    # ships exact-s16 audio as int16 (half the relay transfer bytes).
+    audio = (
+        np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
+    ).astype(np.float32) / 32768.0
 
     prefix_len = 8
     prefix_ids = list(range(2, 2 + prefix_len))
@@ -182,11 +187,15 @@ def main() -> None:
     def run_once() -> int:
         # Mirrors Qwen3ASRModel.transcribe: one fused pre-decode dispatch
         # (mel → encoder → splice → prefill) + one on-device greedy loop.
-        from light_whisper_tpu.models.qwen3_asr.model import _encode_and_prefill
+        from light_whisper_tpu.models.qwen3_asr.model import (
+            _encode_and_prefill,
+            as_device_audio,
+        )
 
-        bucket = bucket_audio_samples(len(audio))
-        padded = np.zeros(bucket, dtype=np.float32)
-        padded[: len(audio)] = audio
+        device_audio = as_device_audio(audio)
+        bucket = bucket_audio_samples(len(device_audio))
+        padded = np.zeros(bucket, dtype=device_audio.dtype)
+        padded[: len(device_audio)] = device_audio
 
         chunk = cfg.audio.chunk_frames
         mel_frames = wmel.num_mel_frames(bucket)

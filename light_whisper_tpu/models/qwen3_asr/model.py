@@ -53,6 +53,40 @@ def bucket_audio_samples(n: int) -> int:
     return b
 
 
+def as_device_audio(audio: np.ndarray) -> np.ndarray:
+    """Ship audio as int16 when it is exactly s16-representable.
+
+    The engine's wire protocol is pcm_s16le (reference
+    ``qwen3_asr_server.py:245-267``), so serving inputs are int16/32768.0
+    floats; sending the int16 samples and scaling on device is bit-identical
+    and halves host→device bytes — 36 → 6 ms for a 12 s window through the
+    remote relay (scripts/exp_profile_rtf.py). Audio that is not exactly on
+    the s16 grid (e.g. the engine's own 48 kHz linear resample, which the
+    reference also keeps in float) stays float32 and rides the f32 program.
+    ``LWT_AUDIO_INT16=0`` disables the fast path.
+    """
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:
+        return audio
+    import os
+
+    if os.environ.get("LWT_AUDIO_INT16", "1") in ("", "0"):
+        return np.asarray(audio, dtype=np.float32)
+    audio = audio.astype(np.float32, copy=False)
+    scaled = audio * np.float32(32768.0)  # exact: power-of-two scale
+    rounded = np.rint(scaled)
+    if (
+        audio.size == 0
+        or (
+            np.array_equal(scaled, rounded)
+            and scaled.min() >= -32768.0
+            and scaled.max() <= 32767.0
+        )
+    ):
+        return rounded.astype(np.int16)
+    return audio
+
+
 def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
@@ -248,10 +282,10 @@ class Qwen3ASRModel:
         return cache
 
     def transcribe(self, audio: np.ndarray) -> TranscriptionResult:
-        """Greedy transcription of float32 mono 16 kHz audio."""
-        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        """Greedy transcription of mono 16 kHz audio (float32 or int16)."""
+        audio = as_device_audio(np.asarray(audio).reshape(-1))
         bucket = bucket_audio_samples(len(audio))
-        padded = np.zeros(bucket, dtype=np.float32)
+        padded = np.zeros(bucket, dtype=audio.dtype)
         padded[: len(audio)] = audio
         n_audio = self._audio_tokens_for(len(audio))
 
@@ -322,13 +356,13 @@ class Qwen3ASRModel:
         if len(audios) == 1:
             return [self.transcribe(audios[0])]
 
-        audios = [np.asarray(a, dtype=np.float32).reshape(-1) for a in audios]
+        audios = [as_device_audio(np.asarray(a).reshape(-1)) for a in audios]
         bucket = max(bucket_audio_samples(len(a)) for a in audios)
 
         embeds_list = []
         n_audio_list = []
         for audio in audios:
-            padded = np.zeros(bucket, dtype=np.float32)
+            padded = np.zeros(bucket, dtype=audio.dtype)
             padded[: len(audio)] = audio
             embeds, _ = self._encode_padded(padded, true_samples=len(audio))
             embeds_list.append(embeds)
@@ -432,5 +466,9 @@ class Qwen3ASRModel:
         )
 
     def warmup(self) -> None:
+        # s16-grid noise: warms the int16 device-input program — the one
+        # every wire request (pcm_s16le) rides.
         rng = np.random.default_rng(0)
-        self.transcribe(rng.standard_normal(SAMPLE_RATE).astype(np.float32) * 0.002)
+        self.transcribe(
+            (rng.standard_normal(SAMPLE_RATE) * 0.002 * 32768.0).astype(np.int16)
+        )

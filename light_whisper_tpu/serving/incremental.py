@@ -206,12 +206,14 @@ class IncrementalTranscriber:
     def _transcribe_window(
         self, window: np.ndarray, window_start_sample: int
     ) -> TranscriptionResult:
+        from light_whisper_tpu.models.qwen3_asr.model import as_device_audio
+
         model = self.model
         cfg = model.config
-        window = np.asarray(window, dtype=np.float32).reshape(-1)
+        window = as_device_audio(np.asarray(window).reshape(-1))
 
         bucket = bucket_audio_samples(len(window))
-        padded = np.zeros(bucket, dtype=np.float32)
+        padded = np.zeros(bucket, dtype=window.dtype)
         padded[: len(window)] = window
         n_audio = model._audio_tokens_for(len(window))
         mel_frames = wmel.num_mel_frames(bucket)
@@ -415,7 +417,11 @@ def warmup_ladder(
     )
     sr = 16_000
     rng = np.random.default_rng(0)
-    full = (rng.standard_normal(int(max_seconds * sr)) * 0.002).astype(np.float32)
+    # s16-grid samples: the ladder must warm the int16 device-input
+    # programs — the ones every wire request (pcm_s16le) actually runs.
+    full = (rng.standard_normal(int(max_seconds * sr)) * 0.002 * 32768.0).astype(
+        np.int16
+    )
     started = _time.perf_counter()
     ticks = 0
     seconds = step_seconds

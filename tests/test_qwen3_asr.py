@@ -232,3 +232,34 @@ def test_q4_0_model_loads_and_transcribes(tmp_path):
     audio = (np.random.default_rng(11).standard_normal(8000) * 0.3).astype(np.float32)
     result = model.transcribe(audio)
     assert all(0 <= t < cfg.decoder.vocab_size for t in result.tokens)
+
+
+def test_int16_device_audio_bit_matches_float(artifact):
+    """s16-grid audio transcribed as int16 equals the float32-path result
+    token-for-token: the int16 wire transport (as_device_audio) converts on
+    device by an exact power-of-two scale, so both programs see identical
+    mel input. Reference parity: the wire protocol ships pcm_s16le
+    (qwen3_asr_server.py:245-267)."""
+    import os
+
+    from light_whisper_tpu.models.qwen3_asr.model import as_device_audio
+
+    path, _cfg = artifact
+    model = Qwen3ASRModel(path, max_new_tokens=8)
+    rng = np.random.default_rng(11)
+    pcm = (rng.standard_normal(9000) * 0.25 * 32767).astype(np.int16)
+    as_float = pcm.astype(np.float32) / 32768.0
+
+    # classification: exact s16 floats convert, off-grid floats stay f32
+    assert as_device_audio(as_float).dtype == np.int16
+    np.testing.assert_array_equal(as_device_audio(as_float), pcm)
+    assert as_device_audio(as_float * 0.9997).dtype == np.float32
+    assert as_device_audio(pcm).dtype == np.int16  # passthrough
+
+    r_int = model.transcribe(pcm)
+    os.environ["LWT_AUDIO_INT16"] = "0"
+    try:
+        r_float = model.transcribe(as_float)
+    finally:
+        os.environ.pop("LWT_AUDIO_INT16")
+    assert r_int.tokens == r_float.tokens
