@@ -840,6 +840,125 @@ def _layer_forward_batch(
     return x, k_all, v_all
 
 
+def _layer_forward_batch_seq(
+    cfg: DecoderConfig,
+    layers: Dict,
+    idx: jax.Array,  # int32 layer index
+    x: jax.Array,  # [B, T, D] — T new positions per stream
+    k_all: jax.Array,  # [B, L, Hkv, C, hd]
+    v_all: jax.Array,
+    pos: jax.Array,  # [B] per-stream fill level
+    cos: jax.Array,  # [B, T, hd]
+    sin: jax.Array,
+    use_stacked: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One layer over B streams × T new positions each.
+
+    The projection rows are the flattened [B·T, D] — the stacked Q8 kernels
+    read each layer's weights once for the whole batch; RoPE, cache writes
+    and attention are per-stream (no weights there, so a plain ``vmap``)."""
+    B, T, D = x.shape
+    hd = cfg.key_length
+    groups = cfg.head_count // cfg.head_count_kv
+    n_kv = cfg.head_count_kv
+    capacity = k_all.shape[3]
+
+    if use_stacked:
+        from light_whisper_tpu.ops.q8_matmul import q8_matmul_pallas_stacked
+
+        def proj(name, h):  # h: [B, T, Din] → [B, T, out]
+            p = layers[name]
+            out = q8_matmul_pallas_stacked(
+                h.reshape(B * T, h.shape[-1]), p["q"], p["s_t"], idx
+            )
+            return out.reshape(B, T, -1)
+
+    else:
+
+        def proj(name, h):
+            p = jax.tree.map(lambda a: a[idx], layers[name])
+            return apply_linear(p, h.reshape(B * T, h.shape[-1])).reshape(B, T, -1)
+
+    h = rms_norm(x, layers["attn_norm"][idx], cfg.rms_epsilon)
+    qkv = proj("qkv", h)
+    qdim = cfg.head_count * hd
+    kvdim = n_kv * hd
+    q = qkv[..., :qdim].reshape(B, T, cfg.head_count, hd)
+    k = qkv[..., qdim : qdim + kvdim].reshape(B, T, n_kv, hd)
+    v = qkv[..., qdim + kvdim :].reshape(B, T, n_kv, hd)
+
+    q = rms_norm(q, layers["q_norm"][idx], cfg.rms_epsilon)
+    k = rms_norm(k, layers["k_norm"][idx], cfg.rms_epsilon)
+    q = jax.vmap(apply_rope)(q, cos, sin)
+    k = jax.vmap(apply_rope)(k, cos, sin)
+
+    def write(cache_b, new_b, p):
+        # cache_b: [L, Hkv, C, hd]; new_b: [T, Hkv, hd]
+        return jax.lax.dynamic_update_slice(
+            cache_b,
+            new_b.transpose(1, 0, 2).astype(cache_b.dtype)[None],
+            (idx, 0, p, 0),
+        )
+
+    k_all = jax.vmap(write)(k_all, k, pos)
+    v_all = jax.vmap(write)(v_all, v, pos)
+
+    def attend(q_b, k_all_b, v_all_b, pos_b):
+        k_layer = jax.lax.dynamic_slice(
+            k_all_b, (idx, 0, 0, 0), (1, n_kv, capacity, hd)
+        )[0]
+        v_layer = jax.lax.dynamic_slice(
+            v_all_b, (idx, 0, 0, 0), (1, n_kv, capacity, hd)
+        )[0]
+        return _attention(
+            q_b, k_layer, v_layer, pos_b + jnp.arange(T), groups, cfg.dtype
+        )
+
+    attn = jax.vmap(attend)(q, k_all, v_all, pos)  # [B, T, H, hd]
+
+    x = x + proj("o", attn.reshape(B, T, -1)).astype(x.dtype)
+    h = rms_norm(x, layers["ffn_norm"][idx], cfg.rms_epsilon)
+    gateup = proj("gateup", h)
+    gate, up = jnp.split(gateup, 2, axis=-1)
+    x = x + proj("down", (jax.nn.silu(gate) * up).astype(x.dtype)).astype(x.dtype)
+    return x, k_all, v_all
+
+
+def forward_prefill_batch(
+    cfg: DecoderConfig,
+    params: Dict,
+    embeds: jax.Array,  # [B, T, D] — T new embeddings per stream
+    cache: KVCache,  # batched: k/v [B, L, Hkv, C, hd], pos [B]
+) -> Tuple[jax.Array, KVCache]:
+    """Prefill T new positions for each of B independent streams.
+
+    The multi-token generalization of :func:`forward_decode_batch`: stream
+    rows flatten onto the matmul row axis (one weight-stack read per layer
+    for the whole batch); attention/cache stay per-stream. Serves the
+    batched interim tick (``serving/incremental_batch.py``) — the
+    TPU-native generalization of the reference's one-session-per-process
+    interim loop (``interim.rs:21-196``)."""
+    B, T, _ = embeds.shape
+    cos, sin = jax.vmap(
+        lambda p: rope_tables(p + jnp.arange(T), cfg.key_length, cfg.rope_freq_base)
+    )(cache.pos)
+    layers = params["layers"]
+    use_stacked = _use_stacked_kernel(layers)
+
+    def body(carry, idx):
+        h, k_all, v_all = carry
+        h, k_all, v_all = _layer_forward_batch_seq(
+            cfg, layers, idx, h, k_all, v_all, cache.pos, cos, sin, use_stacked
+        )
+        return (h, k_all, v_all), None
+
+    (h, new_k, new_v), _ = jax.lax.scan(
+        body, (embeds, cache.k, cache.v), jnp.arange(cfg.block_count)
+    )
+    h = rms_norm(h, params["final_norm"], cfg.rms_epsilon)
+    return h, KVCache(k=new_k, v=new_v, pos=cache.pos + T)
+
+
 def forward_decode_batch(
     cfg: DecoderConfig,
     params: Dict,

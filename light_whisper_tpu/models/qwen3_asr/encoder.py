@@ -115,38 +115,64 @@ def encode_chunks(
 
     Rows ≥ ``valid_tokens`` are garbage and must be sliced off by the caller.
     """
+    return encode_chunks_batch(
+        cfg, params, mel[None], valid_tokens[None], num_chunks
+    )[0]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_chunks"))
+def encode_chunks_batch(
+    cfg: AudioEncoderConfig,
+    params: Dict,
+    mel: jax.Array,  # [B, num_chunks * chunk_frames, mels] (zero-padded tails)
+    valid_tokens: jax.Array,  # [B] int32: per-stream post-conv valid tokens
+    num_chunks: int,
+) -> jax.Array:
+    """Batched encoder: B streams' chunks concatenate on the chunk axis.
+
+    The conv never sees across chunk boundaries and attention is
+    block-diagonal over window groups, so batching streams IS concatenating
+    their (group-padded) chunk sets — the per-stream math is untouched, only
+    the validity mask is per-stream. Returns [B, num_chunks * tokens_per_chunk,
+    output_dim]; rows ≥ ``valid_tokens[b]`` are garbage.
+    """
+    B = mel.shape[0]
     chunk = cfg.chunk_frames
     tpc = cfg.tokens_per_chunk
 
-    x = mel.reshape(num_chunks, chunk, cfg.num_mel_bins)[:, None, :, :]  # [C,1,T,M]
+    x = mel.reshape(B * num_chunks, chunk, cfg.num_mel_bins)[:, None, :, :]  # [BC,1,T,M]
     x = jax.nn.gelu(_conv2d(x, params["conv1"]["w"], params["conv1"]["b"]), approximate=False)
     x = jax.nn.gelu(_conv2d(x, params["conv2"]["w"], params["conv2"]["b"]), approximate=False)
     x = jax.nn.gelu(_conv2d(x, params["conv3"]["w"], params["conv3"]["b"]), approximate=False)
-    # [C, hidden, tpc, freq] → [C, tpc, hidden*freq]
-    C, ch, t, f = x.shape
-    x = x.transpose(0, 2, 1, 3).reshape(C, t, ch * f)
-    x = apply_linear(params["conv_out"], x).astype(cfg.dtype)  # [C, tpc, D]
+    # [BC, hidden, tpc, freq] → [BC, tpc, hidden*freq]
+    BC, ch, t, f = x.shape
+    x = x.transpose(0, 2, 1, 3).reshape(BC, t, ch * f)
+    x = apply_linear(params["conv_out"], x).astype(cfg.dtype)  # [BC, tpc, D]
 
     pos = jnp.asarray(params["pos_embd"])[:tpc].astype(x.dtype)
     x = x + pos[None, :, :]
 
-    # Group chunks into attention windows.
+    # Group each stream's chunks into attention windows (groups never span
+    # streams: pad per stream, then flatten stream × group).
+    C = num_chunks
     wt = cfg.window_tokens
     chunks_per_group = max(1, wt // tpc)
     G = (C + chunks_per_group - 1) // chunks_per_group
     pad_chunks = G * chunks_per_group - C
-    x = jnp.pad(x, ((0, pad_chunks), (0, 0), (0, 0)))
-    x = x.reshape(G, chunks_per_group * tpc, -1)
+    x = x.reshape(B, C, tpc, -1)
+    x = jnp.pad(x, ((0, 0), (0, pad_chunks), (0, 0), (0, 0)))
+    W = chunks_per_group * tpc
+    x = x.reshape(B * G, W, x.shape[-1])
 
-    token_idx = jnp.arange(G * chunks_per_group * tpc).reshape(G, chunks_per_group * tpc)
-    mask = token_idx < valid_tokens
+    token_idx = jnp.arange(G * W).reshape(1, G, W)  # per-stream token index
+    mask = (token_idx < valid_tokens[:, None, None]).reshape(B * G, W)
 
     def body(h, layer):
         return _encoder_layer(cfg, layer, h, mask), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
 
-    x = x.reshape(G * chunks_per_group * tpc, -1)[: C * tpc]
+    x = x.reshape(B, G * W, -1)[:, : C * tpc]
     x = _layer_norm(x, params["ln_post"], cfg.layer_norm_epsilon)
     x = jax.nn.gelu(apply_linear(params["proj1"], x), approximate=False).astype(cfg.dtype)
     return apply_linear(params["proj2"], x).astype(cfg.dtype)

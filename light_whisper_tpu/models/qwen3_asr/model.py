@@ -168,16 +168,23 @@ def _prefill_batch(cfg, params, embeds, caches, last_indices):
 @functools.partial(
     jax.jit, static_argnames=("cfg", "max_new_tokens"), donate_argnames=("caches",)
 )
-def _decode_greedy_batch(cfg, params, first_tokens, caches, eos_token_id, max_new_tokens):
+def _decode_greedy_batch(
+    cfg, params, first_tokens, caches, eos_token_id, max_new_tokens, budgets=None
+):
     """Batched greedy decode: all streams step together until every one has
-    emitted EOS (or the budget runs out). Finished streams keep stepping on
+    emitted EOS (or exhausted its budget). Finished streams keep stepping on
     dead positions — wasted FLOPs bounded by the batch's slowest stream,
     which is what hardware-efficient batched serving amortizes anyway.
 
     Each step runs :func:`decoder.forward_decode_batch`: the stream
     dimension rides the matmul ROW axis, so the Q8 weight stack (the
     dominant decode HBM traffic) is read once per step for the whole batch,
-    not once per stream as a ``vmap`` of the single-stream forward would."""
+    not once per stream as a ``vmap`` of the single-stream forward would.
+
+    ``budgets`` ([B] int32, optional) caps tokens per stream below the
+    shared ``max_new_tokens`` — the batched-tick path passes
+    ``max_new - accepted_draft`` per stream (speculative acceptance differs
+    across streams). ``None`` traces the exact pre-budget program."""
 
     B = first_tokens.shape[0]
 
@@ -193,11 +200,15 @@ def _decode_greedy_batch(cfg, params, first_tokens, caches, eos_token_id, max_ne
         logits = dec.logits_for(cfg, params, hidden)  # [B, V]
         next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         newly_done = next_tokens == eos_token_id
+        if budgets is not None:
+            newly_done = jnp.logical_or(newly_done, count + 1 >= budgets)
         return tokens, count + 1, next_tokens, caches, jnp.logical_or(done, newly_done)
 
     tokens0 = jnp.full((B, max_new_tokens), -1, dtype=jnp.int32)  # -1 = unused
     counts0 = jnp.int32(0)
     done0 = first_tokens == eos_token_id
+    if budgets is not None:
+        done0 = jnp.logical_or(done0, budgets <= 0)
     tokens, _count, _cur, caches, done = jax.lax.while_loop(
         cond, step, (tokens0, counts0, first_tokens.astype(jnp.int32), caches, done0)
     )

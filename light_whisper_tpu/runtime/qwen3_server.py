@@ -127,6 +127,7 @@ class Qwen3EngineServer:
         self._vad_rejected = 0
         self._batched_requests = 0
         self._batch_dispatches = 0
+        self._batched_tick_dispatches = 0  # coalesced interim ticks, KV kept
         # Per-session-key trim pins: (raw_audio, start, end) of the last
         # request on that stream (bounded alongside the session pool).
         self._prev_trims: Dict[str, Any] = {}
@@ -466,6 +467,30 @@ class Qwen3EngineServer:
         with self._stats_lock:
             self._batched_requests += len(payloads)
             self._batch_dispatches += 1
+        # Coalesced interim ticks: when every payload byte-extends its own
+        # stream's previous audio (N concurrent dictations ticking), run ONE
+        # batched device tick that keeps every stream's KV session — decode
+        # is weight-DMA bound, so N sequential session ticks pay N weight
+        # reads per step where the batch pays one. Mixed/fresh batches keep
+        # the stateless batched path (one-shot utterances have no session).
+        pool = self._streaming_sessions()
+        if pool is not None and os.environ.get("LWT_BATCH_TICKS", "1") not in ("", "0"):
+            keys = [key for key, _audio in payloads]
+            if len(set(keys)) == len(keys):
+                bridges = [pool.bridge_for(key) for key in keys]
+                audios = [
+                    np.asarray(a, dtype=np.float32).reshape(-1) for _k, a in payloads
+                ]
+                if all(
+                    b._extends_previous(a) for b, a in zip(bridges, audios)
+                ):
+                    from light_whisper_tpu.serving.session_bridge import (
+                        transcribe_extending_batch,
+                    )
+
+                    with self._stats_lock:
+                        self._batched_tick_dispatches += 1
+                    return transcribe_extending_batch(bridges, audios)
         audios = [audio for _key, audio in payloads]
         if hasattr(self.model, "transcribe_batch"):
             return self.model.transcribe_batch(audios)
@@ -701,6 +726,7 @@ class Qwen3EngineServer:
             "vad_prefix_reuse": self._vad_prefix_reuse,
             "batch_dispatches": self._batch_dispatches,
             "batched_requests": self._batched_requests,
+            "batched_tick_dispatches": self._batched_tick_dispatches,
             "initialized": self.initialized,
             "engine": self.engine,
             "backend": self.backend,

@@ -1,0 +1,318 @@
+"""Batched interim ticks: N dictation streams extend in ONE device program.
+
+The reference serves one recording per process (``interim.rs:21-196`` drives
+a single C++ session); the per-stream TPU generalization is
+``serving/incremental.py`` (KV rollback + self-speculative draft). This
+module batches that tick across streams: decode is weight-DMA bound, so N
+sequential ticks pay N weight-stack reads per step while one batched tick
+pays one (`decoder.forward_decode_batch` economics, measured 4.7× aggregate
+throughput at B=8 — DEVNOTES round-3).
+
+Shape constraints for one compiled program: every stream in a batch shares
+the audio bucket (→ mel_frames/num_chunks), segment bucket, and cache
+capacity. :func:`tick_batch` groups compatible extending sessions, runs each
+group through one fused program (batched mel → batched encoder → batched
+segment prefill with per-stream draft verification → batched greedy decode
+with per-stream budgets), and falls back to the per-stream path for
+everything else (fresh sessions, mismatched buckets, clip-guard redos).
+Results are greedy-exact: token-identical to running each stream's
+``IncrementalTranscriber.transcribe_window`` sequentially (asserted in
+``tests/test_incremental_batch.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from light_whisper_tpu.audio import mel as wmel
+from light_whisper_tpu.models.qwen3_asr import decoder as dec
+from light_whisper_tpu.models.qwen3_asr.model import (
+    _decode_greedy_batch,
+    _round_up,
+    as_device_audio,
+    bucket_audio_samples,
+)
+from light_whisper_tpu.serving.incremental import (
+    CLIP_MAX_EPS,
+    DRAFT_TOKENS,
+    SEGMENT_BUCKET,
+    IncrementalTranscriber,
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_chunks", "mel_frames", "prefix_len", "seg_bucket"),
+    donate_argnames=("caches",),
+)
+def _encode_prefill_segment_batch(
+    cfg,
+    encoder_params,
+    decoder_params,
+    waveforms,  # [B, bucket] f32/int16, zero-padded
+    n_audio,  # [B] int32: total valid audio tokens per stream
+    stable,  # [B] int32: audio tokens already resident per stream
+    suffix_ids,  # [S] int32 (shared — same prompt template)
+    draft_ids,  # [B, Db] int32
+    n_draft,  # [B] int32
+    caches,  # batched KVCache: k/v [B, L, Hkv, C, hd], pos [B] = prefix+stable
+    num_chunks: int,
+    mel_frames: int,
+    prefix_len: int,
+    seg_bucket: int,
+):
+    """Batched one-dispatch tick pre-decode with per-stream draft verification.
+
+    The batched twin of ``incremental._encode_prefill_segment`` — identical
+    per-stream math (mel → encoder → segment splice → rollback prefill →
+    teacher-forced draft acceptance), with projections batched on the matmul
+    row axis (``decoder.forward_prefill_batch``).
+    """
+    from light_whisper_tpu.audio.mel import _log_mel_with_max
+    from light_whisper_tpu.models.qwen3_asr.encoder import encode_chunks_batch
+
+    B = waveforms.shape[0]
+    mel, clip_max = jax.vmap(lambda w: _log_mel_with_max(w, mel_frames))(waveforms)
+    chunk = cfg.audio.chunk_frames
+    mel = jnp.pad(mel, ((0, 0), (0, num_chunks * chunk - mel.shape[1]), (0, 0)))
+    audio_embeds = encode_chunks_batch(
+        cfg.audio, encoder_params, mel, n_audio, num_chunks
+    )  # [B, A, D]
+
+    S = suffix_ids.shape[0]
+    Db = draft_ids.shape[1]
+    seg_audio = n_audio - stable  # [B]
+    first_index = seg_audio + S - 1  # [B]
+
+    token_ids = jnp.concatenate(
+        [jnp.broadcast_to(suffix_ids[None], (B, S)), draft_ids], axis=1
+    ).astype(jnp.int32)  # [B, S+Db]
+    token_embeds = jax.vmap(
+        lambda ids: dec.embed_tokens(decoder_params, ids)
+    )(token_ids).astype(cfg.decoder.dtype)
+
+    idx = jnp.arange(seg_bucket)[None, :]  # [1, seg]
+    audio_row = jnp.clip(stable[:, None] + idx, 0, audio_embeds.shape[1] - 1)
+    token_row = jnp.clip(idx - seg_audio[:, None], 0, S + Db - 1)
+    is_audio = idx < seg_audio[:, None]
+    embeds = jnp.where(
+        is_audio[..., None],
+        jnp.take_along_axis(
+            audio_embeds.astype(cfg.decoder.dtype), audio_row[..., None], axis=1
+        ),
+        jnp.take_along_axis(token_embeds, token_row[..., None], axis=1),
+    )  # [B, seg, D]
+
+    hidden, caches = dec.forward_prefill_batch(cfg.decoder, decoder_params, embeds, caches)
+
+    # Per-stream draft verification on the (Db+1)-row window starting at
+    # first_index — gathering the window BEFORE the vocab matmul keeps the
+    # logits tensor at [B, Db+1, V] instead of [B, seg_bucket, V].
+    win = jnp.clip(
+        first_index[:, None] + jnp.arange(Db + 1)[None, :], 0, seg_bucket - 1
+    )  # [B, Db+1]
+    window_hidden = jnp.take_along_axis(hidden, win[..., None], axis=1)
+    logits = dec.logits_for(cfg.decoder, decoder_params, window_hidden)
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, Db+1]
+
+    first = preds[:, 0]
+    expected = jnp.where(
+        jnp.arange(Db)[None, :] == 0, first[:, None], preds[:, :Db]
+    )  # [B, Db]: preds[:, i] predicts draft position i (window row i = first_index+i)
+    match = (draft_ids == expected) & (jnp.arange(Db)[None, :] < n_draft[:, None])
+    accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
+    next_token = jnp.take_along_axis(
+        preds, jnp.minimum(accepted, Db)[:, None], axis=1
+    )[:, 0].astype(jnp.int32)
+    return next_token, accepted, caches, clip_max
+
+
+class _TickPlan:
+    """Per-stream static/dynamic tick parameters (host-side)."""
+
+    __slots__ = (
+        "transcriber", "window", "window_start", "n_audio", "stable",
+        "true_len", "draft", "bucket", "seg_bucket", "capacity",
+    )
+
+    def __init__(self, transcriber, window, window_start):
+        model = transcriber.model
+        self.transcriber = transcriber
+        self.window = as_device_audio(np.asarray(window).reshape(-1))
+        self.window_start = window_start
+        self.n_audio = model._audio_tokens_for(len(self.window))
+        self.stable = transcriber._stable_tokens
+        prefix_len = len(model.prefix_ids)
+        self.true_len = prefix_len + self.n_audio + len(model.suffix_ids)
+        self.draft = transcriber._last_generated[:DRAFT_TOKENS]
+        self.bucket = bucket_audio_samples(len(self.window))
+        seg_true = (
+            (self.n_audio - self.stable) + len(model.suffix_ids) + DRAFT_TOKENS
+        )
+        self.seg_bucket = _round_up(max(1, seg_true), SEGMENT_BUCKET)
+        needed = self.true_len + DRAFT_TOKENS + transcriber.max_new_tokens
+        capacity = 512
+        while capacity < needed:
+            capacity *= 2
+        self.capacity = capacity
+
+    def can_extend(self) -> bool:
+        t = self.transcriber
+        return (
+            t._cache is not None
+            and t._cache_capacity == self.capacity
+            and t._window_start == self.window_start
+            and 0 <= self.stable <= self.n_audio
+        )
+
+    def group_key(self):
+        t = self.transcriber
+        return (
+            id(t.model),  # one model (weights + prompt template) per program
+            self.bucket,
+            self.seg_bucket,
+            self.capacity,
+            t.max_new_tokens,
+            self.window.dtype.str,
+        )
+
+
+def tick_batch(
+    transcribers: Sequence[IncrementalTranscriber],
+    windows: Sequence[np.ndarray],
+    window_starts: Optional[Sequence[int]] = None,
+):
+    """Run one interim tick for each (transcriber, window) pair.
+
+    Compatible extending sessions (same audio bucket / segment bucket /
+    cache capacity / decode budget) batch into one device program; the rest
+    run the per-stream path. Output order matches input order; results are
+    token-identical to sequential per-stream ticks.
+    """
+    if window_starts is None:
+        window_starts = [0] * len(transcribers)
+    results: List = [None] * len(transcribers)
+    plans: List[_TickPlan] = []
+    solo: List[int] = []
+    groups: dict = {}
+    for i, (t, w, ws) in enumerate(zip(transcribers, windows, window_starts)):
+        plan = _TickPlan(t, w, ws)
+        plans.append(plan)
+        if not plan.can_extend():
+            solo.append(i)
+            continue
+        groups.setdefault(plan.group_key(), []).append(i)
+
+    for key, members in groups.items():
+        if len(members) == 1:
+            solo.extend(members)
+            continue
+        batch_results = _run_group([plans[i] for i in members])
+        for i, r in zip(members, batch_results):
+            if r is None:  # clip-guard redo → per-stream full prefill
+                solo.append(i)
+            else:
+                results[i] = r
+
+    for i in solo:
+        p = plans[i]
+        results[i] = p.transcriber.transcribe_window(p.window, p.window_start)
+    return results
+
+
+def _run_group(plans: List[_TickPlan]):
+    """One batched tick for ≥2 compatible extending sessions."""
+    t0 = plans[0].transcriber
+    model = t0.model
+    cfg = model.config
+    prefix_len = len(model.prefix_ids)
+    B = len(plans)
+    bucket = plans[0].bucket
+    seg_bucket = plans[0].seg_bucket
+    max_new = t0.max_new_tokens
+
+    mel_frames = wmel.num_mel_frames(bucket)
+    chunk = cfg.audio.chunk_frames
+    num_chunks = max(1, (mel_frames + chunk - 1) // chunk)
+
+    waveforms = np.zeros((B, bucket), dtype=plans[0].window.dtype)
+    n_audio = np.empty(B, np.int32)
+    stable = np.empty(B, np.int32)
+    drafts = np.zeros((B, DRAFT_TOKENS), np.int32)
+    n_draft = np.empty(B, np.int32)
+    for b, p in enumerate(plans):
+        waveforms[b, : len(p.window)] = p.window
+        n_audio[b] = p.n_audio
+        stable[b] = p.stable
+        drafts[b, : len(p.draft)] = p.draft
+        n_draft[b] = len(p.draft)
+
+    caches = dec.KVCache(
+        k=jnp.stack([p.transcriber._cache.k for p in plans]),
+        v=jnp.stack([p.transcriber._cache.v for p in plans]),
+        pos=jnp.asarray(prefix_len + stable),
+    )
+
+    first, accepted_dev, caches, clip_dev = _encode_prefill_segment_batch(
+        cfg,
+        model.encoder_params,
+        model.decoder_params,
+        jnp.asarray(waveforms),
+        jnp.asarray(n_audio),
+        jnp.asarray(stable),
+        jnp.asarray(np.asarray(model.suffix_ids, dtype=np.int32)),
+        jnp.asarray(drafts),
+        jnp.asarray(n_draft),
+        caches,
+        num_chunks,
+        mel_frames,
+        prefix_len,
+        seg_bucket,
+    )
+    true_lens = jnp.asarray(np.asarray([p.true_len for p in plans], np.int32))
+    caches = caches._replace(pos=true_lens + accepted_dev.astype(jnp.int32))
+    budgets = jnp.int32(max_new) - accepted_dev.astype(jnp.int32)
+    tokens, caches = _decode_greedy_batch(
+        cfg.decoder,
+        model.decoder_params,
+        first,
+        caches,
+        cfg.eos_token_id,
+        max_new,
+        budgets=budgets,
+    )
+    tokens_np, accepted_np, clip_np = jax.device_get(
+        (tokens, accepted_dev, clip_dev)
+    )
+
+    results: List = []
+    for b, p in enumerate(plans):
+        t = p.transcriber
+        clip_max = float(clip_np[b])
+        if t._clip_max is not None and clip_max > t._clip_max + CLIP_MAX_EPS:
+            # Same deferred clip guard as the per-stream tick: the mel clamp
+            # floor moved, cached KV is stale — redo this stream solo.
+            t.clip_guard_prefills += 1
+            t.reset()
+            results.append(None)
+            continue
+        accepted = int(accepted_np[b])
+        t._cache = dec.KVCache(
+            k=caches.k[b], v=caches.v[b], pos=caches.pos[b]
+        )
+        t.incremental_prefills += 1
+        t.draft_tokens_offered += len(p.draft)
+        t.draft_tokens_accepted += accepted
+        t._window_start = p.window_start
+        t._stable_tokens = t._stable_boundary(len(p.window), p.n_audio)
+        generated = list(p.draft[:accepted]) + [
+            int(tok) for tok in tokens_np[b] if tok >= 0
+        ]
+        t._last_generated = generated
+        results.append(model._parse_output(generated))
+    return results

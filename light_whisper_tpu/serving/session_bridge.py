@@ -55,3 +55,30 @@ class SessionBridge:
     def reset(self) -> None:
         self._inc.reset()
         self._prev = None
+
+
+def transcribe_extending_batch(bridges, audios):
+    """One batched device tick for N per-stream sessions.
+
+    The batched twin of :meth:`SessionBridge.transcribe_extending`: each
+    stream keeps its own extends-previous check and KV session; compatible
+    extending sessions run in one device program
+    (``serving/incremental_batch.tick_batch``), the rest fall back to their
+    per-stream path inside it. Token-identical to calling each bridge's
+    ``transcribe_extending`` sequentially."""
+    from light_whisper_tpu.serving.incremental_batch import tick_batch
+
+    incs, windows = [], []
+    for bridge, audio in zip(bridges, audios):
+        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        if bridge._extends_previous(audio):
+            bridge.session_hits += 1
+        else:
+            bridge._inc.reset()
+            bridge.session_resets += 1
+        incs.append(bridge._inc)
+        windows.append(audio)
+    results = tick_batch(incs, windows)
+    for bridge, window in zip(bridges, windows):
+        bridge._prev = window
+    return results

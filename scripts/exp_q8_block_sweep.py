@@ -105,9 +105,48 @@ def main():
         (1024, 1024),
         (4096, 1024),
     ]
+    if "--contig" in sys.argv:
+        # bk=2048 makes every q-block row read a contiguous 2 KB burst from
+        # the [L, O, K] stack (bk=512 reads 512 B bursts at stride K);
+        # round-2 found bo=2048,bk=2048 fails compile (VMEM) — halve bo.
+        configs = [
+            (2048, 512),  # shipped baseline for this session
+            (1024, 2048),
+            (2048, 2048),
+            (6144, 1024),
+            (512, 2048),
+        ]
 
     rtt = measure_rtt()
     log(f"device {jax.devices()[0]}, relay rtt p50 {rtt:.1f} ms")
+
+    if "--read-ceiling" in sys.argv or "--contig" in sys.argv:
+        # Pure-read ceiling for the same stacked buffer: XLA reduce over one
+        # layer per iteration — no MXU, no scales, just HBM → this is the
+        # layout's attainable bandwidth, separating kernel overhead from
+        # DMA reality.
+        rng = np.random.default_rng(0)
+        out_f, in_f = 12288, 2048
+        q = jnp.asarray(rng.integers(-127, 127, size=(L, out_f, in_f), dtype=np.int8))
+
+        @jax.jit
+        def read_all(q):
+            def body(i, acc):
+                layer = jax.lax.rem(i, L)
+                blk = jax.lax.dynamic_index_in_dim(q, layer, keepdims=False)
+                return acc + jnp.sum(blk.astype(jnp.int32))
+
+            return jax.lax.fori_loop(0, 32, body, jnp.int32(0))
+
+        jax.device_get(read_all(q))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(read_all(q))
+            best = min(best, time.perf_counter() - t0)
+        per_call = max(0.001, (best * 1000 - rtt) / 32)
+        gbps = out_f * in_f / (per_call / 1000) / 1e9
+        log(f"read-ceiling [12288x2048 int8 slice]: {per_call:.3f} ms → {gbps:.0f} GB/s")
     for name, out_f, in_f in shapes:
         for bo, bk in configs:
             if out_f % bo != 0 or in_f % bk != 0:

@@ -1,0 +1,113 @@
+"""Batched interim ticks must be token-identical to sequential per-stream ticks.
+
+``serving/incremental_batch.tick_batch`` batches N extending dictation
+streams into one device program (batched segment prefill + batched greedy
+decode with per-stream budgets). Greedy decoding is deterministic, so every
+stream's transcript must equal what its own ``IncrementalTranscriber`` would
+have produced running alone — the same greedy-exact contract the per-stream
+speculative path holds. Reference behavior being generalized: one interim
+session per process (``interim.rs:21-196``).
+"""
+
+import numpy as np
+import pytest
+
+from helpers.tiny_model import write_tiny_model
+from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+from light_whisper_tpu.serving.incremental import IncrementalTranscriber
+from light_whisper_tpu.serving.incremental_batch import tick_batch
+
+SR = 16_000
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    write_tiny_model(path, quantize=True)
+    return Qwen3ASRModel(path, max_new_tokens=10)
+
+
+def _stream_audio(seed, seconds):
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal(int(seconds * SR)) * 0.25).astype(np.float32)
+    return (np.clip(np.rint(x * 32768), -32768, 32767).astype(np.int16)).astype(
+        np.float32
+    ) / 32768.0
+
+
+def _grow_ticks(full, steps):
+    # unequal growth per tick; all ticks share the 0.5 s bucket ladder
+    return [full[: int((i + 1) * len(full) / steps)] for i in range(steps)]
+
+
+def test_batched_ticks_match_sequential(model):
+    n_streams = 3
+    fulls = [_stream_audio(seed, 2.0 + 0.0 * seed) for seed in range(n_streams)]
+    ticks = [_grow_ticks(full, 3) for full in fulls]
+
+    # sequential oracle: each stream alone
+    seq_results = []
+    for s in range(n_streams):
+        inc = IncrementalTranscriber(model, max_new_tokens=8)
+        outs = [inc.transcribe_window(w, window_start_sample=0) for w in ticks[s]]
+        seq_results.append(outs)
+
+    # batched: first tick is fresh (solo fallback), later ticks batch
+    from light_whisper_tpu.serving import incremental_batch as ib
+
+    group_calls = []
+    real_run_group = ib._run_group
+    batch_incs = [IncrementalTranscriber(model, max_new_tokens=8) for _ in range(n_streams)]
+    try:
+        ib._run_group = lambda plans: group_calls.append(len(plans)) or real_run_group(plans)
+        for tick_i in range(3):
+            windows = [ticks[s][tick_i] for s in range(n_streams)]
+            outs = tick_batch(batch_incs, windows)
+            for s in range(n_streams):
+                assert outs[s].tokens == seq_results[s][tick_i].tokens, (tick_i, s)
+    finally:
+        ib._run_group = real_run_group
+
+    # extending ticks actually rode the batched program (all 3 streams per group)
+    assert group_calls and all(n == n_streams for n in group_calls), group_calls
+    assert all(inc.incremental_prefills >= 1 for inc in batch_incs)
+
+
+def test_batched_ticks_mixed_buckets_fall_back(model):
+    """Streams in different audio buckets can't share a program — they must
+    still produce correct (sequential-path) results."""
+    a = _stream_audio(1, 1.0)
+    b = _stream_audio(2, 3.0)  # different bucket
+    incs = [IncrementalTranscriber(model, max_new_tokens=8) for _ in range(2)]
+    tick_batch(incs, [a[: SR // 2], b[: 2 * SR]])
+    outs = tick_batch(incs, [a, b])
+
+    ref_a = IncrementalTranscriber(model, max_new_tokens=8)
+    ref_a.transcribe_window(a[: SR // 2], window_start_sample=0)
+    want_a = ref_a.transcribe_window(a, window_start_sample=0)
+    ref_b = IncrementalTranscriber(model, max_new_tokens=8)
+    ref_b.transcribe_window(b[: 2 * SR], window_start_sample=0)
+    want_b = ref_b.transcribe_window(b, window_start_sample=0)
+    assert outs[0].tokens == want_a.tokens
+    assert outs[1].tokens == want_b.tokens
+
+
+def test_batched_tick_session_state_advances(model):
+    """After a batched tick, each session's cache/stable state must support
+    continuing with per-stream ticks (state handoff both directions)."""
+    fulls = [_stream_audio(seed + 10, 2.0) for seed in range(2)]
+    incs = [IncrementalTranscriber(model, max_new_tokens=8) for _ in range(2)]
+    # establish sessions per-stream, batch the middle tick, finish per-stream
+    for s in range(2):
+        incs[s].transcribe_window(fulls[s][: SR // 2], window_start_sample=0)
+    tick_batch(incs, [f[: 3 * SR // 2] for f in fulls])
+    final_batchpath = [
+        incs[s].transcribe_window(fulls[s], window_start_sample=0) for s in range(2)
+    ]
+
+    for s in range(2):
+        ref = IncrementalTranscriber(model, max_new_tokens=8)
+        ref.transcribe_window(fulls[s][: SR // 2], window_start_sample=0)
+        ref.transcribe_window(fulls[s][: 3 * SR // 2], window_start_sample=0)
+        want = ref.transcribe_window(fulls[s], window_start_sample=0)
+        assert final_batchpath[s].tokens == want.tokens

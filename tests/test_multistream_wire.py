@@ -270,3 +270,78 @@ def test_concurrent_storm_keeps_correlation_exact():
         assert garbage_errors >= n_writers  # the garbage never killed the loop
     finally:
         convo.close()
+
+
+class FullSpanVad:
+    """VAD double whose trim tracks the audio length, so a grown interim
+    window still byte-extends the previous request after trimming."""
+
+    def speech_timestamps(self, audio):
+        return [{"start": 0, "end": len(audio)}]
+
+    def warmup(self):
+        pass
+
+
+def test_coalesced_interim_ticks_batch_with_kv_sessions(tmp_path):
+    """Two dictation streams' interim ticks queued together must run as ONE
+    batched device tick that keeps BOTH KV sessions (batched_tick_dispatches),
+    not the stateless batched transcribe. Reference scenario generalized:
+    interim.rs drives one session; here N streams tick concurrently."""
+    from helpers.tiny_model import write_tiny_model
+    from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path, quantize=True)
+    model = Qwen3ASRModel(path, max_new_tokens=6)
+    engine = Qwen3EngineServer(
+        engine="qwen3-asr-0.6b",
+        model_factory=lambda _p: model,
+        vad_factory=lambda: FullSpanVad(),
+        model_path=path,
+    )
+    assert engine.initialize()["success"]
+
+    rng = np.random.default_rng(3)
+    sr = 16000
+
+    def cmd(rid, stream, seconds):
+        audio = (rng_streams[stream][: int(seconds * sr)] * 32767).astype("<i2")
+        return json.dumps(
+            {
+                "action": "transcribe",
+                "request_id": rid,
+                "audio_base64": base64.b64encode(audio.tobytes()).decode(),
+                "audio_format": "pcm_s16le",
+                "sample_rate": sr,
+                "options": {"stream": stream},
+            }
+        )
+
+    rng_streams = {
+        "a": (rng.standard_normal(2 * sr) * 0.2).clip(-1, 1).astype(np.float32),
+        "b": (rng.standard_normal(2 * sr) * 0.2).clip(-1, 1).astype(np.float32),
+    }
+
+    conv = Conversation(engine)
+    assert conv.recv()["success"]
+    # establish both sessions sequentially (fresh ticks prime the KV prefix)
+    conv.send(cmd(1, "a", 1.0))
+    assert conv.recv()["success"]
+    conv.send(cmd(2, "b", 1.0))
+    assert conv.recv()["success"]
+
+    # grown ticks queued together → one batched KV-keeping dispatch
+    scheduler, release = _block_scheduler(engine)
+    conv.send(cmd(3, "a", 1.5))
+    conv.send(cmd(4, "b", 1.5))
+    _wait_for_queue(scheduler, 2)
+    release.set()
+    responses = {r["request_id"]: r for r in (conv.recv(), conv.recv())}
+    assert set(responses) == {3, 4}
+    assert all(r["success"] for r in responses.values())
+
+    stats = engine.performance_stats()
+    assert stats["batched_tick_dispatches"] == 1, stats
+    assert stats["session_hits"] >= 2, stats
+    conv.close()
