@@ -208,16 +208,22 @@ def tick_batch(
             continue
         groups.setdefault(plan.group_key(), []).append(i)
 
+    max_b = _max_group()
     for key, members in groups.items():
         if len(members) == 1:
             solo.extend(members)
             continue
-        batch_results = _run_group([plans[i] for i in members])
-        for i, r in zip(members, batch_results):
-            if r is None:  # clip-guard redo → per-stream full prefill
-                solo.append(i)
-            else:
-                results[i] = r
+        for c0 in range(0, len(members), max_b):
+            chunk = members[c0 : c0 + max_b]
+            if len(chunk) == 1:
+                solo.extend(chunk)
+                continue
+            batch_results = _run_group([plans[i] for i in chunk])
+            for i, r in zip(chunk, batch_results):
+                if r is None:  # clip-guard redo → per-stream full prefill
+                    solo.append(i)
+                else:
+                    results[i] = r
 
     for i in solo:
         p = plans[i]
@@ -225,13 +231,38 @@ def tick_batch(
     return results
 
 
+def _max_group() -> int:
+    import os
+
+    try:
+        return max(2, int(os.environ.get("LWT_MAX_DECODE_BATCH", "8")))
+    except ValueError:
+        return 8
+
+
+def _bucket_b(n: int) -> int:
+    """Pad group size to a power of two: every distinct B is a fresh XLA
+    program (minutes through a remote-compile relay), while a padded row
+    costs ≤2× compute on a step batching already amortizes — the same
+    static-shape policy as audio/prompt/batch-decode buckets."""
+    b = 2
+    while b < n:
+        b *= 2
+    return b
+
+
 def _run_group(plans: List[_TickPlan]):
-    """One batched tick for ≥2 compatible extending sessions."""
+    """One batched tick for ≥2 compatible extending sessions.
+
+    The device batch is padded to a power-of-two B by repeating stream 0's
+    inputs against a DETACHED copy of its cache row (pad rows' writes and
+    results are discarded)."""
     t0 = plans[0].transcriber
     model = t0.model
     cfg = model.config
     prefix_len = len(model.prefix_ids)
     B = len(plans)
+    pad_b = _bucket_b(B)
     bucket = plans[0].bucket
     seg_bucket = plans[0].seg_bucket
     max_new = t0.max_new_tokens
@@ -240,12 +271,13 @@ def _run_group(plans: List[_TickPlan]):
     chunk = cfg.audio.chunk_frames
     num_chunks = max(1, (mel_frames + chunk - 1) // chunk)
 
-    waveforms = np.zeros((B, bucket), dtype=plans[0].window.dtype)
-    n_audio = np.empty(B, np.int32)
-    stable = np.empty(B, np.int32)
-    drafts = np.zeros((B, DRAFT_TOKENS), np.int32)
-    n_draft = np.empty(B, np.int32)
-    for b, p in enumerate(plans):
+    rows = plans + [plans[0]] * (pad_b - B)  # pad rows: discarded results
+    waveforms = np.zeros((pad_b, bucket), dtype=plans[0].window.dtype)
+    n_audio = np.empty(pad_b, np.int32)
+    stable = np.empty(pad_b, np.int32)
+    drafts = np.zeros((pad_b, DRAFT_TOKENS), np.int32)
+    n_draft = np.empty(pad_b, np.int32)
+    for b, p in enumerate(rows):
         waveforms[b, : len(p.window)] = p.window
         n_audio[b] = p.n_audio
         stable[b] = p.stable
@@ -253,8 +285,8 @@ def _run_group(plans: List[_TickPlan]):
         n_draft[b] = len(p.draft)
 
     caches = dec.KVCache(
-        k=jnp.stack([p.transcriber._cache.k for p in plans]),
-        v=jnp.stack([p.transcriber._cache.v for p in plans]),
+        k=jnp.stack([p.transcriber._cache.k for p in rows]),
+        v=jnp.stack([p.transcriber._cache.v for p in rows]),
         pos=jnp.asarray(prefix_len + stable),
     )
 
@@ -274,7 +306,7 @@ def _run_group(plans: List[_TickPlan]):
         prefix_len,
         seg_bucket,
     )
-    true_lens = jnp.asarray(np.asarray([p.true_len for p in plans], np.int32))
+    true_lens = jnp.asarray(np.asarray([p.true_len for p in rows], np.int32))
     caches = caches._replace(pos=true_lens + accepted_dev.astype(jnp.int32))
     budgets = jnp.int32(max_new) - accepted_dev.astype(jnp.int32)
     tokens, caches = _decode_greedy_batch(
