@@ -461,4 +461,34 @@ def warmup_ladder(
             )
         ticks += 1
         seconds += step_seconds
+
+    # Third pass (opt-in, LWT_WARMUP_LADDER_BATCH): the batched-tick
+    # programs (serving/incremental_batch.py). Coalesced interim ticks from
+    # concurrent dictations compile per (B-bucket, audio bucket, segment
+    # bucket, capacity); walking two scratch streams through the ladder
+    # together warms the B=2 bucket — the one every first coalescence hits.
+    import os as _os
+
+    if _os.environ.get("LWT_WARMUP_LADDER_BATCH", "") not in ("", "0"):
+        from light_whisper_tpu.serving.incremental_batch import tick_batch
+
+        pair = [
+            IncrementalTranscriber(model, max_new_tokens=inc.max_new_tokens)
+            for _ in range(2)
+        ]
+        seconds = step_seconds
+        while seconds <= max_seconds + 1e-9:
+            if budget_seconds is not None:
+                if _time.perf_counter() - started > budget_seconds:
+                    break
+            t0 = _time.perf_counter()
+            window = full[: int(seconds * sr)]
+            tick_batch(pair, [window, window])
+            if log is not None:
+                log(
+                    "warmup batched-tick bucket %.1fs: %.2fs"
+                    % (seconds, _time.perf_counter() - t0)
+                )
+            ticks += 1
+            seconds += step_seconds
     return ticks
