@@ -132,6 +132,62 @@ def _encode_prefill_segment_batch(
     return next_token, accepted, caches, clip_max
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_chunks", "mel_frames", "prefix_len", "bucket_len"),
+    donate_argnames=("caches",),
+)
+def _encode_prefill_full_batch(
+    cfg,
+    encoder_params,
+    decoder_params,
+    waveforms,  # [B, bucket] f32/int16, zero-padded
+    n_audio,  # [B] int32
+    ids,  # [B, bucket_len] int32 full prompts (audio placeholders), end-padded
+    last_index,  # [B] int32: true prompt length - 1
+    caches,  # batched KVCache, pos must be zeros
+    num_chunks: int,
+    mel_frames: int,
+    prefix_len: int,
+    bucket_len: int,
+):
+    """Batched full pre-decode: the fresh-session twin of
+    ``_encode_prefill_segment_batch`` (mirrors ``model._encode_and_prefill``
+    per stream: mel → encoder → prompt splice → prefill → first argmax)."""
+    from light_whisper_tpu.audio.mel import _log_mel_with_max
+    from light_whisper_tpu.models.qwen3_asr.encoder import encode_chunks_batch
+
+    B = waveforms.shape[0]
+    mel, clip_max = jax.vmap(lambda w: _log_mel_with_max(w, mel_frames))(waveforms)
+    chunk = cfg.audio.chunk_frames
+    mel = jnp.pad(mel, ((0, 0), (0, num_chunks * chunk - mel.shape[1]), (0, 0)))
+    audio_embeds = encode_chunks_batch(
+        cfg.audio, encoder_params, mel, n_audio, num_chunks
+    )  # [B, A, D]
+
+    token_embeds = jax.vmap(
+        lambda row: dec.embed_tokens(decoder_params, row)
+    )(ids).astype(cfg.decoder.dtype)
+    idx = jnp.arange(bucket_len)[None, :]
+    audio_row = jnp.clip(idx - prefix_len, 0, audio_embeds.shape[1] - 1)
+    is_audio = (idx >= prefix_len) & (idx < prefix_len + n_audio[:, None])
+    embeds = jnp.where(
+        is_audio[..., None],
+        jnp.take_along_axis(
+            audio_embeds.astype(cfg.decoder.dtype), audio_row[..., None], axis=1
+        ),
+        token_embeds,
+    )
+
+    hidden, caches = dec.forward_prefill_batch(cfg.decoder, decoder_params, embeds, caches)
+    last_hidden = jnp.take_along_axis(
+        hidden, last_index[:, None, None], axis=1
+    )  # [B, 1, D]
+    logits = dec.logits_for(cfg.decoder, decoder_params, last_hidden)[:, 0]
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return first, caches, clip_max
+
+
 class _TickPlan:
     """Per-stream static/dynamic tick parameters (host-side)."""
 
@@ -181,6 +237,18 @@ class _TickPlan:
             self.window.dtype.str,
         )
 
+    def fresh_key(self):
+        # Fresh full prefills share a program per (audio bucket, capacity);
+        # the prompt bucket is padded to the group max inside the runner.
+        t = self.transcriber
+        return (
+            id(t.model),
+            self.bucket,
+            self.capacity,
+            t.max_new_tokens,
+            self.window.dtype.str,
+        )
+
 
 def tick_batch(
     transcribers: Sequence[IncrementalTranscriber],
@@ -200,30 +268,40 @@ def tick_batch(
     plans: List[_TickPlan] = []
     solo: List[int] = []
     groups: dict = {}
+    fresh_groups: dict = {}
     for i, (t, w, ws) in enumerate(zip(transcribers, windows, window_starts)):
         plan = _TickPlan(t, w, ws)
         plans.append(plan)
-        if not plan.can_extend():
-            solo.append(i)
-            continue
-        groups.setdefault(plan.group_key(), []).append(i)
+        if plan.can_extend():
+            groups.setdefault(plan.group_key(), []).append(i)
+        else:
+            fresh_groups.setdefault(plan.fresh_key(), []).append(i)
 
     max_b = _max_group()
-    for key, members in groups.items():
-        if len(members) == 1:
-            solo.extend(members)
-            continue
+
+    def _run_chunks(members: List[int], runner) -> None:
         for c0 in range(0, len(members), max_b):
             chunk = members[c0 : c0 + max_b]
             if len(chunk) == 1:
                 solo.extend(chunk)
                 continue
-            batch_results = _run_group([plans[i] for i in chunk])
+            batch_results = runner([plans[i] for i in chunk])
             for i, r in zip(chunk, batch_results):
                 if r is None:  # clip-guard redo → per-stream full prefill
                     solo.append(i)
                 else:
                     results[i] = r
+
+    for members in groups.values():
+        if len(members) == 1:
+            solo.extend(members)
+        else:
+            _run_chunks(members, _run_group)
+    for members in fresh_groups.values():
+        if len(members) == 1:
+            solo.extend(members)
+        else:
+            _run_chunks(members, _run_group_fresh)
 
     for i in solo:
         p = plans[i]
@@ -249,6 +327,86 @@ def _bucket_b(n: int) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _run_group_fresh(plans: List[_TickPlan]):
+    """One batched FULL prefill + decode for ≥2 fresh sessions.
+
+    N dictations starting together (or clip-guard redos) prime their KV
+    sessions in one device program instead of N sequential full ticks —
+    same state handoff as the per-stream fresh branch, so subsequent ticks
+    ride the extending path either way."""
+    t0 = plans[0].transcriber
+    model = t0.model
+    cfg = model.config
+    prefix_len = len(model.prefix_ids)
+    B = len(plans)
+    pad_b = _bucket_b(B)
+    bucket = plans[0].bucket
+    capacity = plans[0].capacity
+    max_new = t0.max_new_tokens
+
+    mel_frames = wmel.num_mel_frames(bucket)
+    chunk = cfg.audio.chunk_frames
+    num_chunks = max(1, (mel_frames + chunk - 1) // chunk)
+    bucket_len = _round_up(max(p.true_len for p in plans), SEGMENT_BUCKET)
+
+    rows = plans + [plans[0]] * (pad_b - B)
+    waveforms = np.zeros((pad_b, bucket), dtype=plans[0].window.dtype)
+    n_audio = np.empty(pad_b, np.int32)
+    ids = np.full((pad_b, bucket_len), cfg.pad_token_id, np.int32)
+    last_index = np.empty(pad_b, np.int32)
+    for b, p in enumerate(rows):
+        waveforms[b, : len(p.window)] = p.window
+        n_audio[b] = p.n_audio
+        ids[b, :prefix_len] = model.prefix_ids
+        ids[b, prefix_len : prefix_len + p.n_audio] = cfg.audio_token_id
+        ids[b, prefix_len + p.n_audio : p.true_len] = model.suffix_ids
+        last_index[b] = p.true_len - 1
+
+    caches = jax.vmap(
+        lambda _: dec.init_cache(cfg.decoder, capacity, model.cache_dtype)
+    )(jnp.arange(pad_b))
+
+    first, caches, clip_dev = _encode_prefill_full_batch(
+        cfg,
+        model.encoder_params,
+        model.decoder_params,
+        jnp.asarray(waveforms),
+        jnp.asarray(n_audio),
+        jnp.asarray(ids),
+        jnp.asarray(last_index),
+        caches,
+        num_chunks,
+        mel_frames,
+        prefix_len,
+        bucket_len,
+    )
+    true_lens = jnp.asarray(np.asarray([p.true_len for p in rows], np.int32))
+    caches = caches._replace(pos=true_lens)
+    tokens, caches = _decode_greedy_batch(
+        cfg.decoder,
+        model.decoder_params,
+        first,
+        caches,
+        cfg.eos_token_id,
+        max_new,
+    )
+    tokens_np, clip_np = jax.device_get((tokens, clip_dev))
+
+    results: List = []
+    for b, p in enumerate(plans):
+        t = p.transcriber
+        t._cache = dec.KVCache(k=caches.k[b], v=caches.v[b], pos=caches.pos[b])
+        t._cache_capacity = capacity
+        t.full_prefills += 1
+        t._window_start = p.window_start
+        t._clip_max = float(clip_np[b])  # anchored at full prefills
+        t._stable_tokens = t._stable_boundary(len(p.window), p.n_audio)
+        generated = [int(tok) for tok in tokens_np[b] if tok >= 0]
+        t._last_generated = generated
+        results.append(model._parse_output(generated))
+    return results
 
 
 def _run_group(plans: List[_TickPlan]):

@@ -111,3 +111,41 @@ def test_batched_tick_session_state_advances(model):
         ref.transcribe_window(fulls[s][: 3 * SR // 2], window_start_sample=0)
         want = ref.transcribe_window(fulls[s], window_start_sample=0)
         assert final_batchpath[s].tokens == want.tokens
+
+
+def test_batched_fresh_prefills_match_sequential(model):
+    """N dictations starting together prime their sessions in one batched
+    full prefill; transcripts and subsequent extending ticks must equal the
+    per-stream path."""
+    from light_whisper_tpu.serving import incremental_batch as ib
+
+    fulls = [_stream_audio(seed + 20, 2.0) for seed in range(2)]
+    bases = [f[: SR] for f in fulls]
+
+    fresh_calls = []
+    real = ib._run_group_fresh
+    incs = [IncrementalTranscriber(model, max_new_tokens=8) for _ in range(2)]
+    try:
+        ib._run_group_fresh = lambda plans: fresh_calls.append(len(plans)) or real(plans)
+        outs = tick_batch(incs, bases)  # both fresh → one batched full prefill
+    finally:
+        ib._run_group_fresh = real
+    assert fresh_calls == [2], fresh_calls
+
+    refs = []
+    for s in range(2):
+        ref = IncrementalTranscriber(model, max_new_tokens=8)
+        refs.append(ref)
+        want = ref.transcribe_window(bases[s], window_start_sample=0)
+        assert outs[s].tokens == want.tokens, s
+
+    # state handoff: the NEXT tick extends and still matches per-stream
+    outs2 = tick_batch(incs, fulls)
+    for s in range(2):
+        want2 = refs[s].transcribe_window(fulls[s], window_start_sample=0)
+        assert outs2[s].tokens == want2.tokens, s
+        # counters track the sequential path exactly — including clip-guard
+        # redos, which must trip (or not) identically in both paths
+        assert incs[s].full_prefills == refs[s].full_prefills, s
+        assert incs[s].incremental_prefills == refs[s].incremental_prefills, s
+        assert incs[s].clip_guard_prefills == refs[s].clip_guard_prefills, s
