@@ -467,30 +467,31 @@ class Qwen3EngineServer:
         with self._stats_lock:
             self._batched_requests += len(payloads)
             self._batch_dispatches += 1
-        # Coalesced interim ticks: when every payload byte-extends its own
-        # stream's previous audio (N concurrent dictations ticking), run ONE
-        # batched device tick that keeps every stream's KV session — decode
-        # is weight-DMA bound, so N sequential session ticks pay N weight
-        # reads per step where the batch pays one. Mixed/fresh batches keep
-        # the stateless batched path (one-shot utterances have no session).
+        # Coalesced requests with distinct per-stream sessions (N concurrent
+        # dictations ticking and/or starting) run ONE batched device tick
+        # that keeps every stream's KV session — decode is weight-DMA bound,
+        # so N sequential session ticks pay N weight reads per step where
+        # the batch pays one. tick_batch groups extending sessions and fresh
+        # sessions separately (batched segment tick vs batched full prefill)
+        # and solos anything incompatible. Batches with DUPLICATE session
+        # keys (anonymous one-shot storms share DEFAULT_STREAM) keep the
+        # stateless batched path — two requests can't share one session
+        # object in a single tick.
         pool = self._streaming_sessions()
         if pool is not None and os.environ.get("LWT_BATCH_TICKS", "1") not in ("", "0"):
             keys = [key for key, _audio in payloads]
             if len(set(keys)) == len(keys):
+                from light_whisper_tpu.serving.session_bridge import (
+                    transcribe_extending_batch,
+                )
+
                 bridges = [pool.bridge_for(key) for key in keys]
                 audios = [
                     np.asarray(a, dtype=np.float32).reshape(-1) for _k, a in payloads
                 ]
-                if all(
-                    b._extends_previous(a) for b, a in zip(bridges, audios)
-                ):
-                    from light_whisper_tpu.serving.session_bridge import (
-                        transcribe_extending_batch,
-                    )
-
-                    with self._stats_lock:
-                        self._batched_tick_dispatches += 1
-                    return transcribe_extending_batch(bridges, audios)
+                with self._stats_lock:
+                    self._batched_tick_dispatches += 1
+                return transcribe_extending_batch(bridges, audios)
         audios = [audio for _key, audio in payloads]
         if hasattr(self.model, "transcribe_batch"):
             return self.model.transcribe_batch(audios)

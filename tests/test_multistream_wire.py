@@ -345,3 +345,71 @@ def test_coalesced_interim_ticks_batch_with_kv_sessions(tmp_path):
     assert stats["batched_tick_dispatches"] == 1, stats
     assert stats["session_hits"] >= 2, stats
     conv.close()
+
+
+def test_mixed_fresh_and_extending_coalesce_keeps_sessions(tmp_path):
+    """A batch mixing one extending tick and one brand-new stream must keep
+    the extending stream's KV session (previously mixed batches fell back to
+    the stateless path and silently reset it)."""
+    from helpers.tiny_model import write_tiny_model
+    from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path, quantize=True)
+    model = Qwen3ASRModel(path, max_new_tokens=6)
+    engine = Qwen3EngineServer(
+        engine="qwen3-asr-0.6b",
+        model_factory=lambda _p: model,
+        vad_factory=lambda: FullSpanVad(),
+        model_path=path,
+    )
+    assert engine.initialize()["success"]
+
+    rng = np.random.default_rng(9)
+    sr = 16000
+    streams = {
+        "a": (rng.standard_normal(2 * sr) * 0.2).clip(-1, 1).astype(np.float32),
+        "b": (rng.standard_normal(2 * sr) * 0.2).clip(-1, 1).astype(np.float32),
+    }
+
+    def cmd(rid, stream, seconds):
+        audio = (streams[stream][: int(seconds * sr)] * 32767).astype("<i2")
+        return json.dumps(
+            {
+                "action": "transcribe",
+                "request_id": rid,
+                "audio_base64": base64.b64encode(audio.tobytes()).decode(),
+                "audio_format": "pcm_s16le",
+                "sample_rate": sr,
+                "options": {"stream": stream},
+            }
+        )
+
+    conv = Conversation(engine)
+    assert conv.recv()["success"]
+    conv.send(cmd(1, "a", 1.0))  # establish stream a
+    assert conv.recv()["success"]
+
+    scheduler, release = _block_scheduler(engine)
+    conv.send(cmd(2, "a", 1.5))  # extends a
+    conv.send(cmd(3, "b", 1.0))  # fresh b
+    _wait_for_queue(scheduler, 2)
+    release.set()
+    responses = {r["request_id"]: r for r in (conv.recv(), conv.recv())}
+    assert set(responses) == {2, 3} and all(
+        r["success"] for r in responses.values()
+    )
+
+    stats = engine.performance_stats()
+    assert stats["batched_tick_dispatches"] == 1, stats
+    assert stats["session_hits"] >= 1, stats  # stream a kept its session
+
+    # stream a's transcript matches a pure per-stream run of the same audio
+    ref = Qwen3ASRModel(path, max_new_tokens=6)
+    from light_whisper_tpu.serving.session_bridge import SessionBridge
+
+    bridge = SessionBridge(ref)
+    bridge.transcribe_extending(streams["a"][: sr])
+    want = bridge.transcribe_extending(streams["a"][: int(1.5 * sr)])
+    assert responses[2]["raw_text"] == want.text or responses[2]["text"] == want.text
+    conv.close()
