@@ -434,6 +434,57 @@ def main() -> None:
         batched_step_ms = None
         agg_tokens_per_s = None
 
+    # --- batched interim ticks: multi-stream dictation economics --------
+    # N concurrent dictation streams' interim ticks coalesce into ONE
+    # device program (serving/incremental_batch.py): batched segment
+    # prefill + batched decode with per-stream speculative budgets. Measure
+    # the batched tick against N sequential per-stream ticks on the same
+    # grown windows — the serving-path twin of the batched-decode section.
+    try:
+        from light_whisper_tpu.serving.incremental_batch import tick_batch
+
+        B_tick = 4
+        tick_incs = [
+            IncrementalTranscriber(model, max_new_tokens=48) for _ in range(B_tick)
+        ]
+        tick_base = [audio[: 10 * sample_rate]] * B_tick
+        tick_grown = [audio[: 10 * sample_rate + 8000]] * B_tick
+        # warm both programs (batched fresh + batched extend)
+        tick_batch(tick_incs, tick_base)
+        tick_batch(tick_incs, tick_grown)
+        batched_tick_ms = []
+        for _ in range(5):
+            for inc in tick_incs:
+                inc.reset()
+            tick_batch(tick_incs, tick_base)
+            t0 = time.perf_counter()
+            tick_batch(tick_incs, tick_grown)
+            batched_tick_ms.append((time.perf_counter() - t0) * 1000)
+        batched_tick_ms.sort()
+        batched_tick_p50 = batched_tick_ms[len(batched_tick_ms) // 2]
+        # sequential reference: the same grown tick on each stream alone
+        seq_ms = []
+        for _ in range(3):
+            for inc in tick_incs:
+                inc.reset()
+                inc.transcribe_window(tick_base[0], window_start_sample=0)
+            t0 = time.perf_counter()
+            for inc in tick_incs:
+                inc.transcribe_window(tick_grown[0], window_start_sample=0)
+            seq_ms.append((time.perf_counter() - t0) * 1000)
+        seq_ms.sort()
+        seq_tick_p50 = seq_ms[len(seq_ms) // 2]
+        print(
+            f"[bench] interim ticks B={B_tick}: batched {batched_tick_p50:.0f} ms "
+            f"vs sequential {seq_tick_p50:.0f} ms "
+            f"({seq_tick_p50 / max(batched_tick_p50, 1e-9):.2f}x)",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as exc:  # never sink the headline
+        print(f"[bench] batched ticks failed: {exc}", file=sys.stderr, flush=True)
+        batched_tick_p50 = None
+        seq_tick_p50 = None
+
     # --- long-form prefill attention: chunked vs dense ------------------
     # 32k-context windows (long-form audio) used to materialize the
     # [Hkv, G, T, C] logits tensor during prefill; the chunked online-softmax
@@ -537,6 +588,13 @@ def main() -> None:
                     "decode_ms_per_step": round(decode_ms_device, 2),
                     "decode_ms_per_step_64_wall": round(decode_ms_per_step, 2),
                     "decode_ms_per_step_256_wall": round(decode_ms_per_step_256, 2),
+                    "batched_tick_streams": 4,
+                    "batched_tick_ms_p50": (
+                        round(batched_tick_p50, 1) if batched_tick_p50 else None
+                    ),
+                    "sequential_ticks_ms_p50": (
+                        round(seq_tick_p50, 1) if seq_tick_p50 else None
+                    ),
                     "batched_decode_streams": B_batch,
                     "batched_decode_ms_per_step": (
                         round(batched_step_ms, 2) if batched_step_ms else None
