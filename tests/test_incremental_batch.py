@@ -149,3 +149,49 @@ def test_batched_fresh_prefills_match_sequential(model):
         assert incs[s].full_prefills == refs[s].full_prefills, s
         assert incs[s].incremental_prefills == refs[s].incremental_prefills, s
         assert incs[s].clip_guard_prefills == refs[s].clip_guard_prefills, s
+
+
+def test_batched_ticks_divergent_growth_stages(model):
+    """Streams at different window lengths inside the SAME audio bucket
+    (different n_audio / stable / draft lengths) must batch and still match
+    their sequential runs — the per-stream scalar plumbing under one shared
+    program."""
+    fulls = [_stream_audio(seed + 30, 2.0) for seed in range(2)]
+    # stream 0 ticks 0.9s → 1.6s; stream 1 ticks 1.2s → 1.9s:
+    # second ticks share the 2.0s bucket with different valid lengths
+    schedules = [
+        [int(0.9 * SR), int(1.6 * SR)],
+        [int(1.2 * SR), int(1.9 * SR)],
+    ]
+
+    seq = []
+    for s in range(2):
+        inc = IncrementalTranscriber(model, max_new_tokens=8)
+        outs = [
+            inc.transcribe_window(fulls[s][:n], window_start_sample=0)
+            for n in schedules[s]
+        ]
+        seq.append(outs)
+
+    from light_whisper_tpu.serving import incremental_batch as ib
+
+    calls = []
+    real = ib._run_group
+    incs = [IncrementalTranscriber(model, max_new_tokens=8) for _ in range(2)]
+    try:
+        ib._run_group = lambda plans: calls.append(
+            [(p.n_audio, p.stable) for p in plans]
+        ) or real(plans)
+        for tick_i in range(2):
+            outs = tick_batch(
+                incs, [fulls[s][: schedules[s][tick_i]] for s in range(2)]
+            )
+            for s in range(2):
+                assert outs[s].tokens == seq[s][tick_i].tokens, (tick_i, s)
+    finally:
+        ib._run_group = real
+
+    # the second tick batched with genuinely divergent per-stream scalars
+    assert calls and any(
+        len({na for na, _st in call}) > 1 for call in calls
+    ), calls
