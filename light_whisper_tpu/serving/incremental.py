@@ -64,6 +64,31 @@ DRAFT_TOKENS = 64  # previous-tick transcript tokens verified per tick
 # max by whole decades and always trigger. Stationary noise grows the max by
 # ≲0.02 over a 12 s window (measured), comfortably below the threshold.
 CLIP_MAX_EPS = 0.05
+# Device-resident audio: deltas ship in 0.5 s buckets (one program per
+# (window bucket, delta bucket, dtype) — the ladder covers them).
+_DELTA_STEP = 8000
+
+
+@functools.partial(jax.jit, donate_argnames=("buf",))
+def _append_audio(buf, delta, write_pos):
+    """Append a (zero-padded) delta to the device-resident window buffer."""
+    return jax.lax.dynamic_update_slice(buf, delta.astype(buf.dtype), (write_pos,))
+
+
+@functools.partial(jax.jit, static_argnames=("new_bucket",))
+def _grow_audio(buf, new_bucket: int):
+    # no donation: the output shape differs, so the input is never reusable
+    return jnp.pad(buf, (0, new_bucket - buf.shape[0]))
+
+
+def _use_device_audio() -> bool:
+    """Keep the growing interim window resident on device and ship only the
+    new audio delta per tick (~1 ms vs ~6 ms for a full 12 s int16 window
+    through the relay — scripts/exp_profile_rtf.py). Exactness is free: the
+    composed buffer is bit-identical to the full send."""
+    import os
+
+    return os.environ.get("LWT_DEVICE_AUDIO_BUF", "1") not in ("", "0")
 
 
 @functools.partial(
@@ -165,6 +190,10 @@ class IncrementalTranscriber:
         self._stable_tokens = 0
         self._clip_max: Optional[float] = None
         self._last_generated: list = []
+        # Device-resident window audio: samples [0, _sent) of the growing
+        # buffer live in _audio_dev; extending ticks ship only the delta.
+        self._audio_dev = None
+        self._sent = 0
         self.full_prefills = 0
         self.incremental_prefills = 0
         self.clip_guard_prefills = 0
@@ -179,6 +208,8 @@ class IncrementalTranscriber:
         self._stable_tokens = 0
         self._clip_max = None
         self._last_generated = []
+        self._audio_dev = None
+        self._sent = 0
 
     def _ensure_cache(self, needed: int) -> None:
         capacity = 512
@@ -213,8 +244,48 @@ class IncrementalTranscriber:
         window = as_device_audio(np.asarray(window).reshape(-1))
 
         bucket = bucket_audio_samples(len(window))
-        padded = np.zeros(bucket, dtype=window.dtype)
-        padded[: len(window)] = window
+        padded: Optional[np.ndarray] = None  # built lazily (full-send paths)
+
+        def full_window_np() -> np.ndarray:
+            nonlocal padded
+            if padded is None:
+                padded = np.zeros(bucket, dtype=window.dtype)
+                padded[: len(window)] = window
+            return padded
+
+        def device_window():
+            """The [bucket]-shaped window on device, shipping only what the
+            resident buffer is missing. Bit-identical to a full send: the
+            caller (SessionBridge / tick_batch / ladder) only extends in
+            place, and the buffer's tail beyond the sent samples is zeros."""
+            buf = self._audio_dev
+            if (
+                not _use_device_audio()
+                or buf is None
+                or self._sent > len(window)
+                or buf.dtype != window.dtype
+                or buf.shape[0] > bucket
+            ):
+                buf = jnp.asarray(full_window_np())
+                self._audio_dev = buf
+                self._sent = len(window)
+                return buf
+            if buf.shape[0] < bucket:
+                buf = _grow_audio(buf, bucket)
+            if len(window) > self._sent:
+                # Write from the 0.5 s-aligned floor of the sent boundary
+                # (re-sending the partial step): keeps the delta shape set
+                # bounded (one or two 0.5 s buckets) and the write always
+                # inside the buffer, since fine buckets are 0.5 s multiples.
+                write_pos = (self._sent // _DELTA_STEP) * _DELTA_STEP
+                n_send = len(window) - write_pos
+                delta_bucket = -(-n_send // _DELTA_STEP) * _DELTA_STEP
+                delta = np.zeros(delta_bucket, dtype=window.dtype)
+                delta[:n_send] = window[write_pos:]
+                buf = _append_audio(buf, jnp.asarray(delta), jnp.int32(write_pos))
+            self._audio_dev = buf
+            self._sent = len(window)
+            return buf
         n_audio = model._audio_tokens_for(len(window))
         mel_frames = wmel.num_mel_frames(bucket)
         chunk = cfg.audio.chunk_frames
@@ -254,7 +325,7 @@ class IncrementalTranscriber:
                 cfg,
                 model.encoder_params,
                 model.decoder_params,
-                jnp.asarray(padded),
+                device_window(),
                 jnp.int32(n_audio),
                 jnp.int32(stable),
                 jnp.asarray(np.asarray(model.suffix_ids, dtype=np.int32)),
@@ -318,11 +389,15 @@ class IncrementalTranscriber:
             ids[prefix_len : prefix_len + n_audio] = cfg.audio_token_id
             ids[prefix_len + n_audio : true_len] = model.suffix_ids
             cache = cache._replace(pos=jnp.int32(0))
+            wave_dev = jnp.asarray(full_window_np())
+            # seed the resident buffer with the shipped array (no extra copy)
+            self._audio_dev = wave_dev
+            self._sent = len(window)
             first, cache, clip_dev = _encode_and_prefill(
                 cfg,
                 model.encoder_params,
                 model.decoder_params,
-                jnp.asarray(padded),
+                wave_dev,
                 jnp.int32(n_audio),
                 jnp.asarray(ids),
                 jnp.int32(true_len - 1),

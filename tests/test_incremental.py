@@ -319,3 +319,44 @@ def test_warmup_ladder_precompiles_buckets(model):
     # budget cuts the walk short but never below one tick
     few = warmup_ladder(model, max_seconds=5.0, step_seconds=0.5, budget_seconds=0.0)
     assert few <= 1
+
+
+def test_device_audio_buffer_exactness(model):
+    """Device-resident window buffers (ship only the delta per tick) must be
+    token-identical to full sends across unaligned growth and bucket
+    crossings, and the composed buffer must equal the zero-padded window."""
+    import os
+
+    import jax
+
+    from light_whisper_tpu.serving.incremental import IncrementalTranscriber
+
+    sr = 16_000
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(3 * sr) * 0.25).astype(np.float32)
+    x = (np.clip(np.rint(x * 32768), -32768, 32767).astype(np.int16)).astype(
+        np.float32
+    ) / 32768.0
+    ends = [7000, 15000, 16000, 23000, 39000, 48000]
+
+    def run(flag):
+        os.environ["LWT_DEVICE_AUDIO_BUF"] = flag
+        try:
+            inc = IncrementalTranscriber(model, max_new_tokens=6)
+            return [
+                inc.transcribe_window(x[:n], window_start_sample=0).tokens
+                for n in ends
+            ], inc
+        finally:
+            os.environ.pop("LWT_DEVICE_AUDIO_BUF", None)
+
+    with_buf, inc = run("1")
+    without, _ = run("0")
+    assert with_buf == without
+
+    buf = np.asarray(jax.device_get(inc._audio_dev))
+    want = np.zeros(buf.shape[0], np.float32)
+    want[:48000] = x[:48000]
+    if buf.dtype == np.int16:
+        want = np.clip(np.rint(want * 32768), -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(buf, want)
