@@ -227,11 +227,14 @@ class _TickPlan:
         )
 
     def group_key(self):
+        # seg_bucket deliberately NOT in the key: the segment program
+        # tolerates end padding (decode overwrites stale K/V before reading
+        # — the same inert-padding contract the single-stream seg bucket
+        # uses), so a group pads every stream to its max seg_bucket.
         t = self.transcriber
         return (
             id(t.model),  # one model (weights + prompt template) per program
             self.bucket,
-            self.seg_bucket,
             self.capacity,
             t.max_new_tokens,
             self.window.dtype.str,
@@ -419,10 +422,28 @@ def _run_group(plans: List[_TickPlan]):
     model = t0.model
     cfg = model.config
     prefix_len = len(model.prefix_ids)
+    bucket = plans[0].bucket
+    seg_bucket = max(p.seg_bucket for p in plans)
+    capacity_cap = plans[0].capacity
+    # Group-max padding safety: the segment prefill writes seg_bucket
+    # positions from prefix+stable; a stream whose own segment is small but
+    # whose stable prefix is deep could overflow its cache under another
+    # stream's larger seg_bucket — solo those (None → caller fallback).
+    ok = [
+        p
+        for p in plans
+        if prefix_len + p.stable + seg_bucket <= capacity_cap
+    ]
+    if len(ok) < 2:
+        return [None] * len(plans)
+    if len(ok) < len(plans):
+        dropped = {id(p) for p in plans} - {id(p) for p in ok}
+        inner = _run_group(ok)
+        by_id = {id(p): r for p, r in zip(ok, inner)}
+        return [None if id(p) in dropped else by_id[id(p)] for p in plans]
+
     B = len(plans)
     pad_b = _bucket_b(B)
-    bucket = plans[0].bucket
-    seg_bucket = plans[0].seg_bucket
     max_new = t0.max_new_tokens
 
     mel_frames = wmel.num_mel_frames(bucket)
