@@ -195,3 +195,38 @@ def test_batched_ticks_divergent_growth_stages(model):
     assert calls and any(
         len({na for na, _st in call}) > 1 for call in calls
     ), calls
+
+
+def test_transcribe_extending_batch_bridge_semantics(model):
+    """The bridge-level batch API must mirror per-bridge transcribe_extending:
+    hits/resets counters, prefix tracking, and token-identical results for a
+    mix of one extending and one fresh stream."""
+    from light_whisper_tpu.serving.session_bridge import (
+        SessionBridge,
+        transcribe_extending_batch,
+    )
+
+    a = _stream_audio(40, 2.0)
+    b = _stream_audio(41, 2.0)
+    bridges = [SessionBridge(model), SessionBridge(model)]
+    bridges[0].transcribe_extending(a[: SR])  # prime stream 0
+
+    outs = transcribe_extending_batch(bridges, [a[: 3 * SR // 2], b[: SR]])
+
+    ref0 = SessionBridge(model)
+    ref0.transcribe_extending(a[: SR])
+    want0 = ref0.transcribe_extending(a[: 3 * SR // 2])
+    ref1 = SessionBridge(model)
+    want1 = ref1.transcribe_extending(b[: SR])
+    assert outs[0].tokens == want0.tokens
+    assert outs[1].tokens == want1.tokens
+    assert bridges[0].session_hits == 1 and bridges[0].session_resets == 1
+    assert bridges[1].session_hits == 0 and bridges[1].session_resets == 1
+
+    # both bridges now extend together in one batched group
+    outs2 = transcribe_extending_batch(bridges, [a[: 2 * SR], b[: 3 * SR // 2]])
+    want0b = ref0.transcribe_extending(a[: 2 * SR])
+    want1b = ref1.transcribe_extending(b[: 3 * SR // 2])
+    assert outs2[0].tokens == want0b.tokens
+    assert outs2[1].tokens == want1b.tokens
+    assert bridges[0].session_hits == 2 and bridges[1].session_hits == 1
