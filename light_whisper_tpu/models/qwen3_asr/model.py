@@ -91,6 +91,19 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def max_decode_batch() -> int:
+    """Operator bound on device decode batch size (``LWT_MAX_DECODE_BATCH``).
+
+    KV memory scales with it (B × L × Hkv × C × hd × 2); malformed values
+    fall back to the default rather than failing requests."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("LWT_MAX_DECODE_BATCH", "8")))
+    except ValueError:
+        return 8
+
+
 @dataclasses.dataclass
 class TranscriptionResult:
     text: str
@@ -400,9 +413,7 @@ class Qwen3ASRModel:
         # long-form recordings can plan dozens of windows, so run the batch
         # in fixed-size chunks — tail chunks pad by repeating row 0 (results
         # discarded) to keep one compiled shape per chunk size.
-        import os as _os
-
-        max_b = max(1, int(_os.environ.get("LWT_MAX_DECODE_BATCH", "8")))
+        max_b = max_decode_batch()
 
         def _run_rows(rows: List[int], pad_to: int) -> List[List[int]]:
             padded_rows = rows + [rows[0]] * (pad_to - len(rows))

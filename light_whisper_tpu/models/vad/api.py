@@ -278,9 +278,17 @@ class VadPrefixSession:
     """
 
     def __init__(self, vad: FireRedVadTPU):
+        import threading
+
         self._vad = vad
         self._samples: Optional[np.ndarray] = None
         self._probs: Optional[np.ndarray] = None
+        # Serializes per-session state: the engine pipelines transcribes on
+        # worker threads, so two ticks of one stream (or two anonymous
+        # clients sharing the default stream) can hold this session at once.
+        # The halo path below is capture-consistent by design; the streaming
+        # cascade mutates per-stage caches and must not interleave.
+        self._tick_lock = threading.Lock()
         self._stream = None  # StreamingVad when the vad exposes host params
         try:
             on_host = vad._device is not None or jax.devices()[0].platform == "cpu"
@@ -297,6 +305,10 @@ class VadPrefixSession:
         self.reused_ticks = 0
 
     def probabilities(self, audio: np.ndarray) -> np.ndarray:
+        with self._tick_lock:
+            return self._probabilities_locked(audio)
+
+    def _probabilities_locked(self, audio: np.ndarray) -> np.ndarray:
         samples = np.asarray(audio, dtype=np.float32).reshape(-1)
         # Capture state ONCE: overlapping ticks on one stream must each see
         # a consistent (samples, probs) pair, not a mix of generations.

@@ -120,6 +120,9 @@ class EngineClient:
         # None = transport unprobed; True = inline PCM accepted; False = the
         # runtime wants file paths (funasr_service.rs inline_audio_transport).
         self._inline_transport: Optional[bool] = None
+        # Consecutive inline generic failures whose path retry succeeded —
+        # pin the path transport only at ≥2 (one is transient-blip noise).
+        self._inline_generic_failures = 0
 
     # ------------------------------------------------------------------
 
@@ -272,6 +275,7 @@ class EngineClient:
         response = self.request(command, timeout)
         if response.get("input_mode") == "memory":
             self._inline_transport = True
+            self._inline_generic_failures = 0
             return response
         if _response_indicates_inline_unsupported(response):
             self._inline_transport = False
@@ -279,18 +283,22 @@ class EngineClient:
         if response.get("success"):
             # Probed: the engine handled inline audio (echoed mode or not).
             self._inline_transport = True
+            self._inline_generic_failures = 0
             return response
         # Generic error without input_mode: could be a transient engine
         # failure (ours) or a legacy runtime whose inline-rejection text we
         # don't recognize (the reference pins path for ANY missing
         # input_mode, funasr_service.rs:1236-1251). Retry this one request
-        # via the path transport WITHOUT pinning: a path success is evidence
-        # the runtime works only via files (pin path); a path failure is a
-        # genuine engine error (stay unprobed so the next request retries
-        # inline rather than inheriting a transient verdict).
+        # via the path transport; pin the path transport only after TWO
+        # consecutive inline failures that each succeeded via path — one
+        # occurrence is indistinguishable from a transient engine blip that
+        # recovered by retry time, and pinning on it would demote the whole
+        # session to temp-WAV I/O forever.
         retried = self._transcribe_via_path(samples, sample_rate, hot_words, timeout)
         if retried.get("success"):
-            self._inline_transport = False
+            self._inline_generic_failures += 1
+            if self._inline_generic_failures >= 2:
+                self._inline_transport = False
         return retried
 
     def _transcribe_via_path(

@@ -240,17 +240,10 @@ class _TickPlan:
             self.window.dtype.str,
         )
 
-    def fresh_key(self):
-        # Fresh full prefills share a program per (audio bucket, capacity);
-        # the prompt bucket is padded to the group max inside the runner.
-        t = self.transcriber
-        return (
-            id(t.model),
-            self.bucket,
-            self.capacity,
-            t.max_new_tokens,
-            self.window.dtype.str,
-        )
+    # Fresh full prefills share a program per (audio bucket, capacity) —
+    # the same compatibility tuple as extending ticks now that seg_bucket
+    # is group-max-padded rather than keyed.
+    fresh_key = group_key
 
 
 def tick_batch(
@@ -313,23 +306,22 @@ def tick_batch(
 
 
 def _max_group() -> int:
-    import os
+    from light_whisper_tpu.models.qwen3_asr.model import max_decode_batch
 
-    try:
-        return max(2, int(os.environ.get("LWT_MAX_DECODE_BATCH", "8")))
-    except ValueError:
-        return 8
+    return max(2, max_decode_batch())
 
 
 def _bucket_b(n: int) -> int:
     """Pad group size to a power of two: every distinct B is a fresh XLA
     program (minutes through a remote-compile relay), while a padded row
     costs ≤2× compute on a step batching already amortizes — the same
-    static-shape policy as audio/prompt/batch-decode buckets."""
+    static-shape policy as audio/prompt/batch-decode buckets. Capped at
+    the operator's batch bound: each padded row stacks a full per-stream
+    KV cache (~117 MB at 1.7B)."""
     b = 2
     while b < n:
         b *= 2
-    return b
+    return min(b, _max_group())
 
 
 def _run_group_fresh(plans: List[_TickPlan]):
@@ -402,6 +394,12 @@ def _run_group_fresh(plans: List[_TickPlan]):
         t = p.transcriber
         t._cache = dec.KVCache(k=caches.k[b], v=caches.v[b], pos=caches.pos[b])
         t._cache_capacity = capacity
+        # Invalidate the device-resident audio buffer: this full prefill ran
+        # from host arrays, and a stale buffer seeded under a DIFFERENT
+        # window_start would otherwise satisfy the next solo tick's delta
+        # path and splice two windows together.
+        t._audio_dev = None
+        t._sent = 0
         t.full_prefills += 1
         t._window_start = p.window_start
         t._clip_max = float(clip_np[b])  # anchored at full prefills

@@ -262,27 +262,36 @@ def test_inline_error_shape_triggers_fallback():
     assert client._inline_transport is False
 
 
-def test_unrecognized_inline_error_retries_via_path_and_pins_on_success():
+def test_unrecognized_inline_error_retries_via_path_and_pins_after_two():
     # A legacy runtime whose inline-rejection text matches none of the known
     # markers: the client must still reach it via the path transport (the
-    # reference pins path for ANY missing input_mode), but only pin once the
-    # path attempt actually succeeds.
+    # reference pins path for ANY missing input_mode) — but a single
+    # occurrence is indistinguishable from a transient engine blip that
+    # recovered by retry time, so the path verdict pins only after TWO
+    # consecutive inline failures whose path retry succeeded.
     client, stdin = make_client(
         [
             '{"success": false, "request_id": 1, "error": "unbekannter Fehler"}\n',
             '{"success": true, "request_id": 2, "text": "via path"}\n',
-            '{"success": true, "request_id": 3, "text": "still path"}\n',
+            '{"success": false, "request_id": 3, "error": "unbekannter Fehler"}\n',
+            '{"success": true, "request_id": 4, "text": "via path again"}\n',
+            '{"success": true, "request_id": 5, "text": "pinned path"}\n',
         ]
     )
     samples = np.ones(16000, dtype="<i2")
     result = client.transcribe_pcm16(samples, 16000)
     assert result["text"] == "via path"
-    assert client._inline_transport is False
+    assert client._inline_transport is None  # strike 1: could be transient
+    result = client.transcribe_pcm16(samples, 16000)
+    assert result["text"] == "via path again"
+    assert client._inline_transport is False  # strike 2: pinned
     client.transcribe_pcm16(samples, 16000)
     sent = [json.loads(l) for l in stdin.getvalue().splitlines()]
     assert "audio_base64" in sent[0]
     assert "audio_path" in sent[1]
-    assert "audio_path" in sent[2]  # pinned after the successful path probe
+    assert "audio_base64" in sent[2]  # inline retried after one blip
+    assert "audio_path" in sent[3]
+    assert "audio_path" in sent[4]  # pinned: no inline attempt
 
 
 def test_transient_engine_error_leaves_transport_unprobed():

@@ -230,3 +230,32 @@ def test_transcribe_extending_batch_bridge_semantics(model):
     assert outs2[0].tokens == want0b.tokens
     assert outs2[1].tokens == want1b.tokens
     assert bridges[0].session_hits == 2 and bridges[1].session_hits == 1
+
+
+def test_batched_fresh_invalidates_stale_device_buffer(model):
+    """Reviewer-found hazard: a batched fresh prefill (e.g. after a window
+    slide) must invalidate the device-resident audio buffer seeded under the
+    OLD window_start, or the next solo extending tick would splice two
+    windows together via the delta path."""
+    full = _stream_audio(50, 6.0)
+    incs = [IncrementalTranscriber(model, max_new_tokens=8) for _ in range(2)]
+    # seed device buffers with solo ticks at window_start=0
+    for inc in incs:
+        inc.transcribe_window(full[: 2 * SR], window_start_sample=0)
+        assert inc._audio_dev is not None
+
+    # window slides: fresh batch at a new window_start
+    slid = [full[SR : 3 * SR], full[SR : 3 * SR]]
+    tick_batch(incs, slid, window_starts=[SR, SR])
+    assert all(inc._audio_dev is None for inc in incs)
+
+    # next solo extending tick at the new start must match a clean sequential run
+    outs = [
+        inc.transcribe_window(full[SR : 7 * SR // 2], window_start_sample=SR)
+        for inc in incs
+    ]
+    ref = IncrementalTranscriber(model, max_new_tokens=8)
+    ref.transcribe_window(full[: 2 * SR], window_start_sample=0)
+    ref.transcribe_window(full[SR : 3 * SR], window_start_sample=SR)
+    want = ref.transcribe_window(full[SR : 7 * SR // 2], window_start_sample=SR)
+    assert all(o.tokens == want.tokens for o in outs)
