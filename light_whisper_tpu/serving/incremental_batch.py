@@ -281,7 +281,18 @@ def tick_batch(
             if len(chunk) == 1:
                 solo.extend(chunk)
                 continue
-            batch_results = runner([plans[i] for i in chunk])
+            try:
+                batch_results = runner([plans[i] for i in chunk])
+            except Exception:
+                # A batched-program failure must not fail every coalesced
+                # request: sessions are only mutated on success (stacked
+                # cache copies, state assigned at the end), so degrade to
+                # the per-stream path — a genuinely broken request fails
+                # alone there, the rest proceed.
+                for i in chunk:
+                    plans[i].transcriber.reset()
+                solo.extend(chunk)
+                continue
             for i, r in zip(chunk, batch_results):
                 if r is None:  # clip-guard redo → per-stream full prefill
                     solo.append(i)

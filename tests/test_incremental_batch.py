@@ -259,3 +259,31 @@ def test_batched_fresh_invalidates_stale_device_buffer(model):
     ref.transcribe_window(full[SR : 3 * SR], window_start_sample=SR)
     want = ref.transcribe_window(full[SR : 7 * SR // 2], window_start_sample=SR)
     assert all(o.tokens == want.tokens for o in outs)
+
+
+def test_batched_tick_failure_degrades_to_per_stream(model):
+    """A batched-program failure (compile error, relay drop) must not fail
+    every coalesced request: the group degrades to per-stream ticks."""
+    from light_whisper_tpu.serving import incremental_batch as ib
+
+    fulls = [_stream_audio(seed + 60, 2.0) for seed in range(2)]
+    incs = [IncrementalTranscriber(model, max_new_tokens=8) for _ in range(2)]
+    for s in range(2):
+        incs[s].transcribe_window(fulls[s][: SR], window_start_sample=0)
+
+    real = ib._run_group
+    try:
+        def boom(plans):
+            raise RuntimeError("simulated batched-program failure")
+
+        ib._run_group = boom
+        outs = tick_batch(incs, [f[: 3 * SR // 2] for f in fulls])
+    finally:
+        ib._run_group = real
+
+    for s in range(2):
+        ref = IncrementalTranscriber(model, max_new_tokens=8)
+        ref.transcribe_window(fulls[s][: SR], window_start_sample=0)
+        ref.reset()  # the degraded path resets sessions → stateless result
+        want = ref.transcribe_window(fulls[s][: 3 * SR // 2], window_start_sample=0)
+        assert outs[s].tokens == want.tokens, s
