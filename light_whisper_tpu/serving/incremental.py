@@ -537,14 +537,20 @@ def warmup_ladder(
         ticks += 1
         seconds += step_seconds
 
-    # Third pass (opt-in, LWT_WARMUP_LADDER_BATCH): the batched-tick
-    # programs (serving/incremental_batch.py). Coalesced interim ticks from
-    # concurrent dictations compile per (B-bucket, audio bucket, segment
-    # bucket, capacity); walking two scratch streams through the ladder
-    # together warms the B=2 bucket — the one every first coalescence hits.
+    # Third pass: the batched-tick programs (serving/incremental_batch.py).
+    # Coalesced interim ticks from concurrent dictations compile per
+    # (B-bucket, audio bucket, segment bucket, capacity); walking two
+    # scratch streams through the ladder together warms the B=2 bucket —
+    # the one every first coalescence hits. Default ON when the ladder runs
+    # (batch ticks are default-on in serving, and a cold batched compile
+    # would stall every coalesced stream); budget-bounded like the other
+    # passes, so short budgets still prioritize the per-stream programs.
+    # LWT_WARMUP_LADDER_BATCH=0 skips it.
     import os as _os
 
-    if _os.environ.get("LWT_WARMUP_LADDER_BATCH", "") not in ("", "0"):
+    if _os.environ.get("LWT_WARMUP_LADDER_BATCH", "1") not in ("", "0") and _os.environ.get(
+        "LWT_BATCH_TICKS", "1"
+    ) not in ("", "0"):
         from light_whisper_tpu.serving.incremental_batch import tick_batch
 
         pair = [

@@ -312,9 +312,10 @@ def test_warmup_ladder_precompiles_buckets(model):
     # Pass 1 walks the growing window (extend segments); pass 2 resets per
     # bucket so the FULL-prefill program is compiled for every bucket, not
     # just the first tick and capacity doublings (clip-guard redos and fresh
-    # sessions land on arbitrary buckets).
+    # sessions land on arbitrary buckets); pass 3 (default-on) walks two
+    # scratch streams together to warm the B=2 batched-tick programs.
     ticks = warmup_ladder(model, max_seconds=1.5, step_seconds=0.5)
-    assert ticks == 6
+    assert ticks == 9
 
     # budget cuts the walk short but never below one tick
     few = warmup_ladder(model, max_seconds=5.0, step_seconds=0.5, budget_seconds=0.0)
