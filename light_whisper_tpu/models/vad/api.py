@@ -101,6 +101,22 @@ def _vad_device():
     return cpu if platform == "axon" else None
 
 
+def _prefer_host_numpy(vad_device) -> bool:
+    """True when VAD compute lands on a host CPU (pinned-host policy or a
+    CPU-only backend) — there the eager numpy cascade beats the jitted host
+    path ~3-6× (single-core BLAS vs XLA's generic kernels)."""
+    if os.environ.get("LWT_VAD_NUMPY", "1") in ("", "0"):
+        return False
+    if vad_device is not None:
+        return True
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "cpu"
+    except Exception:
+        return True
+
+
 class FireRedVadTPU:
     """Run FireRedVAD on the accelerator with exact reference semantics."""
 
@@ -156,23 +172,26 @@ class FireRedVadTPU:
         true_frames = kfb.num_frames(len(samples))
         if true_frames == 0:
             return np.empty(0, dtype=np.float32)
-        if len(samples) > _LONGFORM_BATCH_MIN and os.environ.get(
-            "LWT_VAD_BATCHED", "1"
-        ) not in ("", "0"):
-            return self._probabilities_longform(samples, true_frames)
-        if self._device is not None and os.environ.get("LWT_VAD_NUMPY", "1") not in (
-            "",
-            "0",
-        ):
-            # Host-pinned policy: run the numpy cascade eagerly. One fresh
-            # 10 s pass: ~34 ms vs ~220 ms through the jitted host backend
-            # on the single-core bench host (same probabilities to 1e-7).
+        if _prefer_host_numpy(self._device):
+            # Host CPU compute: run the numpy cascade eagerly — ~6× the
+            # jitted host backend on the single-core bench host (34 vs
+            # ~220 ms for a fresh 10 s pass; 3-min long-form ~0.7 vs 3.7 s),
+            # same probabilities to 1e-7. Chunked feeding + cache compaction
+            # keep memory flat for arbitrarily long audio.
             from light_whisper_tpu.models.vad.streaming import StreamingVad
 
             sv = StreamingVad(
                 self._params_np, self._cmvn_mean_np, self._cmvn_inv_std_np
             )
-            return sv.extend(samples)[:true_frames]
+            probs = np.empty(0, dtype=np.float32)
+            chunk = _FINE_MAX  # 16 s of samples per update
+            for end in range(chunk, len(samples) + chunk, chunk):
+                probs = sv.extend(samples[: min(end, len(samples))])
+            return probs[:true_frames]
+        if len(samples) > _LONGFORM_BATCH_MIN and os.environ.get(
+            "LWT_VAD_BATCHED", "1"
+        ) not in ("", "0"):
+            return self._probabilities_longform(samples, true_frames)
         bucket = bucket_samples(len(samples))
         padded = np.zeros(bucket, dtype=np.float32)
         padded[: len(samples)] = samples
@@ -290,13 +309,9 @@ class VadPrefixSession:
         # cascade mutates per-stage caches and must not interleave.
         self._tick_lock = threading.Lock()
         self._stream = None  # StreamingVad when the vad exposes host params
-        try:
-            on_host = vad._device is not None or jax.devices()[0].platform == "cpu"
-        except Exception:
-            on_host = True
-        if on_host and getattr(vad, "_params_np", None) and os.environ.get(
-            "LWT_VAD_NUMPY", "1"
-        ) not in ("", "0"):
+        if getattr(vad, "_params_np", None) and _prefer_host_numpy(
+            getattr(vad, "_device", None)
+        ):
             from light_whisper_tpu.models.vad.streaming import StreamingVad
 
             self._stream = StreamingVad(

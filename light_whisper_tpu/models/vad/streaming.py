@@ -65,23 +65,32 @@ def fbank_np(waveform: np.ndarray) -> np.ndarray:
 
 
 def _conv_rows(
-    src: np.ndarray,  # [T, C] stage input rows 0..T-1 (rows ≥ T are implicit zeros)
+    src: np.ndarray,  # buffer holding absolute rows [off, T) at index a - off
+    off: int,
+    T: int,  # absolute stream length; rows ≥ T are implicit zeros
     filt: np.ndarray,  # [2*TAPS, C] combined lookback/lookahead kernel
     r0: int,
     r1: int,
 ) -> np.ndarray:
-    """FIR output rows [r0, r1): out[t] = Σ_j filt[j] · src[t - 19 + j]."""
-    T, C = src.shape
+    """FIR output rows [r0, r1): out[t] = Σ_j filt[j] · src[t - 19 + j].
+
+    Indices are absolute stream rows; ``src`` stores rows from ``off`` on
+    (earlier rows were compacted away — callers guarantee off ≤ r0 - 19)."""
+    C = src.shape[1]
     n = r1 - r0
     lo = r0 - _BACK
     hi = r1 + _AHEAD  # exclusive; src index range needed is [lo, hi)
     span = np.zeros((hi - lo, C), dtype=np.float32)
-    s0, s1 = max(lo, 0), min(hi, T)
+    s0, s1 = max(lo, off), min(hi, T)
     if s1 > s0:
-        span[s0 - lo : s1 - lo] = src[s0:s1]
-    win = np.lib.stride_tricks.sliding_window_view(span, 2 * FILTER_TAPS, axis=0)
-    # win: [n, C, 2*TAPS]; filt.T: [C, 2*TAPS]
-    return np.einsum("tcj,cj->tc", win[:n], filt.T, optimize=True).astype(np.float32)
+        span[s0 - lo : s1 - lo] = src[s0 - off : s1 - off]
+    # 2·TAPS shifted multiply-adds on [n, C] blocks: each tap is one
+    # vectorized FMA sweep, ~5× the throughput of einsum's generic
+    # single-threaded kernel at these shapes.
+    out = span[:n] * filt[0]
+    for j in range(1, 2 * FILTER_TAPS):
+        out += span[j : j + n] * filt[j]
+    return out
 
 
 class StreamingDfsmn:
@@ -94,16 +103,30 @@ class StreamingDfsmn:
     monolithic ``dfsmn_probs`` over the whole buffer.
     """
 
-    def __init__(self, params: Dict[str, np.ndarray]):
+    def __init__(
+        self,
+        params: Dict[str, np.ndarray],
+        compact_at: int = 4096,
+        keep: int = 512,
+    ):
+        """``compact_at``/``keep``: once the activation caches exceed
+        ``compact_at`` live rows, rows older than ``keep`` behind the stream
+        head are dropped (a future update only ever reads back
+        20·stages + 19 = 179 rows). Keeps memory flat for arbitrarily long
+        audio: ~9 · compact_at · 128 · 4 B ≈ 19 MB at the default."""
         self._p = {k: np.asarray(v, dtype=np.float32) for k, v in params.items()}
+        assert keep >= 2 * (_AHEAD * _STAGES + _BACK), keep  # safety margin
+        self._compact_at = max(compact_at, 2 * keep)
+        self._keep = keep
         self.reset()
 
     def reset(self) -> None:
         self._T = 0
-        self._h: Optional[np.ndarray] = None  # [T, C] post-MLP stage-0 input
-        self._s = [None] * _STAGES  # per-stage outputs [T, C]
-        self._valid = [0] * _STAGES  # final rows per stage
-        self._probs = np.zeros(0, dtype=np.float32)
+        self._off = 0  # absolute row index of each buffer's first row
+        self._h: Optional[np.ndarray] = None  # stage-0 input rows [off, T)
+        self._s = [None] * _STAGES  # per-stage outputs rows [off, T)
+        self._valid = [0] * _STAGES  # final rows per stage (absolute)
+        self._probs = np.zeros(0, dtype=np.float32)  # full history (tiny)
         self._probs_valid = 0
 
     @property
@@ -111,10 +134,11 @@ class StreamingDfsmn:
         return self._T
 
     def _append(self, buf: Optional[np.ndarray], rows: np.ndarray, at: int) -> np.ndarray:
-        """Overwrite/extend ``buf`` with ``rows`` starting at row ``at``.
+        """Overwrite/extend ``buf`` with ``rows`` from absolute row ``at``.
 
         Rows before ``at`` are preserved; rows at/after it are overwritten
         (they were provisional — recomputed this tick)."""
+        at -= self._off
         need = at + len(rows)
         if buf is None or buf.shape[0] < need:
             cap = max(need, 256, (buf.shape[0] * 2) if buf is not None else 0)
@@ -128,6 +152,7 @@ class StreamingDfsmn:
     def update(self, feat_new: np.ndarray) -> np.ndarray:
         """Append feature rows; return probs for all ``total_frames`` frames."""
         p = self._p
+        off = self._off
         feat_new = np.asarray(feat_new, dtype=np.float32)
         T_old, d = self._T, len(feat_new)
         T = T_old + d
@@ -139,32 +164,33 @@ class StreamingDfsmn:
         if T == 0:
             return np.zeros(0, dtype=np.float32)
 
-        src = self._h[:T]
+        src = self._h
         for l in range(_STAGES):
             r0 = self._valid[l]
             if r0 >= T and d == 0:
-                src = self._s[l][:T]
+                src = self._s[l]
                 continue
             if l == 0:
                 # stage-0 input is h itself: all rows final, conv directly
-                conv = _conv_rows(src, p["fsmn1.filt"], r0, T)
-                rows = src[r0:T] + conv
+                conv = _conv_rows(src, off, T, p["fsmn1.filt"], r0, T)
+                rows = src[r0 - off : T - off] + conv
             else:
                 b = l - 1
                 i0 = max(0, r0 - _BACK)
-                zin = src[i0:T]
+                zin = src[i0 - off : T - off]
                 z = np.maximum(zin @ p[f"blocks.{b}.fc1.w"] + p[f"blocks.{b}.fc1.b"], 0.0)
                 z = z @ p[f"blocks.{b}.fc2.w"]
-                zfull = np.zeros((T, z.shape[1]), dtype=np.float32)
-                zfull[i0:T] = z
-                conv = _conv_rows(zfull, p[f"blocks.{b}.filt"], r0, T)
-                rows = zfull[r0:T] + conv + src[r0:T]
+                # zfull holds rows [off, T) like the stage buffers
+                zfull = np.zeros((T - off, z.shape[1]), dtype=np.float32)
+                zfull[i0 - off :] = z
+                conv = _conv_rows(zfull, off, T, p[f"blocks.{b}.filt"], r0, T)
+                rows = zfull[r0 - off :] + conv + src[r0 - off : T - off]
             self._s[l] = self._append(self._s[l], rows, r0)
             self._valid[l] = max(0, T - _AHEAD * (l + 1))
-            src = self._s[l][:T]
+            src = self._s[l]
 
         r0 = self._probs_valid
-        tail = src[r0:T]
+        tail = src[r0 - off : T - off]
         ho = np.maximum(tail @ p["dnn.w"] + p["dnn.b"], 0.0)
         logit = ho @ p["out.w"] + p["out.b"]
         probs_tail = (1.0 / (1.0 + np.exp(-logit[:, 0]))).astype(np.float32)
@@ -175,7 +201,22 @@ class StreamingDfsmn:
         self._probs[r0:T] = probs_tail
         # probs are final where the top stage is final
         self._probs_valid = self._valid[_STAGES - 1]
-        return self._probs[:T].copy()
+        self._maybe_compact()
+        return self._probs[: self._T].copy()
+
+    def _maybe_compact(self) -> None:
+        """Drop cache rows no future update can read (older than ``keep``
+        behind the stream head); the probs history stays whole."""
+        T, off = self._T, self._off
+        if T - off <= self._compact_at:
+            return
+        new_off = T - self._keep
+        shift = new_off - off
+        live = T - new_off
+        self._h[:live] = self._h[shift : shift + live]
+        for l in range(_STAGES):
+            self._s[l][:live] = self._s[l][shift : shift + live]
+        self._off = new_off
 
 
 class StreamingVad:

@@ -129,3 +129,36 @@ def test_prefix_session_uses_cascade_and_matches(vad):
         want = _monolithic(vad, audio[:end])
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
     assert sess.reused_ticks == 2
+
+
+def test_compaction_matches_longform_batched(vad, stream_parts):
+    """Cache compaction (flat memory for long audio) must not change the
+    probabilities: chunk-fed cascade with aggressive compaction equals the
+    batched long-form pass."""
+    rng = np.random.default_rng(9)
+    sr = 16_000
+    audio = (rng.standard_normal(40 * sr) * 0.1).astype(np.float32)
+
+    sv = StreamingVad(*stream_parts)
+    sv._net._compact_at = 1200
+    sv._net._keep = 512
+    probs = None
+    for end in range(5 * sr, len(audio) + 5 * sr, 5 * sr):
+        probs = sv.extend(audio[: min(end, len(audio))])
+    assert sv._net._off > 0  # compaction actually ran
+
+    want = vad._probabilities_longform(audio, kfb.num_frames(len(audio)))
+    np.testing.assert_allclose(probs[: len(want)], want, rtol=1e-4, atol=1e-5)
+
+
+def test_host_longform_routes_through_cascade(vad):
+    """On a host-CPU backend the probabilities() long-form path rides the
+    numpy cascade (flat memory, ~2.5× the jitted host path)."""
+    from light_whisper_tpu.models.vad.api import _prefer_host_numpy
+
+    assert _prefer_host_numpy(vad._device)  # CPU test env
+    rng = np.random.default_rng(10)
+    audio = (rng.standard_normal(35 * 16_000) * 0.1).astype(np.float32)
+    got = vad.probabilities(audio)
+    want = vad._probabilities_longform(audio, kfb.num_frames(len(audio)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
