@@ -129,22 +129,27 @@ def main():
         out_f, in_f = 12288, 2048
         q = jnp.asarray(rng.integers(-127, 127, size=(L, out_f, in_f), dtype=np.int8))
 
+        READS = 512  # one 25 MB slice ≈ 30 µs at peak; need ≳15 ms total to
+        # resolve above relay RTT jitter (32 iters was pure noise)
+
         @jax.jit
-        def read_all(q):
+        def read_all(q, seed):
             def body(i, acc):
-                layer = jax.lax.rem(i, L)
+                layer = jax.lax.rem(i + seed, L)
                 blk = jax.lax.dynamic_index_in_dim(q, layer, keepdims=False)
-                return acc + jnp.sum(blk.astype(jnp.int32))
+                # acc feeds nothing back into the read, but the data-dependent
+                # sum keeps XLA from folding iterations
+                return acc + jnp.sum(blk.astype(jnp.int32)) * (i + 1)
 
-            return jax.lax.fori_loop(0, 32, body, jnp.int32(0))
+            return jax.lax.fori_loop(0, READS, body, jnp.int32(0))
 
-        jax.device_get(read_all(q))
+        jax.device_get(read_all(q, jnp.int32(0)))
         best = float("inf")
-        for _ in range(3):
+        for trial in range(3):
             t0 = time.perf_counter()
-            jax.device_get(read_all(q))
+            jax.device_get(read_all(q, jnp.int32(trial)))
             best = min(best, time.perf_counter() - t0)
-        per_call = max(0.001, (best * 1000 - rtt) / 32)
+        per_call = max(0.001, (best * 1000 - rtt) / READS)
         gbps = out_f * in_f / (per_call / 1000) / 1e9
         log(f"read-ceiling [12288x2048 int8 slice]: {per_call:.3f} ms → {gbps:.0f} GB/s")
     for name, out_f, in_f in shapes:

@@ -465,3 +465,30 @@ def test_pipeline_dp_composition_matches_single_device():
             atol=5e-3,
             err_msg=jax.tree_util.keystr(key),
         )
+
+
+def test_mesh_sharded_batched_decode_matches_single_device(tmp_path):
+    """Multi-stream batched decode under a tp mesh: transcribe_batch on a
+    tp=2-sharded model must match the single-device batch token-for-token
+    (GSPMD propagates the Megatron shardings through forward_decode_batch's
+    row-batched projections; the KV caches stay replicated)."""
+    sys.path.insert(0, "tests")
+    from helpers.tiny_model import write_tiny_model
+
+    from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path, quantize=False)
+
+    rng = np.random.default_rng(1)
+    audios = [
+        (rng.standard_normal(8000 + 2000 * i) * 0.3).astype(np.float32)
+        for i in range(3)
+    ]
+
+    plain = Qwen3ASRModel(path, max_new_tokens=8).transcribe_batch(audios)
+
+    mesh = make_mesh(dp=4, tp=2)
+    sharded = Qwen3ASRModel(path, max_new_tokens=8, mesh=mesh).transcribe_batch(audios)
+    for p, s in zip(plain, sharded):
+        assert p.tokens == s.tokens
