@@ -194,15 +194,17 @@ def test_hotword_latency_budget():
     ]
     text = "this is a fairly long dictated sentence about word3y3 systems " * 3
     correct_profile_terms(text, hot, patterns)  # warm the normalization caches
-    # Retry the measurement under a loaded machine: the budget catches
-    # regressions to tens of ms, not scheduler noise — one clean pass is
-    # the signal.
+    # CPU thread time, not wall clock: the budget is about the WORK a
+    # hot-word pass costs per interim tick, and wall time on a loaded
+    # single-core CI host measures the scheduler instead (this test flaked
+    # under concurrent suite runs while passing alone). Retries absorb the
+    # residual noise (GC pauses land in thread time too).
     for attempt in range(3):
         times = []
         for _ in range(60):
-            start = time.perf_counter()
+            start = time.thread_time()
             correct_profile_terms(text, hot, patterns)
-            times.append(time.perf_counter() - start)
+            times.append(time.thread_time() - start)
         times.sort()
         p95 = times[int(len(times) * 0.95)]
         if p95 < 0.005:
