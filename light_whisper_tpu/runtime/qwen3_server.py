@@ -486,9 +486,7 @@ class Qwen3EngineServer:
                 )
 
                 bridges = [pool.bridge_for(key) for key in keys]
-                audios = [
-                    np.asarray(a, dtype=np.float32).reshape(-1) for _k, a in payloads
-                ]
+                audios = [np.asarray(a).reshape(-1) for _k, a in payloads]
                 with self._stats_lock:
                     self._batched_tick_dispatches += 1
                 return transcribe_extending_batch(bridges, audios)
@@ -599,6 +597,14 @@ class Qwen3EngineServer:
                     "vad_ms": round(vad_ms, 3),
                     "inference_ms": 0.0,
                 }
+
+            # Convert to the device transport dtype ONCE (int16 for exact-s16
+            # audio — every wire request); downstream session prefix checks
+            # and per-tick paths then pass it through instead of re-checking
+            # the s16 grid (two O(n) host passes per tick on a 1-core box).
+            from light_whisper_tpu.models.qwen3_asr.model import as_device_audio
+
+            audio = as_device_audio(audio)
 
             started = time.perf_counter()
             result = self._submit_decode(audio, stream, session_key)

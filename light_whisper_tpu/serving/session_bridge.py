@@ -42,7 +42,9 @@ class SessionBridge:
         )
 
     def transcribe_extending(self, audio: np.ndarray):
-        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        # dtype preserved: the server hands int16 for exact-s16 audio (the
+        # device transport dtype); prefix memcmp works on either.
+        audio = np.asarray(audio).reshape(-1)
         if self._extends_previous(audio):
             self.session_hits += 1
         else:
@@ -70,7 +72,7 @@ def transcribe_extending_batch(bridges, audios):
 
     incs, windows = [], []
     for bridge, audio in zip(bridges, audios):
-        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        audio = np.asarray(audio).reshape(-1)
         if bridge._extends_previous(audio):
             bridge.session_hits += 1
         else:
