@@ -115,7 +115,12 @@ class StreamingDfsmn:
         20·stages + 19 = 179 rows). Keeps memory flat for arbitrarily long
         audio: ~9 · compact_at · 128 · 4 B ≈ 19 MB at the default."""
         self._p = {k: np.asarray(v, dtype=np.float32) for k, v in params.items()}
-        assert keep >= 2 * (_AHEAD * _STAGES + _BACK), keep  # safety margin
+        if keep < _AHEAD * _STAGES + _BACK:
+            raise ValueError(
+                f"keep={keep} is inside the DFSMN lookback horizon "
+                f"({_AHEAD * _STAGES + _BACK} rows) — compaction would drop "
+                "rows future updates read"
+            )
         self._compact_at = max(compact_at, 2 * keep)
         self._keep = keep
         self.reset()
@@ -208,9 +213,11 @@ class StreamingDfsmn:
         """Drop cache rows no future update can read (older than ``keep``
         behind the stream head); the probs history stays whole."""
         T, off = self._T, self._off
-        if T - off <= self._compact_at:
+        if T - off <= max(self._compact_at, 2 * self._keep):
             return
-        new_off = T - self._keep
+        # Clamp against direct attribute pokes: dropping rows inside the
+        # lookback horizon would silently zero-substitute real history.
+        new_off = T - max(self._keep, _AHEAD * _STAGES + _BACK + 1)
         shift = new_off - off
         live = T - new_off
         self._h[:live] = self._h[shift : shift + live]

@@ -48,6 +48,17 @@ TRIM_PIN_TOLERANCE_SAMPLES = 2400
 TRIM_PIN_MAX_SAMPLES = 30 * SAMPLE_RATE
 
 
+def _tick_degrades() -> int:
+    """Batched ticks that raised and fell back per-stream (observability:
+    a persistent batched-program failure pays a failed attempt per tick)."""
+    try:
+        from light_whisper_tpu.serving import incremental_batch
+
+        return incremental_batch.degrade_count
+    except Exception:
+        return 0
+
+
 def _default_model_factory(model_path: str):
     from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
 
@@ -486,10 +497,12 @@ class Qwen3EngineServer:
                 )
 
                 bridges = [pool.bridge_for(key) for key in keys]
-                audios = [np.asarray(a).reshape(-1) for _k, a in payloads]
                 with self._stats_lock:
                     self._batched_tick_dispatches += 1
-                return transcribe_extending_batch(bridges, audios)
+                # the bridge owns audio normalization (one conversion site)
+                return transcribe_extending_batch(
+                    bridges, [a for _k, a in payloads]
+                )
         audios = [audio for _key, audio in payloads]
         if hasattr(self.model, "transcribe_batch"):
             return self.model.transcribe_batch(audios)
@@ -734,6 +747,7 @@ class Qwen3EngineServer:
             "batch_dispatches": self._batch_dispatches,
             "batched_requests": self._batched_requests,
             "batched_tick_dispatches": self._batched_tick_dispatches,
+            "batched_tick_degrades": _tick_degrades(),
             "initialized": self.initialized,
             "engine": self.engine,
             "backend": self.backend,

@@ -548,9 +548,13 @@ def warmup_ladder(
     # LWT_WARMUP_LADDER_BATCH=0 skips it.
     import os as _os
 
-    if _os.environ.get("LWT_WARMUP_LADDER_BATCH", "1") not in ("", "0") and _os.environ.get(
-        "LWT_BATCH_TICKS", "1"
-    ) not in ("", "0"):
+    if (
+        _os.environ.get("LWT_WARMUP_LADDER_BATCH", "1") not in ("", "0")
+        and _os.environ.get("LWT_BATCH_TICKS", "1") not in ("", "0")
+        # With session reuse disabled the server never dispatches batched
+        # ticks — don't spend the warmup budget compiling dead programs.
+        and not _os.environ.get("LIGHT_WHISPER_DISABLE_SESSION_REUSE")
+    ):
         from light_whisper_tpu.serving.incremental_batch import tick_batch
 
         pair = [

@@ -9,12 +9,15 @@ pays one (`decoder.forward_decode_batch` economics, measured 4.7× aggregate
 throughput at B=8 — DEVNOTES round-3).
 
 Shape constraints for one compiled program: every stream in a batch shares
-the audio bucket (→ mel_frames/num_chunks), segment bucket, and cache
-capacity. :func:`tick_batch` groups compatible extending sessions, runs each
-group through one fused program (batched mel → batched encoder → batched
-segment prefill with per-stream draft verification → batched greedy decode
-with per-stream budgets), and falls back to the per-stream path for
-everything else (fresh sessions, mismatched buckets, clip-guard redos).
+the audio bucket (→ mel_frames/num_chunks) and cache capacity; segments pad
+to the group max (inert end padding — decode overwrites stale K/V before
+reading). :func:`tick_batch` groups compatible EXTENDING sessions through
+one fused program (batched mel → batched encoder → batched segment prefill
+with per-stream draft verification → batched greedy decode with per-stream
+budgets), groups compatible FRESH sessions through one batched full prefill
+that primes their KV sessions, and solos everything else (mismatched
+buckets, clip-guard redos, capacity-overflow guards, batched-program
+failures).
 Results are greedy-exact: token-identical to running each stream's
 ``IncrementalTranscriber.transcribe_window`` sequentially (asserted in
 ``tests/test_incremental_batch.py``).
@@ -23,7 +26,15 @@ Results are greedy-exact: token-identical to running each stream's
 from __future__ import annotations
 
 import functools
+import logging
 from typing import List, Optional, Sequence
+
+log = logging.getLogger(__name__)
+
+# Batched ticks that raised and degraded to per-stream fallbacks — surfaced
+# in server stats (``batched_tick_degrades``) so a persistent batched-program
+# failure (every coalesced tick paying a failed attempt) is visible.
+degrade_count = 0
 
 import jax
 import jax.numpy as jnp
@@ -285,12 +296,18 @@ def tick_batch(
                 batch_results = runner([plans[i] for i in chunk])
             except Exception:
                 # A batched-program failure must not fail every coalesced
-                # request: sessions are only mutated on success (stacked
-                # cache copies, state assigned at the end), so degrade to
-                # the per-stream path — a genuinely broken request fails
-                # alone there, the rest proceed.
-                for i in chunk:
-                    plans[i].transcriber.reset()
+                # request: sessions are untouched on failure (the runners
+                # work on stacked cache COPIES and apply session state in a
+                # non-fallible pass after all device work), so degrading to
+                # the per-stream path keeps each stream's cheap extending
+                # tick — a genuinely broken request fails alone there.
+                global degrade_count
+                degrade_count += 1
+                log.warning(
+                    "batched tick failed; degrading %d streams to per-stream",
+                    len(chunk),
+                    exc_info=True,
+                )
                 solo.extend(chunk)
                 continue
             for i, r in zip(chunk, batch_results):
@@ -400,8 +417,16 @@ def _run_group_fresh(plans: List[_TickPlan]):
     )
     tokens_np, clip_np = jax.device_get((tokens, clip_dev))
 
-    results: List = []
+    # Parse first (fallible), then apply session state (pure assignments) —
+    # see _run_group: the degrade path relies on failures leaving sessions
+    # untouched.
+    staged = []
     for b, p in enumerate(plans):
+        generated = [int(tok) for tok in tokens_np[b] if tok >= 0]
+        staged.append((generated, model._parse_output(generated)))
+
+    results: List = []
+    for b, (p, (generated, parsed)) in enumerate(zip(plans, staged)):
         t = p.transcriber
         t._cache = dec.KVCache(k=caches.k[b], v=caches.v[b], pos=caches.pos[b])
         t._cache_capacity = capacity
@@ -415,9 +440,8 @@ def _run_group_fresh(plans: List[_TickPlan]):
         t._window_start = p.window_start
         t._clip_max = float(clip_np[b])  # anchored at full prefills
         t._stable_tokens = t._stable_boundary(len(p.window), p.n_audio)
-        generated = [int(tok) for tok in tokens_np[b] if tok >= 0]
         t._last_generated = generated
-        results.append(model._parse_output(generated))
+        results.append(parsed)
     return results
 
 
@@ -510,18 +534,34 @@ def _run_group(plans: List[_TickPlan]):
         (tokens, accepted_dev, clip_dev)
     )
 
-    results: List = []
+    # Pass 1 (fallible): parse every stream's outcome WITHOUT touching
+    # session state, so an exception anywhere leaves all sessions intact
+    # (the degrade path in tick_batch relies on this to keep cheap
+    # extending fallbacks). Pass 2 (pure assignments) applies the state.
+    staged = []
     for b, p in enumerate(plans):
         t = p.transcriber
         clip_max = float(clip_np[b])
         if t._clip_max is not None and clip_max > t._clip_max + CLIP_MAX_EPS:
+            staged.append(None)
+            continue
+        accepted = int(accepted_np[b])
+        generated = list(p.draft[:accepted]) + [
+            int(tok) for tok in tokens_np[b] if tok >= 0
+        ]
+        staged.append((accepted, generated, model._parse_output(generated)))
+
+    results: List = []
+    for b, (p, s) in enumerate(zip(plans, staged)):
+        t = p.transcriber
+        if s is None:
             # Same deferred clip guard as the per-stream tick: the mel clamp
             # floor moved, cached KV is stale — redo this stream solo.
             t.clip_guard_prefills += 1
             t.reset()
             results.append(None)
             continue
-        accepted = int(accepted_np[b])
+        accepted, generated, parsed = s
         t._cache = dec.KVCache(
             k=caches.k[b], v=caches.v[b], pos=caches.pos[b]
         )
@@ -530,9 +570,6 @@ def _run_group(plans: List[_TickPlan]):
         t.draft_tokens_accepted += accepted
         t._window_start = p.window_start
         t._stable_tokens = t._stable_boundary(len(p.window), p.n_audio)
-        generated = list(p.draft[:accepted]) + [
-            int(tok) for tok in tokens_np[b] if tok >= 0
-        ]
         t._last_generated = generated
-        results.append(model._parse_output(generated))
+        results.append(parsed)
     return results

@@ -284,6 +284,8 @@ def test_batched_tick_failure_degrades_to_per_stream(model):
     for s in range(2):
         ref = IncrementalTranscriber(model, max_new_tokens=8)
         ref.transcribe_window(fulls[s][: SR], window_start_sample=0)
-        ref.reset()  # the degraded path resets sessions → stateless result
+        # sessions are untouched on failure → the per-stream fallback keeps
+        # the cheap EXTENDING tick, matching an uninterrupted sequential run
         want = ref.transcribe_window(fulls[s][: 3 * SR // 2], window_start_sample=0)
         assert outs[s].tokens == want.tokens, s
+        assert incs[s].incremental_prefills == ref.incremental_prefills, s
