@@ -6,8 +6,8 @@ the HF reference implementation ``Qwen3OmniMoeAudioEncoder``):
   128-mel log-mel [F, mels]
     → split into chunks of ``2·n_window`` frames (the conv never sees across
       a chunk boundary)
-    → 3 × Conv2d(k=3, stride=2, pad=1) + GELU over (time, mel) per chunk
-      (8× time downsample)
+    → 3 × Conv2d(k=3, stride=2, pad=1) + GELU over (mel, time) per chunk
+      (8× time downsample; HF kernel orientation — input [mels, T])
     → Linear to d_model, + sinusoidal positions restarting at each chunk
     → pre-LN transformer, bidirectional attention block-diagonal over
       windows of ``window_tokens`` post-conv frames
@@ -140,13 +140,21 @@ def encode_chunks_batch(
     chunk = cfg.chunk_frames
     tpc = cfg.tokens_per_chunk
 
-    x = mel.reshape(B * num_chunks, chunk, cfg.num_mel_bins)[:, None, :, :]  # [BC,1,T,M]
+    # HF orientation: conv kernels see (H=mel, W=time) — the layout the
+    # authoritative Qwen3OmniMoeAudioEncoder applies its conv2d weights in
+    # (input_features arrive [mels, T]). Round-2's (time, mel) orientation
+    # was self-consistent with the repo's oracle but TRANSPOSED relative to
+    # real artifacts' kernels; caught by tests/test_transformers_encoder_parity.py.
+    x = mel.reshape(B * num_chunks, chunk, cfg.num_mel_bins).transpose(0, 2, 1)[
+        :, None, :, :
+    ]  # [BC, 1, M, T]
     x = jax.nn.gelu(_conv2d(x, params["conv1"]["w"], params["conv1"]["b"]), approximate=False)
     x = jax.nn.gelu(_conv2d(x, params["conv2"]["w"], params["conv2"]["b"]), approximate=False)
     x = jax.nn.gelu(_conv2d(x, params["conv3"]["w"], params["conv3"]["b"]), approximate=False)
-    # [BC, hidden, tpc, freq] → [BC, tpc, hidden*freq]
-    BC, ch, t, f = x.shape
-    x = x.transpose(0, 2, 1, 3).reshape(BC, t, ch * f)
+    # [BC, hidden, freq, tpc] → [BC, tpc, hidden*freq] (c-major features,
+    # matching HF's permute(0,3,1,2).view(b, t, c*f))
+    BC, ch, f, t = x.shape
+    x = x.transpose(0, 3, 1, 2).reshape(BC, t, ch * f)
     x = apply_linear(params["conv_out"], x).astype(cfg.dtype)  # [BC, tpc, D]
 
     pos = jnp.asarray(params["pos_embd"])[:tpc].astype(x.dtype)

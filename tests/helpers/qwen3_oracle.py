@@ -78,12 +78,12 @@ def encoder_forward(cfg: Qwen3ASRConfig, T: Dict[str, np.ndarray], mel: np.ndarr
         valid = conv_output_length(piece.shape[0])
         padded = np.zeros((chunk, a.num_mel_bins))
         padded[: piece.shape[0]] = piece
-        x = padded[None, :, :]  # [Cin=1, H=time, W=mel]
+        x = padded.T[None, :, :]  # [Cin=1, H=mel, W=time] — HF orientation
         x = _gelu(_conv2d_s2(x, T["aenc.conv1.weight"], T["aenc.conv1.bias"]))
         x = _gelu(_conv2d_s2(x, T["aenc.conv2.weight"], T["aenc.conv2.bias"]))
         x = _gelu(_conv2d_s2(x, T["aenc.conv3.weight"], T["aenc.conv3.bias"]))
-        ch, t, fdim = x.shape
-        flat = x.transpose(1, 0, 2).reshape(t, ch * fdim)
+        ch, fdim, t = x.shape
+        flat = x.transpose(2, 0, 1).reshape(t, ch * fdim)
         emb = flat @ T["aenc.conv_out.weight"].T  # [t, d_model]
         emb = emb + sinusoids(a.max_source_positions, a.d_model)[:t]
         chunk_outputs.append(emb[:valid])

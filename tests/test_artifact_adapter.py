@@ -235,9 +235,63 @@ def test_precise_mode_dense_f32(tmp_path):
     result = model.transcribe(audio)
     assert isinstance(result.text, str)
 
-    # precise greedy tokens should agree with the bf16 path on the tiny model
+    # Precise-mode tokens need not equal the bf16 path bit-for-bit (precise
+    # mode exists BECAUSE the dtypes differ, and the tiny random model has
+    # near-tied logits) — but every divergence must be a genuine near-tie:
+    # teacher-force the precise tokens through the bf16 path and require
+    # each chosen token's bf16 logit within a hair of the bf16 argmax.
     baseline = Qwen3ASRModel(path, max_new_tokens=8)
-    assert result.tokens == baseline.transcribe(audio).tokens
+    base_result = baseline.transcribe(audio)
+    if result.tokens != base_result.tokens:
+        import jax.numpy as jnp
+
+        from light_whisper_tpu.models.qwen3_asr import decoder as dec
+
+        d = baseline.config.decoder
+        prompt = (
+            baseline.prefix_ids
+            + [baseline.config.audio_token_id]
+            * baseline._audio_tokens_for(len(audio))
+            + baseline.suffix_ids
+        )
+        # teacher-forced bf16 logits along the PRECISE path's choices
+        cache = dec.init_cache(d, 512)
+        mel = np.zeros(16000, np.float32)
+        mel[: len(audio)] = audio
+        from light_whisper_tpu.audio import mel as wmel
+        from light_whisper_tpu.models.qwen3_asr.encoder import encode
+
+        embeds_audio, n_valid = encode(
+            baseline.config.audio, baseline.encoder_params, np.asarray(wmel.log_mel(mel))
+        )
+        ids = np.asarray(prompt, np.int32)
+        token_embeds = dec.embed_tokens(baseline.decoder_params, jnp.asarray(ids))
+        token_embeds = jnp.where(
+            (ids == baseline.config.audio_token_id)[:, None],
+            jnp.pad(
+                embeds_audio[:n_valid].astype(token_embeds.dtype),
+                ((len(baseline.prefix_ids), len(ids) - len(baseline.prefix_ids) - n_valid), (0, 0)),
+            ),
+            token_embeds,
+        )
+        seq = list(result.tokens)
+        current = token_embeds
+        for chosen in seq:
+            hidden = dec.forward_train(d, baseline.decoder_params, current)
+            logits = np.asarray(
+                dec.logits_for(d, baseline.decoder_params, hidden[-1:])
+            )[0]
+            assert logits[chosen] >= logits.max() - 0.08, (
+                chosen,
+                int(np.argmax(logits)),
+                float(logits.max() - logits[chosen]),
+            )
+            current = jnp.concatenate(
+                [
+                    current,
+                    dec.embed_tokens(baseline.decoder_params, jnp.asarray([chosen])),
+                ]
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -256,6 +310,12 @@ def test_golden_harness_end_to_end(tmp_path):
     cases = []
     for i in range(2):
         audio = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+        # Build the expectation from the SAME samples the harness will read
+        # back: the WAV roundtrip lands on the s16 grid, and near-tied tiny
+        # random logits can flip on sub-quantum input differences.
+        audio = (
+            np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
+        ).astype(np.float32) / 32768.0
         wav = tmp_path / f"utt{i}.wav"
         wav.write_bytes(encode_wav_mono_s16(audio, 16000))
         cases.append({"audio": f"utt{i}.wav", "text": model.transcribe(audio).text})
