@@ -452,10 +452,16 @@ class Qwen3EngineServer:
         together coalesce into ONE ``transcribe_batch`` dispatch, so N
         concurrent dictation streams pay one padded batched decode instead
         of N sequential ones."""
+        # Lock the lazy init: simultaneous first requests racing here would
+        # create TWO schedulers — two worker threads — and one stream's
+        # ticks could then run concurrently, re-using donated KV buffers
+        # (caught by tests/test_soak_serving.py as "Array has been deleted").
         if self._scheduler is None:
-            from light_whisper_tpu.serving.scheduler import EngineScheduler
+            with self._init_lock:
+                if self._scheduler is None:
+                    from light_whisper_tpu.serving.scheduler import EngineScheduler
 
-            self._scheduler = EngineScheduler()
+                    self._scheduler = EngineScheduler()
         return self._scheduler
 
     def _submit_decode(self, audio: np.ndarray, stream: str, session_key: str):
@@ -514,15 +520,17 @@ class Qwen3EngineServer:
         if os.environ.get("LIGHT_WHISPER_DISABLE_SESSION_REUSE"):
             return None
         if self._session_pool is None:
-            try:
-                from light_whisper_tpu.serving.session_pool import SessionPool
+            with self._init_lock:  # racing first requests must share ONE pool
+                if self._session_pool is None:
+                    try:
+                        from light_whisper_tpu.serving.session_pool import SessionPool
 
-                pool = SessionPool(self.model)
-                pool.bridge_for(None)  # probe: fake models fail here
-                self._session_pool = pool
-            except Exception:
-                # e.g. injected fake models without the real param trees
-                self._session_pool = False
+                        pool = SessionPool(self.model)
+                        pool.bridge_for(None)  # probe: fake models fail here
+                        self._session_pool = pool
+                    except Exception:
+                        # e.g. injected fake models without the real param trees
+                        self._session_pool = False
         return self._session_pool or None
 
     def _correct_hot_words(self, text: str, hot_words: Optional[List[str]]) -> str:
