@@ -538,9 +538,11 @@ class Qwen3EngineServer:
             return text
         try:
             if self._hotword_corrector is None:
-                from light_whisper_tpu.text.hotwords import HotWordCorrector
+                with self._init_lock:  # worker threads race the first pass
+                    if self._hotword_corrector is None:
+                        from light_whisper_tpu.text.hotwords import HotWordCorrector
 
-                self._hotword_corrector = HotWordCorrector()
+                        self._hotword_corrector = HotWordCorrector()
             return self._hotword_corrector.correct(text, hot_words)
         except Exception as exc:  # never fail a transcription over biasing
             self.log.warning("hot-word correction failed: %s", exc)
