@@ -31,6 +31,16 @@ beyond ``pos`` are overwritten before they can be read) and prefills only
 the unstable audio tail + suffix, instead of the whole prompt. When the
 window starts sliding (buffer > 12 s) the prefix changes every tick and the
 session transparently falls back to full prefill — the reference's behavior.
+
+Exactness scope: "greedy-exact" means mathematically identical logits —
+the incremental, batched, and full-prefill paths compute the same values.
+They are however *different XLA programs*, so reduction orders differ at
+the float-ULP level; when the model's top-2 logits sit within ~1e-3 of a
+tie, argmax can legitimately flip between paths. Trained checkpoints
+essentially never tie (top-2 gaps are orders of magnitude larger, and a
+flip at a true tie is behaviorally neutral); random-weight test models tie
+often, which is why equality tests replay through the SAME path or accept
+either valid output (see tests/test_soak_serving.py eviction soak).
 """
 
 from __future__ import annotations

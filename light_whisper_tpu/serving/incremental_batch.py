@@ -20,7 +20,11 @@ buckets, clip-guard redos, capacity-overflow guards, batched-program
 failures).
 Results are greedy-exact: token-identical to running each stream's
 ``IncrementalTranscriber.transcribe_window`` sequentially (asserted in
-``tests/test_incremental_batch.py``).
+``tests/test_incremental_batch.py``), up to the float-ULP tie caveat
+documented in ``serving/incremental.py`` — batched and sequential programs
+compute identical math in different reduction orders, so a near-tied
+argmax can flip between them (visible with random test weights, vanishing
+with trained checkpoints).
 """
 
 from __future__ import annotations

@@ -47,6 +47,11 @@ class SessionPool:
         self._lock = threading.Lock()
         self._bridges: "OrderedDict[str, SessionBridge]" = OrderedDict()
         self.evictions = 0
+        # Counters carried over from evicted/cleared bridges so the pool's
+        # totals stay monotonic (stats readers see lifetime hit rates, not
+        # just whatever streams happen to be live right now).
+        self._retired_hits = 0
+        self._retired_resets = 0
 
     def bridge_for(self, stream: Optional[str]) -> SessionBridge:
         key = stream or DEFAULT_STREAM
@@ -58,6 +63,8 @@ class SessionPool:
                 while len(self._bridges) > self.limit:
                     _evicted_key, evicted = self._bridges.popitem(last=False)
                     evicted.reset()  # free the device KV cache
+                    self._retired_hits += evicted.session_hits
+                    self._retired_resets += evicted.session_resets
                     self.evictions += 1
             else:
                 self._bridges.move_to_end(key)
@@ -67,6 +74,8 @@ class SessionPool:
         with self._lock:
             for bridge in self._bridges.values():
                 bridge.reset()
+                self._retired_hits += bridge.session_hits
+                self._retired_resets += bridge.session_resets
             self._bridges.clear()
 
     def stats(self) -> Dict[str, object]:
@@ -78,8 +87,8 @@ class SessionPool:
                 }
                 for key, bridge in self._bridges.items()
             }
-        hits = sum(s["hits"] for s in per_stream.values())
-        resets = sum(s["resets"] for s in per_stream.values())
+            hits = self._retired_hits + sum(s["hits"] for s in per_stream.values())
+            resets = self._retired_resets + sum(s["resets"] for s in per_stream.values())
         return {
             "session_hits": hits,
             "session_resets": resets,

@@ -218,6 +218,10 @@ def test_session_pool_evicts_lru_and_stays_correct(model, monkeypatch):
 
     stats = server.performance_stats()
     assert stats["session_evictions"] >= 2
+    # Counters are lifetime totals: evicted bridges' hits/resets fold into
+    # the pool's retired tally, so totals stay monotonic and account for
+    # every transcribe even under churn.
+    assert stats["session_hits"] + stats["session_resets"] == 4
     want = model.transcribe(np.ascontiguousarray(quantized(full)))
     assert resp["raw_text"] == want.text.strip()
 

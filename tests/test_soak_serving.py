@@ -149,3 +149,160 @@ def test_concurrent_dictations_soak(tmp_path):
 
     to_server.write(json.dumps({"action": "exit", "request_id": 9999}) + "\n")
     to_server.flush()
+
+
+def test_concurrent_dictations_soak_with_session_eviction(tmp_path, monkeypatch):
+    """Same interleaved live load, but MORE streams than the session pool
+    holds (LWT_MAX_SESSIONS=2 vs 5 streams): every tick of a just-evicted
+    stream resets onto a fresh KV session mid-churn. Results must stay
+    identical to a clean sequential replay (the SessionBridge reset
+    contract holds under concurrency + LRU churn), and the pool's lifetime
+    counters must account for every tick despite evictions."""
+    monkeypatch.setenv("LWT_MAX_SESSIONS", "2")
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path, quantize=True)
+    model = Qwen3ASRModel(path, max_new_tokens=6)
+    engine = Qwen3EngineServer(
+        engine="qwen3-asr-0.6b",
+        model_factory=lambda _p: model,
+        vad_factory=lambda: FullSpanVad(),
+        model_path=path,
+    )
+    assert engine.initialize()["success"]
+
+    c2s_r, c2s_w = os.pipe()
+    s2c_r, s2c_w = os.pipe()
+    to_server = os.fdopen(c2s_w, "w")
+    from_server = os.fdopen(s2c_r, "r")
+    server = EngineServer(
+        engine.hooks(), stdin=os.fdopen(c2s_r, "r"), stdout=os.fdopen(s2c_w, "w")
+    )
+    threading.Thread(target=server.run, daemon=True).start()
+    assert json.loads(from_server.readline())["success"]  # init line
+
+    n_streams, n_ticks = 5, 3
+    rng = np.random.default_rng(7)
+    streams = {
+        f"s{k}": (rng.standard_normal(4 * SR) * 0.2).clip(-1, 1).astype(np.float32)
+        for k in range(n_streams)
+    }
+    # (streams are 4 s long: the sequential epilogue below reads offset
+    # windows up to 0.5 s + 3.5 s)
+    windows = {
+        name: [audio[: int((1.5 + 0.5 * t) * SR)] for t in range(n_ticks)]
+        for name, audio in streams.items()
+    }
+
+    write_lock = threading.Lock()
+    responses = {}
+    resp_lock = threading.Lock()
+
+    def reader():
+        for _ in range(n_streams * n_ticks):
+            r = json.loads(from_server.readline())
+            with resp_lock:
+                responses[r["request_id"]] = r
+
+    reader_thread = threading.Thread(target=reader)
+    reader_thread.start()
+
+    barrier = threading.Barrier(n_streams)
+
+    def dictate(name, base_rid):
+        barrier.wait()
+        for t in range(n_ticks):
+            cmd = json.dumps(
+                {
+                    "action": "transcribe",
+                    "request_id": base_rid + t,
+                    "audio_base64": _pcm_b64(windows[name][t]),
+                    "audio_format": "pcm_s16le",
+                    "sample_rate": SR,
+                    "options": {"stream": name},
+                }
+            )
+            with write_lock:
+                to_server.write(cmd + "\n")
+                to_server.flush()
+
+    threads = [
+        threading.Thread(target=dictate, args=(name, 100 * (k + 1)))
+        for k, name in enumerate(streams)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    reader_thread.join(timeout=300)
+    assert not reader_thread.is_alive()
+
+    expected = {100 * (k + 1) + t for k in range(n_streams) for t in range(n_ticks)}
+    assert set(responses) == expected
+    assert all(r["success"] for r in responses.values()), {
+        rid: r for rid, r in responses.items() if not r["success"]
+    }
+
+    from light_whisper_tpu.serving.session_bridge import SessionBridge
+
+    # Sequential epilogue: two more ticks per stream, one request in flight
+    # at a time (no coalescing possible). Storm responses were checked for
+    # success/correlation only — the server may batch storm ticks, each
+    # batched variant is a distinct XLA program, and with random tiny-model
+    # weights near-tied logits flip argmax between programs (see
+    # incremental.py "Exactness scope"), so storm-era text is not
+    # path-deterministic. The epilogue collapses the path set: tick A uses
+    # an OFFSET window (cannot extend anything the storm left behind →
+    # deterministic fresh solo prefill, whatever state churn produced),
+    # tick B byte-extends A (extends KV that tick A just built with the
+    # same program the reference replay uses). Both therefore have exactly
+    # ONE valid output; a server that cross-wired streams or leaked state
+    # through eviction churn diverges here.
+    for k, name in enumerate(streams):
+        off = SR // 2
+        epilogue = [
+            streams[name][off : off + 3 * SR],
+            streams[name][off : off + int(3.5 * SR)],
+        ]
+        resps = []
+        for j, win in enumerate(epilogue):
+            rid = 9000 + 10 * k + j
+            cmd = json.dumps(
+                {
+                    "action": "transcribe",
+                    "request_id": rid,
+                    "audio_base64": _pcm_b64(win),
+                    "audio_format": "pcm_s16le",
+                    "sample_rate": SR,
+                    "options": {"stream": name},
+                }
+            )
+            to_server.write(cmd + "\n")
+            to_server.flush()
+            resp = json.loads(from_server.readline())
+            assert resp["request_id"] == rid and resp["success"], resp
+            resps.append(resp)
+
+        ref = SessionBridge(model)
+        want_a = ref.transcribe_extending(epilogue[0])
+        want_b = ref.transcribe_extending(epilogue[1])
+        assert resps[0]["raw_text"] == want_a.text, name
+        assert resps[1]["raw_text"] == want_b.text, name
+
+    stats = engine.performance_stats()
+    total = n_streams * (n_ticks + 2)  # storm + 2 epilogue ticks per stream
+    assert stats["transcription_count"] == total
+    # 5 streams through a 2-slot pool MUST evict, and the lifetime counters
+    # must still account for every session-routed tick (retired tallies
+    # fold in — before the fix, eviction LOST the evicted bridge's counts).
+    # Coalesced batches holding the SAME stream twice route stateless by
+    # design (no session, no counter), so the bound subtracts batched
+    # requests rather than asserting equality.
+    assert stats["session_evictions"] > 0, stats
+    counted = stats["session_hits"] + stats["session_resets"]
+    assert counted <= total, stats
+    assert counted >= total - stats["batched_requests"], stats
+    # the 10 sequential epilogue ticks are always session-routed
+    assert counted >= 2 * n_streams, stats
+
+    to_server.write(json.dumps({"action": "exit", "request_id": 9999}) + "\n")
+    to_server.flush()
