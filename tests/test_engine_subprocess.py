@@ -60,3 +60,50 @@ def test_engine_subprocess_end_to_end(tmp_path):
         assert stats["success"] and stats["stats"]["initialized"]
     finally:
         client.shutdown()
+
+
+@pytest.mark.slow
+def test_dictate_subcommand_end_to_end(tmp_path):
+    """``engine_cli dictate`` replays a WAV through the recording stack:
+    JSON interim/final events on stdout, exit 0."""
+    import json
+    import subprocess
+
+    from light_whisper_tpu.audio.pcm import encode_wav_mono_s16
+    from light_whisper_tpu.eval.speechlike import speechlike
+
+    model_path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(model_path, quantize=True)
+    wav_path = str(tmp_path / "say.wav")
+    with open(wav_path, "wb") as f:
+        f.write(encode_wav_mono_s16(speechlike(1.5, seed=13), 16_000))
+
+    env = dict(
+        os.environ,
+        LIGHT_WHISPER_MODEL_PATH=model_path,
+        LIGHT_WHISPER_FORCE_CPU="1",
+        LIGHT_WHISPER_DATA_DIR=str(tmp_path / "data"),
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "light_whisper_tpu.runtime.engine_cli",
+            "dictate",
+            "--wav",
+            wav_path,
+            "--no-realtime",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    events = [json.loads(line) for line in proc.stdout.splitlines() if line.strip()]
+    finals = [e for e in events if e["event"] == "final"]
+    assert len(finals) == 1
+    final = finals[0]
+    assert not final["too_short"]
+    assert final["duration_seconds"] == pytest.approx(1.5, abs=0.01)
+    assert final["text"]
