@@ -1,0 +1,121 @@
+"""Presentation-race guards: subtitle show-generations, pending paste.
+
+The reference pre-creates a transparent always-on-top subtitle window and
+pastes finalized text into the foreground app — both OS surfaces. The race
+logic that keeps them correct is engine-adjacent state, rebuilt here:
+
+- **Show-generation guard** (``window.rs:193-244``, ``audio.rs:101-109``):
+  starting a recording *reserves* a show generation; the async task that
+  later shows the window only wins if its (session_id, generation) is
+  still current, and a scheduled hide only fires if no newer show
+  superseded it (``schedule_subtitle_hide`` ``window.rs:367+``). Without
+  this, a slow show task from a cancelled session flashes the overlay
+  over a newer recording.
+- **Pending-paste queue** (``do_paste`` ``finalize.rs:1060-1078``): if a
+  new recording is already active when a finalize completes, its text is
+  queued instead of pasted (typing into the foreground app mid-recording
+  would interleave with the user's next dictation); queued texts deliver
+  in order when recording goes idle. Paste itself waits the fixed 60 ms
+  UX delay (``PASTE_DELAY_MS`` ``mod.rs:44``).
+
+The actual window/clipboard backends stay with the shell; these classes
+drive any callback-shaped sink and are exercised headlessly in tests.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, List, Optional, Tuple
+
+PASTE_DELAY_MS = 60  # mod.rs:44 — fixed UX delay before typing
+
+
+class SubtitleGuard:
+    """(session_id, show_generation)-gated show/hide state.
+
+    ``reserve()`` is called synchronously at recording start; the show and
+    hide effects run later from async tasks and must re-validate."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._generation = 0
+        self._current: Optional[Tuple[int, int]] = None  # reserved (sid, gen)
+        self._visible_for: Optional[Tuple[int, int]] = None
+
+    def reserve(self, session_id: int) -> int:
+        """Reserve a show generation for a starting session
+        (``audio.rs:101-109``). Any older reservation is superseded."""
+        with self._lock:
+            self._generation += 1
+            self._current = (session_id, self._generation)
+            return self._generation
+
+    def show_if_current(self, session_id: int, generation: int) -> bool:
+        """The async show task: wins only if still current
+        (``window.rs:193-244``)."""
+        with self._lock:
+            if self._current != (session_id, generation):
+                return False
+            self._visible_for = (session_id, generation)
+            return True
+
+    def hide_if_current(self, session_id: int, generation: int) -> bool:
+        """A scheduled hide: fires only if no newer show superseded it
+        (``schedule_subtitle_hide`` ``window.rs:367+``)."""
+        with self._lock:
+            if self._visible_for != (session_id, generation):
+                return False
+            self._visible_for = None
+            if self._current == (session_id, generation):
+                self._current = None
+            return True
+
+    @property
+    def visible(self) -> bool:
+        with self._lock:
+            return self._visible_for is not None
+
+    def visible_session(self) -> Optional[int]:
+        with self._lock:
+            return self._visible_for[0] if self._visible_for else None
+
+
+class PasteGate:
+    """Orders finalized-text delivery around active recordings.
+
+    ``paste(text)`` delivers through the sink unless a recording is
+    active, in which case the text queues; ``set_recording(False)``
+    flushes the queue in arrival order (``finalize.rs:1060-1078``).
+    The sink receives ``(text, delay_ms)`` — the shell sleeps the delay
+    before synthesizing input; headless sinks can ignore it."""
+
+    def __init__(self, sink: Callable[[str, int], None]) -> None:
+        self._sink = sink
+        self._lock = threading.Lock()
+        self._recording = False
+        self._pending: List[str] = []
+
+    def set_recording(self, active: bool) -> None:
+        to_flush: List[str] = []
+        with self._lock:
+            self._recording = active
+            if not active and self._pending:
+                to_flush, self._pending = self._pending, []
+        for text in to_flush:
+            self._sink(text, PASTE_DELAY_MS)
+
+    def paste(self, text: str) -> bool:
+        """Returns True if delivered now, False if queued."""
+        if not text:
+            return True
+        with self._lock:
+            if self._recording:
+                self._pending.append(text)
+                return False
+        self._sink(text, PASTE_DELAY_MS)
+        return True
+
+    @property
+    def pending_count(self) -> int:
+        with self._lock:
+            return len(self._pending)
