@@ -104,9 +104,32 @@ class CaptureRing:
         return np.concatenate(chunks)
 
     def delta_since(self, offset: int) -> np.ndarray:
-        """Samples appended at/after ``offset`` (the interim loop's cursor)."""
-        snap = self.snapshot()
-        return snap[offset:]
+        """Samples appended at/after ``offset`` (the interim loop's cursor).
+
+        Copies only the tail past ``offset`` — the interim loop calls this
+        every ~220 ms and a 30-minute ring is ~58 MB, so a full-snapshot
+        slice here would turn each tick into a buffer-sized copy."""
+        with self._lock:
+            return self._tail_from(offset)
+
+    def tail(self, n: int) -> np.ndarray:
+        """The newest ``n`` samples (waveform emitter window) without
+        materializing the whole ring."""
+        with self._lock:
+            return self._tail_from(max(0, self._total - n))
+
+    def _tail_from(self, offset: int) -> np.ndarray:
+        # caller holds self._lock
+        out = []
+        pos = 0
+        for chunk in self._chunks:
+            end = pos + len(chunk)
+            if end > offset:
+                out.append(chunk[max(0, offset - pos) :])
+            pos = end
+        if not out:
+            return np.zeros(0, dtype=np.int16)
+        return np.concatenate(out) if len(out) > 1 else out[0].copy()
 
 
 class CaptureSource(Protocol):
@@ -230,8 +253,7 @@ class WaveformEmitter:
     def start(self) -> None:
         def run() -> None:
             while not self._stop.wait(self.interval_ms / 1000):
-                snap = self.ring.snapshot()
-                self.callback(waveform_bars(snap[-self._window :], self.n_bars))
+                self.callback(waveform_bars(self.ring.tail(self._window), self.n_bars))
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()

@@ -295,3 +295,22 @@ def test_recording_waveform_bars_emitted():
     ctl.stop_recording()
     assert bars and all(len(b) == 9 for b in bars)
     assert max(max(b) for b in bars) > 0.4
+
+
+def test_capture_ring_delta_and_tail_cross_chunk_boundaries():
+    ring = CaptureRing(SR)
+    ring.append(np.arange(0, 5, dtype=np.int16))
+    ring.append(np.arange(5, 9, dtype=np.int16))
+    ring.append(np.arange(9, 12, dtype=np.int16))
+    assert np.array_equal(ring.delta_since(0), np.arange(12, dtype=np.int16))
+    assert np.array_equal(ring.delta_since(3), np.arange(3, 12, dtype=np.int16))
+    assert np.array_equal(ring.delta_since(5), np.arange(5, 12, dtype=np.int16))
+    assert np.array_equal(ring.delta_since(11), np.array([11], dtype=np.int16))
+    assert len(ring.delta_since(12)) == 0
+    assert np.array_equal(ring.tail(4), np.arange(8, 12, dtype=np.int16))
+    assert np.array_equal(ring.tail(100), np.arange(12, dtype=np.int16))
+    assert len(ring.tail(0)) == 0
+    # returned arrays are copies: mutating them must not corrupt the ring
+    d = ring.delta_since(9)
+    d[:] = 0
+    assert np.array_equal(ring.delta_since(9), np.arange(9, 12, dtype=np.int16))
