@@ -130,21 +130,52 @@ def test_concurrent_dictations_soak(tmp_path):
         rid: r for rid, r in responses.items() if not r["success"]
     }
 
-    # per-stream transcripts equal a clean sequential replay: same-stream
-    # wire ordering is preserved, so the final tick must match a session
-    # that saw the same growing windows alone
+    # Sequential epilogue (see the eviction soak below for the full
+    # rationale): storm ticks may run through batched-tick programs, and
+    # near-tied random-model logits can flip argmax between programs
+    # (incremental.py "Exactness scope") — so storm responses are checked
+    # for success/correlation, and per-stream text determinism is asserted
+    # on two solo epilogue ticks whose program path is pinned: an offset
+    # window (forces a fresh solo prefill) then one byte-extension of it.
     from light_whisper_tpu.serving.session_bridge import SessionBridge
 
     for k, name in enumerate(streams):
+        off = SR // 2
+        epilogue = [
+            streams[name][off : off + 2 * SR],
+            streams[name][off : off + int(2.5 * SR)],
+        ]
+        resps = []
+        for j, win in enumerate(epilogue):
+            rid = 9000 + 10 * k + j
+            cmd = json.dumps(
+                {
+                    "action": "transcribe",
+                    "request_id": rid,
+                    "audio_base64": _pcm_b64(win),
+                    "audio_format": "pcm_s16le",
+                    "sample_rate": SR,
+                    "hot_words": ["SoakWordX"],
+                    "options": {"stream": name},
+                }
+            )
+            to_server.write(cmd + "\n")
+            to_server.flush()
+            resp = json.loads(from_server.readline())
+            assert resp["request_id"] == rid and resp["success"], resp
+            resps.append(resp)
         ref = SessionBridge(model)
-        for t in range(n_ticks):
-            want = ref.transcribe_extending(windows[name][t])
-        final = responses[100 * (k + 1) + n_ticks - 1]
-        assert final["raw_text"] == want.text, name
+        want_a = ref.transcribe_extending(epilogue[0])
+        want_b = ref.transcribe_extending(epilogue[1])
+        assert resps[0]["raw_text"] == want_a.text, name
+        assert resps[1]["raw_text"] == want_b.text, name
 
     stats = engine.performance_stats()
-    assert stats["transcription_count"] == n_streams * n_ticks
-    assert stats["session_hits"] + stats["session_resets"] >= n_streams * n_ticks
+    total = n_streams * (n_ticks + 2)
+    assert stats["transcription_count"] == total
+    assert stats["session_hits"] + stats["session_resets"] >= total - stats[
+        "batched_requests"
+    ]
     assert stats["batched_tick_degrades"] == 0, stats
 
     to_server.write(json.dumps({"action": "exit", "request_id": 9999}) + "\n")
