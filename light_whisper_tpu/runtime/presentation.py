@@ -17,6 +17,11 @@ logic that keeps them correct is engine-adjacent state, rebuilt here:
   would interleave with the user's next dictation); queued texts deliver
   in order when recording goes idle. Paste itself waits the fixed 60 ms
   UX delay (``PASTE_DELAY_MS`` ``mod.rs:44``).
+- **Subtitle layout resolution** (``window.rs:51-114``): the overlay
+  covers the monitor the user is looking at — cursor monitor first, then
+  the main window's monitor, the primary, the first available, and a
+  1280×720 default when enumeration fails entirely; physical pixels are
+  converted to logical coordinates through each monitor's scale factor.
 
 The actual window/clipboard backends stay with the shell; these classes
 drive any callback-shaped sink and are exercised headlessly in tests.
@@ -25,9 +30,75 @@ drive any callback-shaped sink and are exercised headlessly in tests.
 from __future__ import annotations
 
 import threading
-from typing import Callable, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence, Tuple
 
 PASTE_DELAY_MS = 60  # mod.rs:44 — fixed UX delay before typing
+
+# window.rs:34-35 — layout when no monitor information is available at all.
+DEFAULT_SUBTITLE_WIDTH = 1280.0
+DEFAULT_SUBTITLE_HEIGHT = 720.0
+
+
+@dataclass(frozen=True)
+class MonitorInfo:
+    """One monitor in physical pixels plus its DPI scale (tauri::Monitor)."""
+
+    x: int
+    y: int
+    width: int
+    height: int
+    scale_factor: float = 1.0
+
+    def contains(self, px: int, py: int) -> bool:
+        """Point-in-rect over PHYSICAL coordinates (``window.rs:66-73``)."""
+        return (
+            self.x <= px < self.x + self.width
+            and self.y <= py < self.y + self.height
+        )
+
+
+def find_cursor_monitor(
+    cursor: Optional[Tuple[int, int]], monitors: Sequence[MonitorInfo]
+) -> Optional[MonitorInfo]:
+    """The monitor under the cursor, if any (``window.rs:51-74``)."""
+    if cursor is None:
+        return None
+    px, py = cursor
+    for monitor in monitors:
+        if monitor.contains(px, py):
+            return monitor
+    return None
+
+
+def resolve_subtitle_layout(
+    monitors: Sequence[MonitorInfo],
+    cursor: Optional[Tuple[int, int]] = None,
+    main_window_monitor: Optional[MonitorInfo] = None,
+    primary: Optional[MonitorInfo] = None,
+) -> Tuple[float, float, float, float]:
+    """Full-monitor subtitle layout as ``(logical_w, logical_h, x, y)``.
+
+    Fallback ladder (``window.rs:81-114``): cursor monitor → the main
+    window's monitor → the primary monitor → the first enumerated monitor
+    → the 1280×720 origin default. Physical size/position divide by the
+    winning monitor's scale factor; degenerate sizes clamp to ≥1 logical px.
+    """
+    monitor = (
+        find_cursor_monitor(cursor, monitors)
+        or main_window_monitor
+        or primary
+        or (monitors[0] if monitors else None)
+    )
+    if monitor is None:
+        return DEFAULT_SUBTITLE_WIDTH, DEFAULT_SUBTITLE_HEIGHT, 0.0, 0.0
+    scale = monitor.scale_factor or 1.0
+    return (
+        max(monitor.width / scale, 1.0),
+        max(monitor.height / scale, 1.0),
+        monitor.x / scale,
+        monitor.y / scale,
+    )
 
 
 class SubtitleGuard:

@@ -74,3 +74,61 @@ def test_empty_text_never_queues():
     gate.set_recording(True)
     assert gate.paste("")
     assert gate.pending_count == 0
+
+
+# -- subtitle layout resolution (window.rs:51-114) ---------------------------
+
+from light_whisper_tpu.runtime.presentation import (  # noqa: E402
+    DEFAULT_SUBTITLE_HEIGHT,
+    DEFAULT_SUBTITLE_WIDTH,
+    MonitorInfo,
+    find_cursor_monitor,
+    resolve_subtitle_layout,
+)
+
+LEFT = MonitorInfo(x=0, y=0, width=2560, height=1440, scale_factor=1.25)
+RIGHT = MonitorInfo(x=2560, y=0, width=3840, height=2160, scale_factor=2.0)
+
+
+def test_cursor_monitor_point_in_rect_is_physical_and_half_open():
+    assert find_cursor_monitor((2559, 10), [LEFT, RIGHT]) is LEFT
+    assert find_cursor_monitor((2560, 10), [LEFT, RIGHT]) is RIGHT
+    assert find_cursor_monitor((2560 + 3840, 10), [LEFT, RIGHT]) is None
+    assert find_cursor_monitor(None, [LEFT, RIGHT]) is None
+
+
+def test_layout_prefers_cursor_monitor_and_converts_to_logical():
+    w, h, x, y = resolve_subtitle_layout(
+        [LEFT, RIGHT], cursor=(3000, 100), main_window_monitor=LEFT, primary=LEFT
+    )
+    assert (w, h) == (3840 / 2.0, 2160 / 2.0)
+    assert (x, y) == (2560 / 2.0, 0.0)
+
+
+def test_layout_fallback_ladder():
+    # No cursor hit -> main window monitor wins over primary.
+    w, _, _, _ = resolve_subtitle_layout(
+        [LEFT, RIGHT], cursor=(-5, -5), main_window_monitor=RIGHT, primary=LEFT
+    )
+    assert w == 3840 / 2.0
+    # No main window monitor -> primary.
+    w, _, _, _ = resolve_subtitle_layout([LEFT, RIGHT], primary=RIGHT)
+    assert w == 3840 / 2.0
+    # Nothing but the enumeration -> first monitor.
+    w, h, x, y = resolve_subtitle_layout([LEFT, RIGHT])
+    assert (w, h) == (2560 / 1.25, 1440 / 1.25)
+
+
+def test_layout_default_when_no_monitor_info():
+    assert resolve_subtitle_layout([]) == (
+        DEFAULT_SUBTITLE_WIDTH,
+        DEFAULT_SUBTITLE_HEIGHT,
+        0.0,
+        0.0,
+    )
+
+
+def test_layout_clamps_degenerate_sizes():
+    tiny = MonitorInfo(x=0, y=0, width=1, height=1, scale_factor=4.0)
+    w, h, _, _ = resolve_subtitle_layout([tiny])
+    assert (w, h) == (1.0, 1.0)
