@@ -87,7 +87,9 @@ class CaptureRing:
             room = self.max_samples - self._total
             if room <= 0:
                 return 0
-            take = samples[:room]
+            # Own the data: device backends legitimately reuse their callback
+            # buffer between blocks, and asarray on an i16 input is a view.
+            take = np.array(samples[:room], dtype=np.int16)
             self._chunks.append(take)
             self._total += len(take)
             return len(take)

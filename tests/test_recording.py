@@ -314,3 +314,13 @@ def test_capture_ring_delta_and_tail_cross_chunk_boundaries():
     d = ring.delta_since(9)
     d[:] = 0
     assert np.array_equal(ring.delta_since(9), np.arange(9, 12, dtype=np.int16))
+
+
+def test_capture_ring_owns_appended_data():
+    # Device backends reuse their callback buffer between blocks; the ring
+    # must copy on append or history silently mutates.
+    ring = CaptureRing(SR)
+    buf = np.arange(10, dtype=np.int16)
+    ring.append(buf)
+    buf[:] = -1  # backend reuses the buffer for the next block
+    assert ring.snapshot().tolist() == list(range(10))
