@@ -117,6 +117,63 @@ def resample_linear(audio: np.ndarray, source_rate: int, target_rate: int = TARG
     ).astype(np.float32)
 
 
+class StreamingResampler:
+    """Phase-continuous linear resampler for capture deltas.
+
+    The recording pump resamples each ~220 ms ring delta as it arrives;
+    restarting :func:`resample_linear`'s endpoint-pinned grid per delta
+    would stretch every chunk slightly and double-sample each boundary.
+    This keeps a fractional source-position cursor across deltas — the
+    output grid is ``k * source_rate / target_rate`` over the WHOLE stream
+    regardless of how it was chunked, matching the reference's stateful
+    interim resampler (``resample.rs:130-159`` ``ResamplerState`` carried
+    across ticks, ``interim.rs:36-133`` incremental cache).
+    """
+
+    def __init__(self, source_rate: int, target_rate: int = TARGET_SAMPLE_RATE) -> None:
+        if source_rate <= 0 or target_rate <= 0:
+            raise ValueError(f"invalid sample rate: {source_rate} -> {target_rate}")
+        self.source_rate = int(source_rate)
+        self.target_rate = int(target_rate)
+        self._step = self.source_rate / self.target_rate
+        self._next_pos = 0.0  # absolute source position of the next output
+        self._consumed = 0  # source samples fully pushed so far
+        self._prev: Optional[np.float32] = None  # last source sample seen
+
+    def push(self, delta: np.ndarray) -> np.ndarray:
+        """Resample the next chunk of the stream; returns float32 output."""
+        delta = np.asarray(delta, dtype=np.float32)
+        if self.source_rate == self.target_rate:
+            self._consumed += len(delta)
+            return delta
+        if len(delta) == 0:
+            return np.empty(0, dtype=np.float32)
+        # Local buffer = [previous tail sample] + delta, so outputs landing
+        # between the previous chunk's last sample and this chunk's first
+        # interpolate across the seam.
+        if self._prev is not None:
+            buf = np.concatenate(([self._prev], delta))
+            start = self._consumed - 1
+        else:
+            buf = delta
+            start = self._consumed
+        last_pos = self._consumed + len(delta) - 1
+        out_positions = []
+        pos = self._next_pos
+        while pos <= last_pos:
+            out_positions.append(pos)
+            pos += self._step
+        self._next_pos = pos
+        self._consumed += len(delta)
+        self._prev = buf[-1]
+        if not out_positions:
+            return np.empty(0, dtype=np.float32)
+        local = np.asarray(out_positions, dtype=np.float64) - start
+        return np.interp(
+            local, np.arange(len(buf), dtype=np.float64), buf
+        ).astype(np.float32)
+
+
 def read_audio_file_mono_f32(path: str) -> Tuple[np.ndarray, int]:
     """Read an audio file to (float32 mono samples, source_rate).
 

@@ -107,6 +107,7 @@ class DailyMaintenance:
         self.runs = 0
         self._timer: Optional[threading.Timer] = None
         self._lock = threading.Lock()
+        self._run_lock = threading.Lock()
         self._period = interval_s
         self._stopped = True
 
@@ -114,7 +115,9 @@ class DailyMaintenance:
         try:
             with open(self.stamp_path, "r", encoding="utf-8") as f:
                 return float(json.load(f)["last_run"])
-        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        except (OSError, ValueError, KeyError, TypeError, json.JSONDecodeError):
+            # TypeError: stamp holds non-dict JSON (null/list) — treat any
+            # unreadable stamp as never-run so it gets repaired on the next run
             return 0.0
 
     def _stamp(self, now: float) -> None:
@@ -124,22 +127,33 @@ class DailyMaintenance:
         os.replace(tmp, self.stamp_path)
 
     def run_if_due(self) -> Optional[dict]:
-        now = self.clock()
-        if now - self._last_run() < self.interval_s:
-            return None
-        profile = self.store.load()
-        removed = cleanup_profile(profile)
-        self.store.save_now(profile)
-        self._stamp(now)
-        self.runs += 1
+        # The due-check/cleanup/stamp sequence is serialized: a host call
+        # racing the timer fire must not double-run (save_now shares one
+        # .tmp path — concurrent writers could install corrupt JSON).
+        with self._run_lock:
+            now = self.clock()
+            if now - self._last_run() < self.interval_s:
+                return None
+            profile = self.store.load()
+            removed = cleanup_profile(profile)
+            self.store.save_now(profile)
+            self._stamp(now)
+            self.runs += 1
         log.info("profile maintenance: %s", removed)
         return removed
 
     def start_schedule(self, check_every_s: Optional[float] = None) -> None:
-        """Startup entry: run if due now, then re-check periodically."""
+        """Startup entry: run if due now, then re-check periodically.
+
+        The initial run is guarded like the timer fires — maintenance
+        failures never crash startup, and the periodic timer is armed
+        regardless (``lib.rs:390-459`` logs and proceeds)."""
         self._period = check_every_s if check_every_s is not None else self.interval_s
         self._stopped = False
-        self.run_if_due()
+        try:
+            self.run_if_due()
+        except Exception:
+            log.warning("startup profile maintenance failed", exc_info=True)
         self._arm()
 
     def _arm(self) -> None:

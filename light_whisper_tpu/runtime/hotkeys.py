@@ -177,11 +177,14 @@ class HotkeyEngine:
         except Exception:
             with self._lock:
                 binding.stats.suppressed += 1
-            # a failed START must not leave the binding claiming a live
-            # recording it never got
-            if action is HotkeyAction.START:
-                with self._lock:
+                if action is HotkeyAction.START:
+                    # a failed START must not leave the binding claiming a
+                    # live recording it never got
                     binding.active = False
+                else:
+                    # a failed STOP/CANCEL leaves the recording live — re-arm
+                    # so the next press retries the stop instead of wedging
+                    binding.active = True
         else:
             with self._lock:
                 binding.stats.dispatched += 1
@@ -191,8 +194,9 @@ class HotkeyEngine:
     ) -> Optional[HotkeyAction]:
         if down:
             b.stats.presses += 1
-            if b.mode is HotkeyMode.HOLD and b.pressed:
-                # OS key-repeat while held: not a new press
+            if b.pressed:
+                # OS key-repeat while held: not a new press (a held TOGGLE
+                # key must not cycle start/stop ~30×/s either)
                 b.stats.presses -= 1
                 return None
             if (
@@ -201,22 +205,28 @@ class HotkeyEngine:
             ):
                 b.stats.suppressed += 1
                 return None
+            b.pressed = True
             if b.mode is HotkeyMode.TOGGLE:
                 b.active = not b.active
                 return HotkeyAction.START if b.active else HotkeyAction.STOP
             # HOLD
-            b.pressed = True
             b.press_started_ms = now_ms
+            if b.active:
+                # leftover live recording from a failed stop: unwedge by
+                # stopping it; the next press starts fresh
+                b.active = False
+                return HotkeyAction.STOP
             b.active = True
             return HotkeyAction.START
         # key-up
         b.stats.releases += 1
         b.last_release_ms = now_ms
+        was_pressed = b.pressed
+        b.pressed = False
         if b.mode is HotkeyMode.TOGGLE:
             return None  # toggle acts on presses only
-        if not b.pressed:
+        if not was_pressed:
             return None  # stray key-up (e.g. pressed before binding)
-        b.pressed = False
         if not b.active:
             return None
         b.active = False

@@ -59,6 +59,17 @@ def _tick_degrades() -> int:
         return 0
 
 
+def _tick_degrade_error() -> Optional[str]:
+    """repr() of the most recent batched-tick failure, for stats consumers
+    whose log files may already be gone (test harnesses, crash triage)."""
+    try:
+        from light_whisper_tpu.serving import incremental_batch
+
+        return incremental_batch.last_degrade_error
+    except Exception:
+        return None
+
+
 def _default_model_factory(model_path: str):
     from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
 
@@ -758,6 +769,7 @@ class Qwen3EngineServer:
             "batched_requests": self._batched_requests,
             "batched_tick_dispatches": self._batched_tick_dispatches,
             "batched_tick_degrades": _tick_degrades(),
+            "batched_tick_last_error": _tick_degrade_error(),
             "initialized": self.initialized,
             "engine": self.engine,
             "backend": self.backend,

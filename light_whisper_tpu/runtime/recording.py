@@ -25,6 +25,7 @@ finalize (``finalize.rs:191-207``), the <0.5 s too-short gate
 from __future__ import annotations
 
 import dataclasses
+import logging
 import threading
 import time
 from typing import Callable, List, Optional
@@ -38,7 +39,7 @@ from light_whisper_tpu.audio.capture import (
     WaveformEmitter,
     start_capture,
 )
-from light_whisper_tpu.audio.pcm import resample_linear
+from light_whisper_tpu.audio.pcm import StreamingResampler
 from light_whisper_tpu.runtime.recording_state import (
     RecordingOutcomeKind,
     RecordingPhase,
@@ -49,6 +50,8 @@ from light_whisper_tpu.serving.streaming import (
     InterimResult,
     StreamingSession,
 )
+
+log = logging.getLogger(__name__)
 
 MIN_RECORD_SECONDS = 0.5  # finalize.rs:267-279: shorter recordings → too_short
 INTERIM_JOIN_TIMEOUT_S = 5.0  # finalize.rs:191-207: bounded interim join
@@ -93,6 +96,10 @@ class _Active:
         self.waveform: Optional[WaveformEmitter] = None
         self.consumed = 0  # ring cursor (source-rate samples)
         self.ticks = 0
+        self.tick_errors = 0
+        # Phase-continuous across deltas: per-chunk resampling would restart
+        # the sample grid at every pump (seam artifacts ~4.5×/s at 48 kHz).
+        self.resampler = StreamingResampler(ring.sample_rate, SAMPLE_RATE)
 
 
 class RecordingController:
@@ -144,26 +151,44 @@ class RecordingController:
             active = _Active(
                 session_id, mode, ring, handle, StreamingSession(self.transcriber)
             )
+
+            def interim_loop() -> None:
+                while not active.stop_event.wait(
+                    active.session.next_interval_ms * interval_scale / 1000
+                ):
+                    # One bad tick (engine restarting, a UI callback raising)
+                    # must not kill the loop for the rest of the recording —
+                    # interim subtitles would freeze and finalize would pay
+                    # one giant unpumped transcribe.
+                    try:
+                        with active.session_lock:
+                            if active.stop_event.is_set():
+                                return
+                            self._pump(active)
+                            result = active.session.tick()
+                        if result is not None:
+                            active.ticks += 1
+                            if on_interim is not None:
+                                on_interim(result)
+                    except Exception:
+                        active.tick_errors += 1
+                        log.warning(
+                            "interim tick failed (session %d)",
+                            session_id,
+                            exc_info=True,
+                        )
+
+            # Assign the threads/emitter BEFORE publishing _active: a
+            # stop/cancel racing in right after the lock releases must find
+            # them in _teardown (their stop events are pre-armed, so a
+            # start() after teardown exits on the first wait).
+            active.interim_thread = threading.Thread(target=interim_loop, daemon=True)
+            if on_waveform is not None:
+                active.waveform = WaveformEmitter(ring, on_waveform)
             self._active = active
 
-        def interim_loop() -> None:
-            while not active.stop_event.wait(
-                active.session.next_interval_ms * interval_scale / 1000
-            ):
-                with active.session_lock:
-                    if active.stop_event.is_set():
-                        return
-                    self._pump(active)
-                    result = active.session.tick()
-                if result is not None:
-                    active.ticks += 1
-                    if on_interim is not None:
-                        on_interim(result)
-
-        active.interim_thread = threading.Thread(target=interim_loop, daemon=True)
         active.interim_thread.start()
-        if on_waveform is not None:
-            active.waveform = WaveformEmitter(ring, on_waveform)
+        if active.waveform is not None:
             active.waveform.start()
 
         # Starting→Recording promotion; a newer session racing in between
@@ -255,22 +280,25 @@ class RecordingController:
 
     def _pump(self, active: _Active) -> None:
         """Move new ring samples (source rate, i16) into the streaming
-        session (16 k float32). Deltas are resampled independently — the
-        reference's incremental resample cache semantics
-        (``interim.rs:36-133``: only new samples pay resample work)."""
+        session (16 k float32). Only new samples pay resample work, and the
+        resampler carries its phase across deltas so the output grid is the
+        one the whole recording would get (``interim.rs:36-133`` incremental
+        cache + ``resample.rs:130-159`` stateful resampler)."""
         delta = active.ring.delta_since(active.consumed)
         if len(delta) == 0:
             return
         active.consumed += len(delta)
-        f32 = delta.astype(np.float32) / 32768.0
-        if active.ring.sample_rate != SAMPLE_RATE:
-            f32 = resample_linear(f32, active.ring.sample_rate, SAMPLE_RATE)
-        active.session.accept(f32)
+        f32 = active.resampler.push(delta.astype(np.float32) / 32768.0)
+        if len(f32):
+            active.session.accept(f32)
 
     def _teardown(self, active: _Active) -> None:
         active.stop_event.set()
         active.handle.stop()
         if active.waveform is not None:
             active.waveform.stop()
-        if active.interim_thread is not None:
-            active.interim_thread.join(timeout=INTERIM_JOIN_TIMEOUT_S)
+        thread = active.interim_thread
+        # ident is None when a racing start hasn't called start() yet; its
+        # loop exits on the first wait since stop_event is already set.
+        if thread is not None and thread.ident is not None:
+            thread.join(timeout=INTERIM_JOIN_TIMEOUT_S)

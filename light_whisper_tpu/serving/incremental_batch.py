@@ -38,7 +38,10 @@ log = logging.getLogger(__name__)
 # Batched ticks that raised and degraded to per-stream fallbacks — surfaced
 # in server stats (``batched_tick_degrades``) so a persistent batched-program
 # failure (every coalesced tick paying a failed attempt) is visible.
+# ``last_degrade_error`` keeps the most recent cause (repr) for stats — the
+# warning log may live in a data dir a test harness has already deleted.
 degrade_count = 0
+last_degrade_error: Optional[str] = None
 
 import jax
 import jax.numpy as jnp
@@ -298,15 +301,16 @@ def tick_batch(
                 continue
             try:
                 batch_results = runner([plans[i] for i in chunk])
-            except Exception:
+            except Exception as exc:
                 # A batched-program failure must not fail every coalesced
                 # request: sessions are untouched on failure (the runners
                 # work on stacked cache COPIES and apply session state in a
                 # non-fallible pass after all device work), so degrading to
                 # the per-stream path keeps each stream's cheap extending
                 # tick — a genuinely broken request fails alone there.
-                global degrade_count
+                global degrade_count, last_degrade_error
                 degrade_count += 1
+                last_degrade_error = repr(exc)
                 log.warning(
                     "batched tick failed; degrading %d streams to per-stream",
                     len(chunk),

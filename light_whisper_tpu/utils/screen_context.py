@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import base64
 import concurrent.futures
+import dataclasses
 import io
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Protocol, Sequence, Tuple
@@ -196,13 +197,7 @@ def capture_screen_context_at_point(
         monitor = grabber.monitor_at(x, y)
     except Exception as exc:  # noqa: BLE001
         raise ScreenCaptureError(f"读取划词所在屏幕失败: {exc}") from exc
-    opts = ScreenCaptureOptions(
-        max_edge=options.max_edge,
-        jpeg_quality=options.jpeg_quality,
-        max_images=1,
-        max_total_base64_bytes=options.max_total_base64_bytes,
-    )
-    return capture_monitors([monitor], opts)
+    return capture_monitors([monitor], dataclasses.replace(options, max_images=1))
 
 
 def capture_with_timeout(
@@ -212,14 +207,19 @@ def capture_with_timeout(
     """Bound a blocking capture like the async offload does (``:28-42``).
 
     A timeout degrades to a typed error (the assistant flow catches it and
-    proceeds without screen context) instead of wedging the caller.
+    proceeds without screen context) instead of wedging the caller. The
+    executor is shut down WITHOUT waiting — a `with` block (or
+    ``shutdown(wait=True)``) would join the hung capture thread and defeat
+    the timeout entirely; the abandoned daemon-less worker exits when the
+    stuck OS call eventually returns.
     """
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-        future = pool.submit(capture)
-        try:
-            return future.result(timeout=timeout_s)
-        except concurrent.futures.TimeoutError:
-            future.cancel()
-            raise ScreenCaptureError(
-                f"截屏超过 {timeout_s:g} 秒，已跳过屏幕上下文"
-            ) from None
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    future = pool.submit(capture)
+    try:
+        return future.result(timeout=timeout_s)
+    except concurrent.futures.TimeoutError:
+        raise ScreenCaptureError(
+            f"截屏超过 {timeout_s:g} 秒，已跳过屏幕上下文"
+        ) from None
+    finally:
+        pool.shutdown(wait=False)

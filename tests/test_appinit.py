@@ -106,3 +106,60 @@ def test_exit_kill_blocks_and_stops_once():
     hook()
     hook()  # idempotent
     assert mgr.shutdowns == 1
+
+
+def test_corrupt_stamp_is_treated_as_never_run(tmp_path):
+    store = ProfileStore(str(tmp_path / "profile.json"))
+    m = DailyMaintenance(store, interval_s=100.0, clock=lambda: 1000.0)
+    # null / list / wrong-typed JSON stamps must read as "never run", not crash
+    for bad in ("null", "[1,2]", '{"last_run": null}', "{}"):
+        with open(m.stamp_path, "w") as f:
+            f.write(bad)
+        assert m.run_if_due() is not None  # ran and repaired the stamp
+        import os
+        os.remove(m.stamp_path)
+
+
+def test_startup_maintenance_failure_still_arms_the_timer(tmp_path):
+    store = ProfileStore(str(tmp_path / "profile.json"))
+    clock = {"t": 0.0}
+    m = DailyMaintenance(store, interval_s=0.02, clock=lambda: clock["t"])
+    fails = {"n": 0}
+    real_save = store.save_now
+
+    def flaky_save(profile):
+        if fails["n"] == 0:
+            fails["n"] += 1
+            raise OSError("disk full")
+        real_save(profile)
+
+    store.save_now = flaky_save
+    # The initial run raises inside start_schedule; startup must survive and
+    # the periodic timer must still be armed so a later fire succeeds.
+    m.start_schedule(check_every_s=0.01)
+    deadline = time.time() + 5
+    while m.runs == 0 and time.time() < deadline:
+        clock["t"] += 1.0
+        time.sleep(0.02)
+    m.stop_schedule()
+    assert fails["n"] == 1 and m.runs >= 1
+
+
+def test_run_if_due_is_serialized(tmp_path):
+    store = ProfileStore(str(tmp_path / "profile.json"))
+    m = DailyMaintenance(store, interval_s=1000.0, clock=time.time)
+    barrier = threading.Barrier(4)
+    results = []
+
+    def worker():
+        barrier.wait()
+        results.append(m.run_if_due())
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # exactly one concurrent caller performed maintenance
+    assert sum(1 for r in results if r is not None) == 1
+    assert m.runs == 1

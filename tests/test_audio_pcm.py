@@ -108,3 +108,65 @@ def test_wav_float32_and_stereo(tmp_path):
     loaded, rate = read_audio_file_mono_f32(str(path))
     assert rate == 16000
     np.testing.assert_allclose(loaded, audio.mean(axis=1), atol=1e-6)
+
+
+# -- streaming resampler (phase continuity across capture deltas) ------------
+
+def _oneshot_grid(audio: np.ndarray, sr: int, tr: int) -> np.ndarray:
+    """The fixed-ratio grid the streaming resampler commits to: k * sr/tr."""
+    step = sr / tr
+    n_out = int(np.floor((len(audio) - 1) / step)) + 1
+    pos = np.arange(n_out, dtype=np.float64) * step
+    return np.interp(pos, np.arange(len(audio), dtype=np.float64), audio).astype(
+        np.float32
+    )
+
+
+def test_streaming_resampler_chunking_invariant():
+    from light_whisper_tpu.audio.pcm import StreamingResampler
+
+    rng = np.random.default_rng(7)
+    audio = rng.standard_normal(48_000 * 2).astype(np.float32)
+    want = _oneshot_grid(audio, 48_000, 16_000)
+
+    for seed in range(3):
+        r = StreamingResampler(48_000, 16_000)
+        cuts = np.sort(
+            np.random.default_rng(seed).choice(len(audio) - 2, size=9, replace=False) + 1
+        )
+        chunks = np.split(audio, cuts)
+        got = np.concatenate([r.push(c) for c in chunks])
+        # identical grid regardless of chunking — not just close, equal
+        np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_resampler_identity_at_target_rate():
+    from light_whisper_tpu.audio.pcm import StreamingResampler
+
+    r = StreamingResampler(16_000, 16_000)
+    audio = np.arange(100, dtype=np.float32)
+    np.testing.assert_array_equal(r.push(audio), audio)
+
+
+def test_streaming_resampler_no_boundary_double_sampling():
+    from light_whisper_tpu.audio.pcm import StreamingResampler
+
+    # A ramp resampled 48k->16k must stay a uniform ramp (step 3.0) across
+    # chunk seams; per-chunk grid restarts would inject near-duplicate
+    # samples at each boundary.
+    audio = np.arange(48_000, dtype=np.float32)
+    r = StreamingResampler(48_000, 16_000)
+    out = np.concatenate([r.push(c) for c in np.split(audio, [5000, 12345, 30001])])
+    steps = np.diff(out.astype(np.float64))
+    assert np.allclose(steps, 3.0, atol=1e-3), (steps.min(), steps.max())
+
+
+def test_streaming_resampler_empty_and_tiny_pushes():
+    from light_whisper_tpu.audio.pcm import StreamingResampler
+
+    r = StreamingResampler(48_000, 16_000)
+    assert r.push(np.empty(0, dtype=np.float32)).size == 0
+    out = [r.push(np.array([v], dtype=np.float32)) for v in np.arange(12.0)]
+    got = np.concatenate(out)
+    want = _oneshot_grid(np.arange(12, dtype=np.float32), 48_000, 16_000)
+    np.testing.assert_array_equal(got, want)

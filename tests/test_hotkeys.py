@@ -123,9 +123,11 @@ def test_failed_start_does_not_wedge_the_binding():
     k = HotkeyKind.DICTATION
     engine.bind(k, HotkeyMode.TOGGLE)
     engine.key_event(k, True)  # START raises
+    engine.key_event(k, False)
     engine.flush()
     clock.advance_ms(1000)
     engine.key_event(k, True)  # must START again, not STOP
+    engine.key_event(k, False)
     engine.flush()
     engine.close()
     assert calls == [HotkeyAction.START, HotkeyAction.START]
@@ -217,3 +219,76 @@ def test_hotkeys_drive_recording_controller():
     engine.close()
     assert results and results[0].text == f"len={SR}"
     assert not results[0].too_short
+
+
+def test_toggle_key_repeat_does_not_cycle_start_stop():
+    # A held TOGGLE key delivers auto-repeat key-downs with no key-up; they
+    # must not flip the recording ~30x/s.
+    engine, clock, actions = make_engine(HotkeyMode.TOGGLE)
+    k = HotkeyKind.DICTATION
+    engine.key_event(k, True)
+    for _ in range(10):  # OS auto-repeat
+        clock.advance_ms(33)
+        engine.key_event(k, True)
+    engine.key_event(k, False)
+    engine.flush()
+    engine.close()
+    assert actions == [(k, HotkeyAction.START)]
+    assert engine.stats()[k.value]["presses"] == 1
+
+
+def test_failed_toggle_stop_rearms_for_retry():
+    clock = Clock()
+    calls = []
+
+    def handler(kind, action):
+        calls.append(action)
+        if calls.count(HotkeyAction.STOP) == 1:
+            raise RuntimeError("finalize hiccup")
+
+    engine = HotkeyEngine(handler, clock=clock)
+    k = HotkeyKind.DICTATION
+    engine.bind(k, HotkeyMode.TOGGLE)
+    for _ in range(3):  # START, STOP (fails), STOP (retry succeeds)
+        clock.advance_ms(1000)
+        engine.key_event(k, True)
+        engine.key_event(k, False)
+    engine.flush()
+    engine.close()
+    assert calls == [HotkeyAction.START, HotkeyAction.STOP, HotkeyAction.STOP]
+
+
+def test_failed_hold_stop_unwedges_on_next_press():
+    clock = Clock()
+    calls = []
+
+    def handler(kind, action):
+        calls.append(action)
+        if calls.count(HotkeyAction.STOP) == 1:
+            raise RuntimeError("finalize hiccup")
+
+    engine = HotkeyEngine(handler, clock=clock)
+    k = HotkeyKind.DICTATION
+    engine.bind(k, HotkeyMode.HOLD)
+    engine.key_event(k, True)
+    clock.advance_ms(800)
+    engine.key_event(k, False)  # STOP raises -> binding re-arms
+    engine.flush()
+    clock.advance_ms(1000)
+    engine.key_event(k, True)  # unwedge: stop the leftover recording
+    clock.advance_ms(800)
+    engine.key_event(k, False)
+    engine.flush()
+    clock.advance_ms(1000)
+    engine.key_event(k, True)  # fresh start works again
+    clock.advance_ms(800)
+    engine.key_event(k, False)
+    engine.flush()
+    engine.close()
+    assert calls == [
+        HotkeyAction.START,
+        HotkeyAction.STOP,  # fails
+        HotkeyAction.STOP,  # unwedge on next press
+        HotkeyAction.START,
+        HotkeyAction.STOP,
+    ]

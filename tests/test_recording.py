@@ -324,3 +324,32 @@ def test_capture_ring_owns_appended_data():
     ring.append(buf)
     buf[:] = -1  # backend reuses the buffer for the next block
     assert ring.snapshot().tolist() == list(range(10))
+
+
+def test_interim_tick_errors_do_not_kill_the_loop():
+    class FlakyTranscriber:
+        def __init__(self):
+            self.calls = 0
+
+        def transcribe(self, audio):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("engine restarting")
+            from types import SimpleNamespace
+            return SimpleNamespace(text=f"n={len(audio)}", language="zh")
+
+    ctl = RecordingController(FlakyTranscriber())
+    blocks = [np.full(SR // 10, 0.1, dtype=np.float32)] * 10  # 1 s total
+    src = ScriptedSource(blocks, sample_rate=SR)
+    interims = []
+    ctl.start_recording(src, on_interim=interims.append, interval_scale=2.0)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        active = ctl._active
+        if active is not None and active.tick_errors >= 1 and active.ticks >= 1:
+            break
+        time.sleep(0.02)
+    result = ctl.stop_recording()
+    # the first tick raised, later ticks kept flowing, finalize succeeded
+    assert result.text.startswith("n=")
+    assert not result.too_short

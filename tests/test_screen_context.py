@@ -153,3 +153,18 @@ def test_timeout_degrades_to_typed_error():
 def test_timeout_passes_through_fast_results():
     screens = [CapturedScreen("image/jpeg", "aGk=")]
     assert capture_with_timeout(lambda: screens, timeout_s=1.0) == screens
+
+
+def test_timeout_returns_promptly_despite_hung_capture():
+    # The timeout must bound the CALLER: a hung OS grab cannot hold the
+    # assistant flow past timeout_s (executor shutdown must not join it).
+    hung = time.time()
+
+    def hung_capture():
+        time.sleep(1.0)
+        return []
+
+    t0 = time.time()
+    with pytest.raises(ScreenCaptureError):
+        capture_with_timeout(hung_capture, timeout_s=0.05)
+    assert time.time() - t0 < 0.5, "caller blocked on the hung capture thread"

@@ -67,6 +67,12 @@ def test_concurrent_dictations_soak(tmp_path):
     threading.Thread(target=server.run, daemon=True).start()
     assert json.loads(from_server.readline())["success"]  # init line
 
+    # degrade_count is a module-level lifetime counter; other tests in this
+    # process legitimately force degrades — assert the storm's DELTA.
+    from light_whisper_tpu.serving import incremental_batch
+
+    degrades_before = incremental_batch.degrade_count
+
     n_streams, n_ticks = 3, 4
     rng = np.random.default_rng(0)
     streams = {
@@ -176,7 +182,7 @@ def test_concurrent_dictations_soak(tmp_path):
     assert stats["session_hits"] + stats["session_resets"] >= total - stats[
         "batched_requests"
     ]
-    assert stats["batched_tick_degrades"] == 0, stats
+    assert stats["batched_tick_degrades"] - degrades_before == 0, stats
 
     to_server.write(json.dumps({"action": "exit", "request_id": 9999}) + "\n")
     to_server.flush()
