@@ -8,6 +8,14 @@ final text — and feed them into the profile as user-sourced corrections.
 Any LLM failure (no key, transport error, empty/unparseable output) falls
 back to the local char-diff pair collection, and finally to a bare learning
 tick, so correction learning never depends on network availability.
+
+The Chinese extraction prompts in :func:`build_extraction_prompt` are kept
+VERBATIM from ``commands/profile.rs:96-121`` — acknowledged copied text. The
+prompt IS the feature's behavior spec: it determines exactly which pair
+shapes the LLM returns, and the replay fixtures assert those outputs.
+Rewording it would change what the feature learns, which is parity risk
+with no upside; the surrounding architecture (fallback ladder, JSON
+parsing, profile integration) is original.
 """
 
 from __future__ import annotations
