@@ -24,6 +24,7 @@ finalize resample downstream, ``interim.rs:36-133`` / ``finalize.rs:782``).
 
 from __future__ import annotations
 
+import bisect
 import threading
 import time
 from typing import Callable, List, Optional, Protocol, Sequence
@@ -77,6 +78,7 @@ class CaptureRing:
         self.sample_rate = int(sample_rate)
         self.max_samples = MAX_RECORD_SECONDS * self.sample_rate
         self._chunks: List[np.ndarray] = []
+        self._starts: List[int] = []  # cumulative start offset per chunk
         self._total = 0
         self._lock = threading.Lock()
 
@@ -91,6 +93,7 @@ class CaptureRing:
             # buffer between blocks, and asarray on an i16 input is a view.
             take = np.array(samples[:room], dtype=np.int16)
             self._chunks.append(take)
+            self._starts.append(self._total)
             self._total += len(take)
             return len(take)
 
@@ -121,16 +124,18 @@ class CaptureRing:
             return self._tail_from(max(0, self._total - n))
 
     def _tail_from(self, offset: int) -> np.ndarray:
-        # caller holds self._lock
-        out = []
-        pos = 0
-        for chunk in self._chunks:
-            end = pos + len(chunk)
-            if end > offset:
-                out.append(chunk[max(0, offset - pos) :])
-            pos = end
-        if not out:
+        # caller holds self._lock. Bisect the cumulative start offsets to
+        # the first relevant chunk: ~10 ms device callbacks accumulate
+        # ~180k chunks over a capped recording, and a linear scan here runs
+        # inside the lock on every interim tick AND every 55 ms waveform
+        # emit, starving the capture thread's append late in a recording.
+        offset = max(0, offset)
+        if offset >= self._total:
             return np.zeros(0, dtype=np.int16)
+        first = bisect.bisect_right(self._starts, offset) - 1
+        pos = self._starts[first]
+        out = [self._chunks[first][offset - pos :]]
+        out.extend(self._chunks[first + 1 :])
         return np.concatenate(out) if len(out) > 1 else out[0].copy()
 
 
@@ -195,10 +200,9 @@ class ScriptedSource:
 class CaptureHandle:
     """A started capture: source frames → downmix → ring."""
 
-    def __init__(self, source: CaptureSource, ring: CaptureRing, channels: int = 1):
+    def __init__(self, source: CaptureSource, ring: CaptureRing):
         self.source = source
         self.ring = ring
-        self._channels = channels
 
     def stop(self) -> None:
         self.source.stop()
@@ -210,7 +214,7 @@ def start_capture(
     """Wire a source's frames through downmix into the ring and start it
     (the portable half of ``spawn_audio_capture_thread``,
     ``capture.rs:293-452``)."""
-    handle = CaptureHandle(source, ring, channels)
+    handle = CaptureHandle(source, ring)
     source.start(lambda frames: ring.append(mix_to_mono(frames, channels)))
     return handle
 

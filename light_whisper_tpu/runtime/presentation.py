@@ -163,28 +163,50 @@ class PasteGate:
     def __init__(self, sink: Callable[[str, int], None]) -> None:
         self._sink = sink
         self._lock = threading.Lock()
+        # Orders every sink call and makes recording-start WAIT for an
+        # in-flight delivery: the recording-check and the sink call must be
+        # atomic or finalized text types into a recording that started in
+        # the gap (the sink sleeps ≥60 ms before synthesizing input, a wide
+        # window). Lock order: _deliver_lock → _lock, never the reverse.
+        self._deliver_lock = threading.Lock()
         self._recording = False
         self._pending: List[str] = []
 
     def set_recording(self, active: bool) -> None:
-        to_flush: List[str] = []
+        if active:
+            # Block the start until any in-flight paste finishes — the same
+            # serialization the reference gets from its single-threaded
+            # command loop around do_paste.
+            with self._deliver_lock:
+                with self._lock:
+                    self._recording = True
+            return
         with self._lock:
-            self._recording = active
-            if not active and self._pending:
-                to_flush, self._pending = self._pending, []
-        for text in to_flush:
-            self._sink(text, PASTE_DELAY_MS)
+            self._recording = False
+        self._flush_pending()
 
     def paste(self, text: str) -> bool:
         """Returns True if delivered now, False if queued."""
         if not text:
             return True
-        with self._lock:
-            if self._recording:
-                self._pending.append(text)
-                return False
-        self._sink(text, PASTE_DELAY_MS)
+        with self._deliver_lock:
+            with self._lock:
+                if self._recording:
+                    self._pending.append(text)
+                    return False
+            self._sink(text, PASTE_DELAY_MS)
         return True
+
+    def _flush_pending(self) -> None:
+        while True:
+            with self._deliver_lock:
+                with self._lock:
+                    if self._recording:
+                        return  # a new recording won; keep the rest queued
+                    if not self._pending:
+                        return
+                    text = self._pending.pop(0)
+                self._sink(text, PASTE_DELAY_MS)
 
     @property
     def pending_count(self) -> int:

@@ -485,7 +485,12 @@ class Qwen3EngineServer:
             supersede=False,
             max_batch=8,
         )
-        return scheduler.wait(job)
+        result = scheduler.wait(job)
+        if isinstance(result, BaseException):
+            # Per-stream failure shipped positionally through the batch
+            # (tick_batch isolation) — re-raise so ONLY this request errors.
+            raise result
+        return result
 
     def _run_decode_batch(self, payloads):
         if len(payloads) == 1:

@@ -79,6 +79,20 @@ CLIP_MAX_EPS = 0.05
 _DELTA_STEP = 8000
 
 
+def cache_capacity_for(needed: int) -> int:
+    """KV-cache capacity bucket: doubling from 512.
+
+    THE capacity policy — the batched tick planner groups sessions by the
+    capacity this returns and its ``can_extend`` compares against the live
+    ``_cache_capacity`` with strict equality, so any change here must stay
+    the single source of truth for both (a silent divergence would route
+    every coalesced tick to a batched full prefill)."""
+    capacity = 512
+    while capacity < needed:
+        capacity *= 2
+    return capacity
+
+
 @functools.partial(jax.jit, donate_argnames=("buf",))
 def _append_audio(buf, delta, write_pos):
     """Append a (zero-padded) delta to the device-resident window buffer."""
@@ -222,9 +236,7 @@ class IncrementalTranscriber:
         self._sent = 0
 
     def _ensure_cache(self, needed: int) -> None:
-        capacity = 512
-        while capacity < needed:
-            capacity *= 2
+        capacity = cache_capacity_for(needed)
         if self._cache is None or self._cache_capacity < capacity:
             self._cache = dec.init_cache(
                 self.model.config.decoder, capacity, self.model.cache_dtype

@@ -60,6 +60,7 @@ from light_whisper_tpu.serving.incremental import (
     DRAFT_TOKENS,
     SEGMENT_BUCKET,
     IncrementalTranscriber,
+    cache_capacity_for,
 )
 
 
@@ -230,10 +231,8 @@ class _TickPlan:
         )
         self.seg_bucket = _round_up(max(1, seg_true), SEGMENT_BUCKET)
         needed = self.true_len + DRAFT_TOKENS + transcriber.max_new_tokens
-        capacity = 512
-        while capacity < needed:
-            capacity *= 2
-        self.capacity = capacity
+        # shared policy: must equal _ensure_cache's bucket for can_extend
+        self.capacity = cache_capacity_for(needed)
 
     def can_extend(self) -> bool:
         t = self.transcriber
@@ -337,14 +336,24 @@ def tick_batch(
 
     for i in solo:
         p = plans[i]
-        results[i] = p.transcriber.transcribe_window(p.window, p.window_start)
+        # Isolate per-stream failures: one broken request must fail ALONE.
+        # Without this, a raise here discards the already-applied batched
+        # results of every other coalesced stream (their sessions advanced
+        # in the runner's apply pass) and fails all their wire requests.
+        # The exception travels positionally; the waiter re-raises it.
+        try:
+            results[i] = p.transcriber.transcribe_window(p.window, p.window_start)
+        except Exception as exc:
+            results[i] = exc
     return results
 
 
 def _max_group() -> int:
+    # Respect an operator bound of 1 (LWT_MAX_DECODE_BATCH=1 means "never
+    # stack KV caches"): chunks of one route solo, no batched programs.
     from light_whisper_tpu.models.qwen3_asr.model import max_decode_batch
 
-    return max(2, max_decode_batch())
+    return max(1, max_decode_batch())
 
 
 def _bucket_b(n: int) -> int:

@@ -81,6 +81,13 @@ def transcribe_extending_batch(bridges, audios):
         incs.append(bridge._inc)
         windows.append(audio)
     results = tick_batch(incs, windows)
-    for bridge, window in zip(bridges, windows):
-        bridge._prev = window
+    for bridge, window, result in zip(bridges, windows, results):
+        if isinstance(result, BaseException):
+            # transcribe_window reset the failing session (donated-buffer
+            # rule); _prev must not outrun what the session consumed — a
+            # stale _prev over an ADVANCED session would let a diverging
+            # window skip the reset and extend KV built from other audio.
+            bridge._prev = None
+        else:
+            bridge._prev = window
     return results

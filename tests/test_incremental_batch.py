@@ -289,3 +289,110 @@ def test_batched_tick_failure_degrades_to_per_stream(model):
         want = ref.transcribe_window(fulls[s][: 3 * SR // 2], window_start_sample=0)
         assert outs[s].tokens == want.tokens, s
         assert incs[s].incremental_prefills == ref.incremental_prefills, s
+
+
+def test_solo_fallback_failure_is_isolated_per_stream(model):
+    """One broken stream in the solo-fallback loop must fail ALONE: other
+    coalesced streams keep their results (shipped positionally), and the
+    failure arrives as the exception instance in its slot."""
+    fulls = [_stream_audio(seed + 80, 2.0) for seed in range(3)]
+    incs = [IncrementalTranscriber(model, max_new_tokens=8) for _ in range(3)]
+    for s in range(3):
+        incs[s].transcribe_window(fulls[s][: SR], window_start_sample=0)
+
+    boom = RuntimeError("stream 1 device error")
+
+    def failing(window, window_start_sample=0):
+        incs[1].reset()  # keep donated-buffer semantics
+        raise boom
+
+    incs[1].transcribe_window = failing
+    # Degrade the batched group so every stream routes through the solo
+    # loop, where stream 1's per-stream failure must stay its own.
+    from light_whisper_tpu.serving import incremental_batch as ib
+
+    def degrade(plans):
+        raise RuntimeError("simulated batched-program failure")
+
+    real_group = ib._run_group
+    try:
+        ib._run_group = degrade
+        outs = tick_batch(incs, [f[: 3 * SR // 2] for f in fulls])
+    finally:
+        ib._run_group = real_group
+
+    assert outs[1] is boom
+    for s in (0, 2):
+        ref = IncrementalTranscriber(model, max_new_tokens=8)
+        ref.transcribe_window(fulls[s][: SR], window_start_sample=0)
+        want = ref.transcribe_window(fulls[s][: 3 * SR // 2], window_start_sample=0)
+        assert outs[s].tokens == want.tokens, s
+
+
+def test_bridge_batch_failure_resets_prev(model):
+    """A failing stream's bridge must not keep a stale _prev: the session
+    was reset mid-tick, and _prev claiming consumed audio would let a later
+    diverging window skip the reset."""
+    from light_whisper_tpu.serving.session_bridge import (
+        SessionBridge,
+        transcribe_extending_batch,
+    )
+
+    fulls = [_stream_audio(seed + 90, 2.0) for seed in range(2)]
+    bridges = [SessionBridge(model) for _ in range(2)]
+    for s in range(2):
+        bridges[s].transcribe_extending(fulls[s][: SR])
+
+    boom = RuntimeError("stream 0 device error")
+
+    def failing(window, window_start_sample=0):
+        bridges[0]._inc.reset()
+        raise boom
+
+    bridges[0]._inc.transcribe_window = failing
+    from light_whisper_tpu.serving import incremental_batch as ib
+
+    def degrade(plans):
+        raise RuntimeError("simulated batched-program failure")
+
+    real_group = ib._run_group
+    try:
+        ib._run_group = degrade
+        outs = transcribe_extending_batch(
+            bridges, [f[: 3 * SR // 2] for f in fulls]
+        )
+    finally:
+        ib._run_group = real_group
+    assert outs[0] is boom
+    assert bridges[0]._prev is None  # aligned with the reset session
+    assert bridges[1]._prev is not None and len(bridges[1]._prev) == 3 * SR // 2
+    assert outs[1].tokens  # the healthy stream kept its result
+
+
+def test_decode_batch_bound_of_one_forces_solo(model, monkeypatch):
+    """LWT_MAX_DECODE_BATCH=1 is an operator memory bound: no batched
+    programs (no 2-row stacked KV) may be built."""
+    from light_whisper_tpu.serving import incremental_batch as ib
+
+    monkeypatch.setenv("LWT_MAX_DECODE_BATCH", "1")
+    fulls = [_stream_audio(seed + 70, 2.0) for seed in range(2)]
+    incs = [IncrementalTranscriber(model, max_new_tokens=8) for _ in range(2)]
+    for s in range(2):
+        incs[s].transcribe_window(fulls[s][: SR], window_start_sample=0)
+
+    def forbidden(plans):
+        raise AssertionError("batched program built despite bound=1")
+
+    real_g, real_f = ib._run_group, ib._run_group_fresh
+    try:
+        ib._run_group = forbidden
+        ib._run_group_fresh = forbidden
+        outs = tick_batch(incs, [f[: 3 * SR // 2] for f in fulls])
+    finally:
+        ib._run_group, ib._run_group_fresh = real_g, real_f
+
+    for s in range(2):
+        ref = IncrementalTranscriber(model, max_new_tokens=8)
+        ref.transcribe_window(fulls[s][: SR], window_start_sample=0)
+        want = ref.transcribe_window(fulls[s][: 3 * SR // 2], window_start_sample=0)
+        assert outs[s].tokens == want.tokens, s

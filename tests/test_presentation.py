@@ -132,3 +132,65 @@ def test_layout_clamps_degenerate_sizes():
     tiny = MonitorInfo(x=0, y=0, width=1, height=1, scale_factor=4.0)
     w, h, _, _ = resolve_subtitle_layout([tiny])
     assert (w, h) == (1.0, 1.0)
+
+
+def test_paste_and_recording_start_are_serialized():
+    # A recording that starts while a paste is mid-delivery must WAIT for
+    # the delivery (else the sink types into the new recording).
+    import threading
+    import time as _time
+
+    in_sink = threading.Event()
+    release = threading.Event()
+    delivered = []
+
+    def slow_sink(text, delay):
+        in_sink.set()
+        release.wait(5)
+        delivered.append(text)
+
+    gate = PasteGate(slow_sink)
+    t = threading.Thread(target=lambda: gate.paste("finalized text"))
+    t.start()
+    assert in_sink.wait(5)
+
+    started = []
+
+    def start_recording():
+        gate.set_recording(True)
+        started.append(_time.monotonic())
+
+    t2 = threading.Thread(target=start_recording)
+    t2.start()
+    _time.sleep(0.05)
+    assert not started, "recording start did not wait for the in-flight paste"
+    release.set()
+    t.join(5)
+    t2.join(5)
+    assert delivered == ["finalized text"] and started
+
+
+def test_flush_preempted_by_new_recording_keeps_rest_queued():
+    delivered = []
+    gate = PasteGate(lambda text, delay: delivered.append(text))
+    gate.set_recording(True)
+    gate.paste("one")
+    gate.paste("two")
+    gate.paste("three")
+
+    # A sink that starts a new recording after the first flush item:
+    # remaining texts must stay queued for the NEXT idle, in order.
+    def preempting_sink(text, delay):
+        delivered.append(text)
+        if text == "one":
+            # simulate the user hammering the hotkey mid-flush
+            with gate._lock:
+                gate._recording = True
+
+    gate._sink = preempting_sink
+    gate.set_recording(False)
+    assert delivered == ["one"]
+    assert gate.pending_count == 2
+    gate._sink = lambda text, delay: delivered.append(text)
+    gate.set_recording(False)
+    assert delivered == ["one", "two", "three"]

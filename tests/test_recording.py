@@ -353,3 +353,15 @@ def test_interim_tick_errors_do_not_kill_the_loop():
     # the first tick raised, later ticks kept flowing, finalize succeeded
     assert result.text.startswith("n=")
     assert not result.too_short
+
+
+def test_capture_ring_tail_fuzz_matches_snapshot_slices():
+    rng = np.random.default_rng(11)
+    ring = CaptureRing(SR)
+    for _ in range(37):  # many small ragged chunks
+        ring.append(rng.integers(-100, 100, size=int(rng.integers(1, 50)), dtype=np.int16))
+    snap = ring.snapshot()
+    for offset in [0, 1, 7, 100, len(snap) - 1, len(snap), len(snap) + 5]:
+        np.testing.assert_array_equal(ring.delta_since(offset), snap[offset:])
+    for n in [0, 1, 13, 200, len(snap), len(snap) + 9]:
+        np.testing.assert_array_equal(ring.tail(n), snap[len(snap) - min(n, len(snap)):])
