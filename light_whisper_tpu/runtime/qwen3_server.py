@@ -449,7 +449,10 @@ class Qwen3EngineServer:
         pool = self._streaming_sessions()
         if pool is None:
             return self.model.transcribe(audio)
-        return pool.bridge_for(session_key).transcribe_extending(audio)
+        # checkout pins the bridge: concurrent fresh streams must not LRU-
+        # evict (reset, freeing donated KV buffers) a session mid-decode.
+        with pool.checkout([session_key]) as (bridge,):
+            return bridge.transcribe_extending(audio)
 
     # -- multi-stream coalescing ---------------------------------------
 
@@ -518,13 +521,14 @@ class Qwen3EngineServer:
                     transcribe_extending_batch,
                 )
 
-                bridges = [pool.bridge_for(key) for key in keys]
                 with self._stats_lock:
                     self._batched_tick_dispatches += 1
-                # the bridge owns audio normalization (one conversion site)
-                return transcribe_extending_batch(
-                    bridges, [a for _k, a in payloads]
-                )
+                # the bridge owns audio normalization (one conversion site);
+                # checkout pins every member against concurrent eviction
+                with pool.checkout(keys) as bridges:
+                    return transcribe_extending_batch(
+                        bridges, [a for _k, a in payloads]
+                    )
         audios = [audio for _key, audio in payloads]
         if hasattr(self.model, "transcribe_batch"):
             return self.model.transcribe_batch(audios)

@@ -62,26 +62,40 @@ def plan_windows(
     if current is not None:
         windows.append(current)
 
-    # split any window that alone exceeds the budget
-    bounded: List[Tuple[int, int]] = []
+    # Split any window that alone exceeds the budget. Edges created by the
+    # split abut MID-SPEECH (end == next start): padding those would make
+    # consecutive windows re-transcribe the same 2×pad of speech and
+    # duplicate the boundary word in the joined text, so only true segment
+    # edges (VAD silence on the other side) get the acoustic-context pad.
+    bounded: List[Tuple[int, int, bool, bool]] = []  # start, end, pad_l, pad_r
     for start, end in windows:
+        first = True
         while end - start > max_samples:
-            bounded.append((start, start + max_samples))
+            bounded.append((start, start + max_samples, first, False))
             start += max_samples
-        bounded.append((start, end))
+            first = False
+        bounded.append((start, end, first, True))
 
     return [
-        (max(0, s - pad), min(audio_len, e + pad)) for s, e in bounded if e > s
+        (
+            max(0, s - (pad if pad_l else 0)),
+            min(audio_len, e + (pad if pad_r else 0)),
+        )
+        for s, e, pad_l, pad_r in bounded
+        if e > s
     ]
 
 
 def _join_texts(texts: Sequence[str]) -> str:
+    """Join window texts: Latin-script boundaries get one space (including
+    after sentence punctuation — 'today.' + 'Then' must not fuse), CJK
+    joins directly on either side."""
     out = ""
     for text in texts:
         text = text.strip()
         if not text:
             continue
-        if out and (out[-1].isascii() and out[-1].isalnum()) and text[0].isascii():
+        if out and out[-1].isascii() and not out[-1].isspace() and text[0].isascii():
             out += " " + text
         else:
             out += text

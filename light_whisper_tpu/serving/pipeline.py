@@ -22,8 +22,13 @@ from light_whisper_tpu.serving.scheduler import PRIORITY_FINALIZE, EngineSchedul
 
 # finalize gates (reference: audio_service/mod.rs:7,20 and finalize.rs:315-345)
 MIN_AUDIO_DURATION_SEC = 0.5
-INTERIM_MAX_AUDIO_WINDOW_SEC = 12.0
-INTERIM_TAIL_GAP_SEC = 0.25
+# Single source: the interim session's window/tail-gap constants — the
+# finalize-reuse gate here and StreamingSession.finalize encode the SAME
+# reference behavior (finalize.rs:313-345) and must not drift apart.
+from light_whisper_tpu.serving.streaming import (
+    FINALIZE_REUSE_TAIL_GAP_SECONDS as INTERIM_TAIL_GAP_SEC,
+    WINDOW_SECONDS as INTERIM_MAX_AUDIO_WINDOW_SEC,
+)
 
 
 @dataclasses.dataclass

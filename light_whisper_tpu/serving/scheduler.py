@@ -16,6 +16,7 @@ program at a time per model) but adds what a single-process engine can:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import heapq
 import itertools
@@ -32,7 +33,9 @@ class _Job:
     priority: int
     seq: int
     stream: str = dataclasses.field(compare=False)
-    generation: int = dataclasses.field(compare=False)
+    # None = not supersedable: the job ignores later generation bumps on its
+    # stream (finalizes must survive interim ticks queued behind them).
+    generation: Optional[int] = dataclasses.field(compare=False)
     work: Callable[[], Any] = dataclasses.field(compare=False)
     done: threading.Event = dataclasses.field(compare=False)
     result: Any = dataclasses.field(compare=False, default=None)
@@ -55,7 +58,9 @@ class EngineScheduler:
         self._wakeup = threading.Condition(self._lock)
         self._generations: Dict[str, int] = {}
         self._seq = itertools.count()
-        self._latencies: List[float] = []
+        # bounded: stats() reads the last 1000; an unbounded list leaks
+        # ~14 MB/day on a 5-ticks/s server
+        self._latencies: "collections.deque[float]" = collections.deque(maxlen=1000)
         self._batches = 0
         self._batched_jobs = 0
         self._running = True
@@ -72,13 +77,19 @@ class EngineScheduler:
         supersede: bool = True,
     ) -> _Job:
         """Queue work for a stream. ``supersede`` bumps the stream generation
-        so queued-but-unstarted older requests of that stream are dropped."""
+        so queued-but-unstarted older supersedable requests of that stream
+        are dropped; ``supersede=False`` jobs (finalizes) are themselves
+        IMMUNE to later bumps — an interim tick of the next recording must
+        not cancel a queued finalize (the paste would be lost to a subtitle
+        tick, inverting the priority design)."""
         with self._lock:
             if not self._running:
                 raise RuntimeError("engine scheduler is shut down")
             if supersede:
                 self._generations[stream] = self._generations.get(stream, 0) + 1
-            generation = self._generations.get(stream, 0)
+                generation: Optional[int] = self._generations[stream]
+            else:
+                generation = None
             job = _Job(
                 priority=priority,
                 seq=next(self._seq),
@@ -112,7 +123,9 @@ class EngineScheduler:
                 raise RuntimeError("engine scheduler is shut down")
             if supersede:
                 self._generations[stream] = self._generations.get(stream, 0) + 1
-            generation = self._generations.get(stream, 0)
+                generation: Optional[int] = self._generations[stream]
+            else:
+                generation = None  # immune to later bumps (see submit())
             job = _Job(
                 priority=priority,
                 seq=next(self._seq),
@@ -140,7 +153,7 @@ class EngineScheduler:
 
     def stats(self) -> Dict[str, float]:
         with self._lock:
-            lat = sorted(self._latencies[-1000:])
+            lat = sorted(self._latencies)
             batches, batched_jobs = self._batches, self._batched_jobs
         if not lat:
             return {"count": 0}
@@ -173,7 +186,10 @@ class EngineScheduler:
                     self._queue.clear()
                     return
                 job = heapq.heappop(self._queue)
-                stale = job.generation != self._generations.get(job.stream, 0)
+                stale = (
+                    job.generation is not None
+                    and job.generation != self._generations.get(job.stream, 0)
+                )
                 members: List[_Job] = []
                 if not stale and job.batch_key is not None:
                     members = self._drain_batch_members(job)
@@ -226,8 +242,17 @@ class EngineScheduler:
             other = heapq.heappop(self._queue)
             if (
                 other.batch_key == lead.batch_key
+                # Same runner required: distinct submitters may share a key
+                # string but expect different payload shapes — feeding one
+                # runner the other's payloads crashes or mis-decodes.
+                # == not `is`: bound methods are fresh objects per access
+                # but compare equal on (func, instance).
+                and other.batch_runner == lead.batch_runner
                 and other.stream not in taken_streams
-                and other.generation == self._generations.get(other.stream, 0)
+                and (
+                    other.generation is None
+                    or other.generation == self._generations.get(other.stream, 0)
+                )
             ):
                 members.append(other)
                 taken_streams.add(other.stream)

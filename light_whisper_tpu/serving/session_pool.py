@@ -20,10 +20,11 @@ same KV-reuse behavior it had when the server held one session.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import threading
-from collections import OrderedDict
-from typing import Dict, Optional
+from collections import Counter, OrderedDict
+from typing import Dict, Iterator, Optional, Sequence
 
 from light_whisper_tpu.serving.session_bridge import SessionBridge
 
@@ -46,6 +47,11 @@ class SessionPool:
         self.limit = limit if limit is not None else max_sessions()
         self._lock = threading.Lock()
         self._bridges: "OrderedDict[str, SessionBridge]" = OrderedDict()
+        # Keys currently checked out for transcription: eviction must skip
+        # them — reset() frees the device KV cache, and resetting a bridge
+        # another thread is mid-decode with is a donated-buffer
+        # use-after-free ("Array has been deleted").
+        self._pinned: Counter = Counter()
         self.evictions = 0
         # Counters carried over from evicted/cleared bridges so the pool's
         # totals stay monotonic (stats readers see lifetime hit rates, not
@@ -56,19 +62,50 @@ class SessionPool:
     def bridge_for(self, stream: Optional[str]) -> SessionBridge:
         key = stream or DEFAULT_STREAM
         with self._lock:
-            bridge = self._bridges.get(key)
-            if bridge is None:
-                bridge = SessionBridge(self.model)
-                self._bridges[key] = bridge
-                while len(self._bridges) > self.limit:
-                    _evicted_key, evicted = self._bridges.popitem(last=False)
-                    evicted.reset()  # free the device KV cache
-                    self._retired_hits += evicted.session_hits
-                    self._retired_resets += evicted.session_resets
-                    self.evictions += 1
-            else:
-                self._bridges.move_to_end(key)
-            return bridge
+            return self._bridge_for_locked(key)
+
+    def _bridge_for_locked(self, key: str) -> SessionBridge:
+        bridge = self._bridges.get(key)
+        if bridge is None:
+            bridge = SessionBridge(self.model)
+            self._bridges[key] = bridge
+            # Evict oldest UNPINNED bridges; pinned ones are mid-transcribe
+            # on another thread. The pool may transiently exceed the limit
+            # when everything is pinned — correctness beats the bound.
+            evictable = [
+                k for k in self._bridges if k != key and not self._pinned[k]
+            ]
+            while len(self._bridges) > self.limit and evictable:
+                evicted_key = evictable.pop(0)
+                evicted = self._bridges.pop(evicted_key)
+                evicted.reset()  # free the device KV cache
+                self._retired_hits += evicted.session_hits
+                self._retired_resets += evicted.session_resets
+                self.evictions += 1
+        else:
+            self._bridges.move_to_end(key)
+        return bridge
+
+    @contextlib.contextmanager
+    def checkout(
+        self, streams: Sequence[Optional[str]]
+    ) -> Iterator[list]:
+        """Pin + fetch the bridges for ``streams`` for the duration of a
+        transcription: eviction triggered by other threads' fresh streams
+        skips pinned bridges."""
+        keys = [s or DEFAULT_STREAM for s in streams]
+        with self._lock:
+            for key in keys:
+                self._pinned[key] += 1
+            bridges = [self._bridge_for_locked(key) for key in keys]
+        try:
+            yield bridges
+        finally:
+            with self._lock:
+                for key in keys:
+                    self._pinned[key] -= 1
+                    if self._pinned[key] <= 0:
+                        del self._pinned[key]
 
     def reset_all(self) -> None:
         with self._lock:

@@ -19,6 +19,7 @@ append-only — the natural layout for KV-prefix reuse on TPU.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import time
 from typing import Optional
@@ -79,7 +80,11 @@ class StreamingSession:
         self._transcriber = transcriber
         self._window_samples = int(window_seconds * SAMPLE_RATE)
         self._align = max(1, align_samples)
-        self._buffer = np.zeros(0, dtype=np.float32)
+        # Chunk list, not one growing array: rebuilding a 30-minute buffer
+        # (115 MB at the cap) with np.concatenate on every ~200 ms pump is
+        # O(n²) over a recording; ticks only need the ≤12 s tail anyway.
+        self._chunks: collections.deque = collections.deque()
+        self._total = 0
         self._tracker = StablePrefixTracker()
         self._interval_ms = INTERVAL_BASE_MS
         self._last_hypothesis: Optional[str] = None
@@ -90,17 +95,50 @@ class StreamingSession:
 
     @property
     def buffered_samples(self) -> int:
-        return len(self._buffer)
+        return self._total
 
     @property
     def next_interval_ms(self) -> int:
         return self._interval_ms
 
     def accept(self, samples: np.ndarray) -> None:
-        samples = np.asarray(samples, dtype=np.float32).reshape(-1)
-        self._buffer = np.concatenate([self._buffer, samples])
-        if len(self._buffer) > MAX_BUFFER_SAMPLES:
-            self._buffer = self._buffer[-MAX_BUFFER_SAMPLES:]
+        samples = np.array(samples, dtype=np.float32).reshape(-1)  # owned copy
+        if not len(samples):
+            return
+        self._chunks.append(samples)
+        self._total += len(samples)
+        # cap slides: keep the NEWEST 30 minutes (capture.rs cap semantics
+        # live upstream in CaptureRing; this is the defensive server cap)
+        while self._total - len(self._chunks[0]) >= MAX_BUFFER_SAMPLES:
+            self._total -= len(self._chunks.popleft())
+        if self._total > MAX_BUFFER_SAMPLES:
+            excess = self._total - MAX_BUFFER_SAMPLES
+            self._chunks[0] = self._chunks[0][excess:]
+            self._total = MAX_BUFFER_SAMPLES
+
+    def _materialize(self) -> np.ndarray:
+        if not self._chunks:
+            return np.zeros(0, dtype=np.float32)
+        if len(self._chunks) == 1:
+            return self._chunks[0]
+        whole = np.concatenate(list(self._chunks))
+        # collapse so repeated finalize/full-window reads stay O(1)
+        self._chunks = collections.deque([whole])
+        return whole
+
+    def _tail(self, n: int) -> np.ndarray:
+        out = []
+        got = 0
+        for chunk in reversed(self._chunks):
+            if got >= n:
+                break
+            need = n - got
+            out.append(chunk if len(chunk) <= need else chunk[-need:])
+            got += len(out[-1])
+        out.reverse()
+        if not out:
+            return np.zeros(0, dtype=np.float32)
+        return np.concatenate(out) if len(out) > 1 else out[0]
 
     def _window(self) -> np.ndarray:
         return self._window_with_start()[0]
@@ -108,15 +146,15 @@ class StreamingSession:
     def _window_with_start(self):
         """(last ≤12 s window, its buffer offset); start aligned down to a
         whole encoder chunk."""
-        n = len(self._buffer)
+        n = self._total
         if n <= self._window_samples:
-            return self._buffer, 0
+            return self._materialize(), 0
         start = n - self._window_samples
         start -= start % self._align
-        return self._buffer[start:], start
+        return self._tail(n - start), start
 
     def tick(self) -> Optional[InterimResult]:
-        if len(self._buffer) < int(MIN_FIRST_TICK_SECONDS * SAMPLE_RATE):
+        if self._total < int(MIN_FIRST_TICK_SECONDS * SAMPLE_RATE):
             return None
         window, start = self._window_with_start()
         started = time.perf_counter()
@@ -135,7 +173,7 @@ class StreamingSession:
         self._interval_ms = adapt_interval(self._interval_ms, tick_ms)
         self._last_hypothesis = result.text
         self._last_language = getattr(result, "language", "unknown")
-        self._covered_samples = len(self._buffer)
+        self._covered_samples = self._total
 
         segments: InterimSegments = self._tracker.update(result.text)
         return InterimResult(
@@ -147,7 +185,7 @@ class StreamingSession:
         )
 
     def finalize(self) -> FinalResult:
-        n = len(self._buffer)
+        n = self._total
         tail_gap = n - self._covered_samples
         fits_window = n <= self._window_samples
         if (
@@ -160,7 +198,7 @@ class StreamingSession:
                 language=self._last_language,
                 from_interim_cache=True,
             )
-        result = self._transcriber.transcribe(self._buffer)
+        result = self._transcriber.transcribe(self._materialize())
         return FinalResult(
             text=result.text,
             language=getattr(result, "language", "unknown"),
@@ -168,7 +206,8 @@ class StreamingSession:
         )
 
     def discard(self) -> None:
-        self._buffer = np.zeros(0, dtype=np.float32)
+        self._chunks = collections.deque()
+        self._total = 0
         self._tracker.reset()
         self._last_hypothesis = None
         self._covered_samples = 0

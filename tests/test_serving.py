@@ -356,9 +356,10 @@ def test_scheduler_stats_count_batches():
     s = EngineScheduler()
     try:
         gate = _gate_worker(s)
-        jobs = [
-            s.submit_batchable(f"c{i}", i, "k", lambda p: list(p)) for i in range(3)
-        ]
+        # one shared runner, like production submitters (bound methods):
+        # distinct runner objects must NOT coalesce (payload shapes differ)
+        runner = lambda p: list(p)  # noqa: E731
+        jobs = [s.submit_batchable(f"c{i}", i, "k", runner) for i in range(3)]
         gate.set()
         for j in jobs:
             s.wait(j, timeout=5)
