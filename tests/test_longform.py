@@ -89,3 +89,33 @@ def test_join_respects_ascii_boundary():
 def test_no_speech():
     result = transcribe_long_form(FakeModel([]), FakeVad([]), np.zeros(16000, np.float32))
     assert result.text == "" and result.num_windows == 0
+
+
+def test_join_adds_space_after_sentence_punctuation():
+    from light_whisper_tpu.serving.longform import _join_texts
+
+    assert _join_texts(["I went home today.", "Then I slept."]) == (
+        "I went home today. Then I slept."
+    )
+    assert _join_texts(["Hello,", "world"]) == "Hello, world"
+    # CJK keeps direct joins on either side
+    assert _join_texts(["你好。", "再见"]) == "你好。再见"
+    assert _join_texts(["mixed.", "中文"]) == "mixed.中文"
+
+
+def test_split_edges_are_not_padded_into_overlap():
+    # One continuous 60 s segment splits at the budget; the split edges abut
+    # mid-speech, so padding them would re-transcribe (and duplicate) the
+    # boundary word. True segment edges still get the pad.
+    segments = [seg(0, 60)]
+    windows = plan_windows(
+        segments, 61 * SAMPLE_RATE, max_window_seconds=28, pad_seconds=0.12
+    )
+    assert len(windows) == 3
+    pad = int(0.12 * SAMPLE_RATE)
+    # no overlap anywhere
+    for (s0, e0), (s1, e1) in zip(windows, windows[1:]):
+        assert e0 == s1, (e0, s1)
+    # outer edges padded (clamped at 0)
+    assert windows[0][0] == 0
+    assert windows[-1][1] == 60 * SAMPLE_RATE + pad

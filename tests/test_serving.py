@@ -367,3 +367,45 @@ def test_scheduler_stats_count_batches():
         assert stats["batches"] == 1 and stats["batched_jobs"] == 3
     finally:
         s.shutdown()
+
+
+def test_finalize_immune_to_later_interim_supersede():
+    # pipeline submits finalizes with supersede=False; an interim tick of
+    # the NEXT recording on the same stream must not cancel it.
+    s = EngineScheduler()
+    try:
+        gate = _gate_worker(s)
+        finalize = s.submit("mic", lambda: "finalized", priority=0, supersede=False)
+        tick = s.submit("mic", lambda: "interim", priority=1, supersede=True)
+        gate.set()
+        assert s.wait(finalize, timeout=5) == "finalized"
+        assert s.wait(tick, timeout=5) == "interim"
+    finally:
+        s.shutdown()
+
+
+def test_batch_coalescing_requires_same_runner():
+    # Two submitters sharing a batch_key but with different runners (and
+    # payload shapes) must not coalesce into one batch.
+    s = EngineScheduler()
+    try:
+        gate = _gate_worker(s)
+        runner_a_calls, runner_b_calls = [], []
+
+        def runner_a(payloads):
+            runner_a_calls.append(list(payloads))
+            return [("a", p) for p in payloads]
+
+        def runner_b(payloads):
+            runner_b_calls.append(list(payloads))
+            return [("b", p) for p in payloads]
+
+        ja = s.submit_batchable("s1", "arr", "transcribe", runner_a)
+        jb = s.submit_batchable("s2", ("key", "arr"), "transcribe", runner_b)
+        gate.set()
+        assert s.wait(ja, timeout=5) == ("a", "arr")
+        assert s.wait(jb, timeout=5) == ("b", ("key", "arr"))
+        assert runner_a_calls == [["arr"]]
+        assert runner_b_calls == [[("key", "arr")]]
+    finally:
+        s.shutdown()

@@ -241,3 +241,21 @@ def test_non_extending_audio_resets_pin_state(model):
         assert resp["success"]
     assert default_bridge(server).session_resets == 2
     assert default_bridge(server).session_hits == 0
+
+
+def test_checkout_pins_bridge_against_concurrent_eviction(model):
+    """A bridge checked out for transcription must not be LRU-evicted
+    (reset frees donated KV buffers a concurrent decode still uses)."""
+    from light_whisper_tpu.serving.session_pool import SessionPool
+
+    pool = SessionPool(model, limit=1)
+    with pool.checkout(["busy"]) as (busy,):
+        # another thread's fresh stream triggers eviction pressure
+        other = pool.bridge_for("fresh")
+        assert other is not busy
+        # the pinned bridge survived (pool transiently exceeds the limit)
+        assert pool.bridge_for("busy") is busy
+    # after release, pressure evicts normally again
+    pool.bridge_for("third")
+    assert len(pool) <= 2  # fresh/busy/third minus at least one eviction
+    assert pool.evictions >= 1
