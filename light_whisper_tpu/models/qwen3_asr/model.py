@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import re
-from typing import Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -281,7 +281,6 @@ class Qwen3ASRModel:
         prefix_text, suffix_text = template.split("{audio}", 1)
         self.prefix_ids: List[int] = self.tokenizer.encode(prefix_text)
         self.suffix_ids: List[int] = self.tokenizer.encode(suffix_text)
-        self._caches: Dict[int, dec.KVCache] = {}
 
     # ------------------------------------------------------------------
 
@@ -405,9 +404,18 @@ class Qwen3ASRModel:
             )
             ids_padded[row, : len(ids)] = ids
 
+        # same policy as _cache_for: context clamp + clean overflow error
+        # (the batched path must not silently decode past trained positions)
+        needed = bucket_len + self.max_new_tokens
         capacity = 1024
-        while capacity < bucket_len + self.max_new_tokens:
+        while capacity < needed:
             capacity *= 2
+        capacity = min(capacity, self.config.decoder.context_length)
+        if needed > capacity:
+            raise ValueError(
+                f"prompt+decode budget {needed} exceeds context "
+                f"{self.config.decoder.context_length}"
+            )
 
         # KV memory bounds the decode batch (B × L × Hkv × C × hd × 2 × k/v);
         # long-form recordings can plan dozens of windows, so run the batch
@@ -425,6 +433,9 @@ class Qwen3ASRModel:
                         embeds_list[row],
                         jnp.int32(n_audio_list[row]),
                         len(self.prefix_ids),
+                        # match the per-stream path: precise=True must stay
+                        # f32 through the batched prefill too
+                        self.config.decoder.dtype,
                     )
                     for row in padded_rows
                 ]

@@ -24,6 +24,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import queue
 import subprocess
 import sys
 import threading
@@ -60,13 +61,16 @@ def _response_indicates_inline_unsupported(response: Dict[str, Any]) -> bool:
     if input_mode == "path":
         return True
     error = response.get("error") or ""
+    # Only the specific mishandled-as-filename signatures — a bare "NoneType"
+    # match would also hit unrelated Python AttributeErrors from transient
+    # engine failures and permanently demote the session (the TypeError a
+    # legacy runtime raises for a missing path contains "os.PathLike").
     if any(
         marker in error
         for marker in (
             "音频文件不存在",
             "path should be string",
             "os.PathLike",
-            "NoneType",
         )
     ):
         return True
@@ -115,6 +119,14 @@ class EngineClient:
         self._stdout = stdout
         self._process = process
         self._lock = threading.Lock()
+        # Timeouts must bound a HUNG engine, not just a slow one: a blocking
+        # readline() on the caller thread can never honor a deadline, so a
+        # daemon reader drains stdout into a queue and _read_matching polls
+        # the queue with the remaining budget (None = EOF sentinel).
+        self._lines: "queue.Queue[Optional[str]]" = queue.Queue()
+        self._stdout_eof = False
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
         self._next_request_id = 1
         self.init_result: Optional[Dict[str, Any]] = None
         # None = transport unprobed; True = inline PCM accepted; False = the
@@ -154,19 +166,31 @@ class EngineClient:
         if data_dir:
             os.makedirs(data_dir, exist_ok=True)
             stderr_target = open(os.path.join(data_dir, "funasr_stderr.log"), "ab")
-        process = subprocess.Popen(
-            argv,
-            stdin=subprocess.PIPE,
-            stdout=subprocess.PIPE,
-            stderr=stderr_target,
-            env=env,
-            text=True,
-            encoding="utf-8",
-            errors="replace",
-            bufsize=1,
-        )
+        try:
+            process = subprocess.Popen(
+                argv,
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                stderr=stderr_target,
+                env=env,
+                text=True,
+                encoding="utf-8",
+                errors="replace",
+                bufsize=1,
+            )
+        finally:
+            # the child holds its own descriptor; keeping ours open leaks an
+            # fd per respawn in supervisor loops
+            if stderr_target is not subprocess.DEVNULL:
+                stderr_target.close()
         client = cls(process.stdin, process.stdout, process)
-        client.wait_for_init()
+        try:
+            client.wait_for_init()
+        except BaseException:
+            # don't leave a zombie engine holding the device on init failure
+            process.kill()
+            process.wait(timeout=5)
+            raise
         return client
 
     # ------------------------------------------------------------------
@@ -183,16 +207,31 @@ class EngineClient:
     def _alive(self) -> bool:
         return self._process is None or self._process.poll() is None
 
+    def _read_loop(self) -> None:
+        try:
+            for line in iter(self._stdout.readline, ""):
+                self._lines.put(line)
+        except (ValueError, OSError):
+            pass  # stream closed under us
+        self._lines.put(None)  # EOF sentinel
+
     def _read_matching(self, accept, timeout: float, context: str) -> Dict[str, Any]:
         deadline = time.monotonic() + timeout
         while True:
-            if time.monotonic() > deadline:
-                raise EngineTimeout(f"{context}: timed out")
-            line = self._stdout.readline()
-            if not line:
+            if self._stdout_eof:
                 if not self._alive():
                     raise EngineCrashed(f"{context}: engine process exited")
                 raise EngineCrashed(f"{context}: stdout closed")
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise EngineTimeout(f"{context}: timed out")
+            try:
+                line = self._lines.get(timeout=remaining)
+            except queue.Empty:
+                raise EngineTimeout(f"{context}: timed out") from None
+            if line is None:
+                self._stdout_eof = True
+                continue  # report via the EOF branch above
             value = _extract_json(line)
             if value is None:
                 continue  # noise line

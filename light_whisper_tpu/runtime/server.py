@@ -87,7 +87,15 @@ class EngineServer:
         self._log = logger or logging.getLogger(__name__)
         self._running = True
         if max_concurrency is None:
-            max_concurrency = int(os.environ.get("LIGHT_WHISPER_MAX_CONCURRENCY", "8"))
+            # malformed values fall back to the default rather than killing
+            # the engine before the init line (same policy as the other env
+            # knobs, e.g. model.max_decode_batch)
+            try:
+                max_concurrency = int(
+                    os.environ.get("LIGHT_WHISPER_MAX_CONCURRENCY", "8")
+                )
+            except ValueError:
+                max_concurrency = 8
         self._max_concurrency = max(1, max_concurrency)
         self._executor: Optional[ThreadPoolExecutor] = None
         self._emit_lock = threading.Lock()
@@ -149,6 +157,7 @@ class EngineServer:
         init_result = self._guard(self._hooks.initialize)
         self._emit(init_result, request_id=None)
 
+        shutdown_ran = False
         while self._running:
             line = self._stdin.readline()
             if not line:
@@ -180,7 +189,14 @@ class EngineServer:
                 if action == "exit":
                     self._drain()
                     self._emit({"success": True, "message": "服务器退出"}, request_id)
-                    self._hooks.shutdown()
+                    # exit is ACKNOWLEDGED: a shutdown-hook failure must not
+                    # emit a duplicate request_id response or resurrect the
+                    # serve loop (the client may already be force-killing us)
+                    try:
+                        self._hooks.shutdown()
+                    except Exception:
+                        self._log.warning("shutdown hook failed", exc_info=True)
+                    shutdown_ran = True
                     break
                 if action == "transcribe" and request_id is not None:
                     self._spawn_transcribe(command, request_id)
@@ -197,6 +213,14 @@ class EngineServer:
         if self._executor is not None:
             self._executor.shutdown(wait=True)
             self._executor = None
+        # EOF (parent died / stdin closed) is the most common real-world
+        # termination — run the same shutdown hook the exit command gets so
+        # the scheduler/sessions aren't abandoned mid-job.
+        if not shutdown_ran:
+            try:
+                self._hooks.shutdown()
+            except Exception:
+                self._log.warning("shutdown hook failed at EOF", exc_info=True)
 
     # ------------------------------------------------------------------
 

@@ -136,3 +136,43 @@ def test_multistream_concurrent_matches_sequential(model):
         assert [r.tokens for r in results] == [r.tokens for r in sequential]
     finally:
         scheduler.shutdown()
+
+
+def test_precise_mode_batch_matches_sequential(tmp_path):
+    """precise=True (f32 fidelity mode) must hold through transcribe_batch:
+    the batched prompt embeds were silently built in bf16, diverging from
+    the per-stream path long-form routes around."""
+    import jax.numpy as jnp
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path, quantize=False)
+    m = Qwen3ASRModel(path, max_new_tokens=8, precise=True)
+    assert m.config.decoder.dtype == jnp.float32
+    rng = np.random.default_rng(3)
+    audios = [
+        (rng.standard_normal(16000) * 0.1).astype(np.float32) for _ in range(2)
+    ]
+    solo = [m.transcribe(a) for a in audios]
+    batch = m.transcribe_batch(audios)
+    for s, b in zip(solo, batch):
+        assert s.tokens == b.tokens
+
+
+def test_batch_rejects_context_overflow(tmp_path):
+    """The batched path gets _cache_for's clean overflow error instead of
+    silently decoding past trained RoPE positions."""
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path, quantize=False)
+    m = Qwen3ASRModel(path, max_new_tokens=8)
+    ctx = m.config.decoder.context_length
+    # enough audio tokens to overflow the tiny context
+    seconds = (ctx * 4 * 160) / 16000  # ~4 mel frames per token heuristic
+    audio = np.zeros(int(seconds * 16000) + 16000, dtype=np.float32)
+    try:
+        m.transcribe_batch([audio])
+    except ValueError as exc:
+        assert "exceeds context" in str(exc)
+    else:
+        # tiny config's context fit this audio — assert the guard directly
+        with pytest.raises(ValueError, match="exceeds context"):
+            m._cache_for(ctx + 1)

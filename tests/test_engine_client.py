@@ -353,3 +353,45 @@ def test_wav_fallback_payload_is_bit_exact(tmp_path, monkeypatch):
     client.transcribe_pcm16(samples, 16000)
     assert captured["rate"] == 16000
     np.testing.assert_array_equal(captured["data"], samples)
+
+
+def test_timeout_bounds_a_silently_hung_engine():
+    """A hung engine that prints NOTHING must still hit the timeout: a
+    blocking readline on the caller thread can never honor a deadline."""
+    import io
+    import os
+    import time
+
+    from light_whisper_tpu.runtime.client import EngineClient, EngineTimeout
+
+    r_fd, w_fd = os.pipe()  # never written: simulates a wedged engine
+    stdout = os.fdopen(r_fd, "r")
+    stdin = io.StringIO()
+    client = EngineClient(stdin, stdout)
+    t0 = time.monotonic()
+    try:
+        with pytest.raises(EngineTimeout):
+            client.wait_for_init(timeout=0.3)
+        assert time.monotonic() - t0 < 5.0
+    finally:
+        os.close(w_fd)
+        stdout.close()
+
+
+def test_generic_nonetype_error_does_not_pin_path_transport():
+    """A transient AttributeError mentioning NoneType is NOT an
+    inline-rejection signature; it must leave the transport unprobed."""
+    from light_whisper_tpu.runtime.client import (
+        _response_indicates_inline_unsupported,
+    )
+
+    assert not _response_indicates_inline_unsupported(
+        {"success": False, "error": "'NoneType' object has no attribute 'get'"}
+    )
+    # the legacy mishandled-as-filename TypeError still pins
+    assert _response_indicates_inline_unsupported(
+        {
+            "success": False,
+            "error": "expected str, bytes or os.PathLike object, not NoneType",
+        }
+    )

@@ -166,3 +166,43 @@ def test_fuzz_garbage_never_kills_the_loop():
     assert len(final) == 1 and final[0]["success"] is True
     # every response is a JSON object with a boolean success field
     assert all(isinstance(r, dict) and isinstance(r.get("success"), bool) for r in responses[1:])
+
+
+def test_exit_shutdown_failure_does_not_duplicate_response():
+    calls = []
+
+    def bad_shutdown():
+        calls.append("shutdown")
+        raise RuntimeError("scheduler wedged")
+
+    out = run_server(
+        [json.dumps({"action": "exit", "request_id": 7}),
+         json.dumps({"action": "status", "request_id": 8})],  # must NOT run
+        hooks=_hooks(shutdown=bad_shutdown),
+    )
+    assert calls == ["shutdown"]
+    # exactly one response carries request_id 7, and nothing after it
+    exits = [r for r in out if r.get("request_id") == 7]
+    assert len(exits) == 1 and exits[0]["success"]
+    assert not any(r.get("request_id") == 8 for r in out)
+
+
+def test_eof_runs_shutdown_hook():
+    calls = []
+    run_server([], hooks=_hooks(shutdown=lambda: calls.append("shutdown")))
+    assert calls == ["shutdown"]
+
+
+def test_exit_runs_shutdown_exactly_once():
+    calls = []
+    run_server(
+        [json.dumps({"action": "exit", "request_id": 1})],
+        hooks=_hooks(shutdown=lambda: calls.append("x")),
+    )
+    assert calls == ["x"]
+
+
+def test_malformed_max_concurrency_falls_back(monkeypatch):
+    monkeypatch.setenv("LIGHT_WHISPER_MAX_CONCURRENCY", "auto")
+    out = run_server([json.dumps({"action": "status", "request_id": 1})])
+    assert out[0]["success"] and any(r.get("request_id") == 1 for r in out)
