@@ -18,8 +18,10 @@ operation mirrors the reference's spawn_blocking usage.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
+import math
 import os
 import re
 import sqlite3
@@ -78,12 +80,20 @@ class HistoryStore:
 
     # ------------------------------------------------------------------
 
-    def _connect(self) -> sqlite3.Connection:
+    @contextlib.contextmanager
+    def _connect(self):
+        """One transaction per call site, and the handle actually CLOSES:
+        ``with conn`` alone only commits — the fd and WAL mapping would wait
+        for GC, risking fd exhaustion under sustained use."""
         conn = sqlite3.connect(self.db_path)
-        conn.execute("PRAGMA journal_mode = WAL")
-        conn.execute("PRAGMA foreign_keys = ON")
-        conn.row_factory = sqlite3.Row
-        return conn
+        try:
+            conn.execute("PRAGMA journal_mode = WAL")
+            conn.execute("PRAGMA foreign_keys = ON")
+            conn.row_factory = sqlite3.Row
+            with conn:
+                yield conn
+        finally:
+            conn.close()
 
     def _migrate(self, conn: sqlite3.Connection) -> None:
         version = conn.execute("PRAGMA user_version").fetchone()[0]
@@ -206,8 +216,10 @@ class HistoryStore:
                 " WHERE audio_file IS NOT NULL"
             )
         }
+        # .wav.tmp: a save_audio killed mid-write before os.replace — never
+        # referenced by any row, would otherwise accumulate forever
         for name in os.listdir(self.audio_dir):
-            if name.endswith(".wav") and name not in referenced:
+            if name.endswith((".wav", ".wav.tmp")) and name not in referenced:
                 try:
                     os.remove(os.path.join(self.audio_dir, name))
                 except OSError:
@@ -215,16 +227,20 @@ class HistoryStore:
 
     def acquire_audio_lease(self, audio_file: str) -> None:
         with self._connect() as conn:
-            conn.execute(
-                """
-                INSERT INTO history_audio_leases(audio_file, lease_count, updated_at)
-                VALUES (?, 1, ?)
-                ON CONFLICT(audio_file)
-                DO UPDATE SET lease_count = lease_count + 1, updated_at = excluded.updated_at
-                """,
-                (audio_file, _now_ms()),
-            )
+            self._acquire_lease(conn, audio_file)
             conn.commit()
+
+    @staticmethod
+    def _acquire_lease(conn: sqlite3.Connection, audio_file: str) -> None:
+        conn.execute(
+            """
+            INSERT INTO history_audio_leases(audio_file, lease_count, updated_at)
+            VALUES (?, 1, ?)
+            ON CONFLICT(audio_file)
+            DO UPDATE SET lease_count = lease_count + 1, updated_at = excluded.updated_at
+            """,
+            (audio_file, _now_ms()),
+        )
 
     def release_audio_lease(self, audio_file: str) -> None:
         with self._connect() as conn:
@@ -288,10 +304,20 @@ class HistoryStore:
 
     def get_for_reprocess(self, row_id: int) -> Optional[Dict[str, Any]]:
         """Fetch a record and lease its audio so deletion can't race the
-        reprocess (``history_service.rs:448-495``)."""
-        record = self.get(row_id)
-        if record and record.get("audio_file"):
-            self.acquire_audio_lease(record["audio_file"])
+        reprocess (``history_service.rs:448-495``).
+
+        Fetch + lease run in ONE transaction — with two, a concurrent
+        delete could unlink the WAV between them, which is exactly the
+        race the lease exists to prevent."""
+        with self._connect() as conn:
+            row = conn.execute(
+                "SELECT * FROM transcription_history WHERE id = ?", (row_id,)
+            ).fetchone()
+            if row is None:
+                return None
+            record = self._record(row)
+            if record.get("audio_file"):
+                self._acquire_lease(conn, record["audio_file"])
         return record
 
     def list(
@@ -306,8 +332,15 @@ class HistoryStore:
         clauses: List[str] = []
         args: List[Any] = []
         if query:
-            clauses.append("(text LIKE ? OR original_text LIKE ?)")
-            like = f"%{query}%"
+            # escape LIKE metacharacters: searching the literal "100%" must
+            # not match every row containing "100"
+            escaped = (
+                query.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+            )
+            clauses.append(
+                "(text LIKE ? ESCAPE '\\' OR original_text LIKE ? ESCAPE '\\')"
+            )
+            like = f"%{escaped}%"
             args += [like, like]
         if mode:
             clauses.append("mode = ?")
@@ -373,7 +406,10 @@ class HistoryStore:
         if not values:
             return None
         values = sorted(values)
-        index = round((len(values) - 1) * p)
+        # half-away-from-zero like Rust f64::round — Python's banker's
+        # round((n-1)*p) picks the LOWER rank at .5 (round(0.5)=0) and
+        # diverges from the reference's nearest-rank formula
+        index = int(math.floor((len(values) - 1) * p + 0.5))
         return values[index]
 
     def stats(self) -> Dict[str, Any]:

@@ -109,20 +109,26 @@ class SecretStore:
 
     def get_password(self, service: str, user: str) -> Optional[str]:
         with self._lock:
-            value = self._load().get(service, {}).get(user)
+            bucket = self._load().get(service)
+            # a corrupted-but-valid-JSON bucket (string/list) degrades to
+            # "no key", same as an unparseable file — not an AttributeError
+            # on every lookup
+            value = bucket.get(user) if isinstance(bucket, dict) else None
         return value if isinstance(value, str) and value else None
 
     def set_password(self, service: str, user: str, secret: str) -> None:
         with self._lock:
             data = self._load()
-            data.setdefault(service, {})[user] = secret
+            if not isinstance(data.get(service), dict):
+                data[service] = {}
+            data[service][user] = secret
             self._save(data)
 
     def delete_password(self, service: str, user: str) -> bool:
         with self._lock:
             data = self._load()
             bucket = data.get(service)
-            if not bucket or user not in bucket:
+            if not isinstance(bucket, dict) or user not in bucket:
                 return False
             del bucket[user]
             if not bucket:
@@ -136,6 +142,13 @@ class SecretStore:
         """Copy the legacy shared ``custom-api-key`` into the active custom
         provider's dedicated slot, only when the target is absent/empty.
         Returns True when a migration happened."""
+        if active_provider in _BUILTIN_USERS:
+            # The migration exists for CUSTOM provider ids only
+            # (lib.rs:53 gates on the migrated-custom active provider);
+            # copying the legacy custom key into a builtin slot would make
+            # e.g. OpenAI requests authenticate with the custom endpoint's
+            # secret.
+            return False
         target_user = user_for_provider(active_provider)
         if target_user == "custom-api-key":
             return False  # the legacy slot IS the target

@@ -30,7 +30,7 @@ import enum
 import functools
 from typing import Iterable, List, Optional, Sequence, Set, Tuple
 
-from light_whisper_tpu.text.pinyin import pinyin_signature
+from light_whisper_tpu.text.pinyin import pinyin_signature, pinyin_table
 
 MAX_ASR_HOT_WORDS = 100
 MAX_ASR_ALIASES = 100
@@ -200,7 +200,43 @@ def _select_and_apply(text: str, candidates: List[_Candidate]) -> CorrectionResu
 # ---------------------------------------------------------------------------
 
 
-def _collect_han(text: str, hot_word: HotWord, hot_text: str, rank: int, out: List[_Candidate]):
+class _HanIndex:
+    """Per-text pinyin readings, shared across hot words.
+
+    The Han pass used to recompute ``pinyin_signature`` for every window of
+    every hot word — the same O(words × windows) shape that blew the <1 ms
+    p95 contract on the ASCII side (see :class:`_AsciiWindowIndex`). One
+    pass over the text caches each char's reading and Han-ness; a window's
+    signature is then a plain slice."""
+
+    def __init__(self, text: str) -> None:
+        table = pinyin_table()
+        self.readings: List[Optional[str]] = [
+            table.get(ch) if is_han(ch) else None for ch in text
+        ]
+        # prefix counts of Han chars for O(1) all-Han window checks
+        self._han_prefix = [0]
+        acc = 0
+        for ch in text:
+            acc += 1 if is_han(ch) else 0
+            self._han_prefix.append(acc)
+
+    def all_han(self, start: int, end: int) -> bool:
+        return self._han_prefix[end] - self._han_prefix[start] == end - start
+
+    def signature(self, start: int, end: int) -> Optional[List[str]]:
+        sig = self.readings[start:end]
+        return None if any(r is None for r in sig) else sig  # type: ignore[return-value]
+
+
+def _collect_han(
+    text: str,
+    index: _HanIndex,
+    hot_word: HotWord,
+    hot_text: str,
+    rank: int,
+    out: List[_Candidate],
+):
     hot_chars = list(hot_text)
     hot_len = len(hot_chars)
     is_manual = hot_word.source == Source.USER and hot_word.weight >= 3
@@ -213,21 +249,22 @@ def _collect_han(text: str, hot_word: HotWord, hot_text: str, rank: int, out: Li
     min_shared = max(1, hot_len // 3) if is_manual else max(1, -(-hot_len // 2))
 
     for start in range(len(text) - hot_len + 1):
-        window = text[start : start + hot_len]
-        if not all(is_han(ch) for ch in window):
+        end = start + hot_len
+        if not index.all_han(start, end):
             continue
+        window = text[start:end]
         if window == hot_text:
             continue
         shared = sum(1 for a, b in zip(window, hot_chars) if a == b)
         if shared < min_shared:
             continue
-        cand_py = pinyin_signature(list(window))
+        cand_py = index.signature(start, end)
         if cand_py is None or cand_py != hot_py:
             continue
         out.append(
             _Candidate(
                 start=start,
-                end=start + hot_len,
+                end=end,
                 replacement=hot_text,
                 score=900 + shared * 20 + hot_len * 5,
                 rank=rank,
@@ -325,13 +362,14 @@ def correct_hot_words(text: str, hot_words: Sequence[HotWord]) -> CorrectionResu
         return CorrectionResult(text=text, replacements=0)
 
     windows = _AsciiWindowIndex(text, _ascii_word_spans(text))
+    han_index = _HanIndex(text)
     candidates: List[_Candidate] = []
     for rank, hot_word in enumerate(_ranked_hot_words(hot_words)):
         hot_text = hot_word.text.strip()
         if not hot_text or hot_text in text:
             continue
         if all(is_han(ch) for ch in hot_text):
-            _collect_han(text, hot_word, hot_text, rank, candidates)
+            _collect_han(text, han_index, hot_word, hot_text, rank, candidates)
         elif hot_text.isascii() and any(ch.isalnum() for ch in hot_text):
             _collect_ascii(text, windows, hot_word, hot_text, rank, candidates)
     return _select_and_apply(text, candidates)

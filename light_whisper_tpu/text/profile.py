@@ -103,33 +103,50 @@ class UserProfile:
 
     @classmethod
     def from_dict(cls, data: Dict) -> "UserProfile":
+        # Per-entry tolerance: ONE malformed entry (unknown source string
+        # from a newer version, a non-numeric weight) must lose that entry,
+        # not wipe 300 hot words — a load that returns an empty profile gets
+        # permanently persisted by the next debounced save.
         profile = cls()
         for h in data.get("hot_words", []):
-            profile.hot_words.append(
-                HotWord(
-                    text=h.get("text", ""),
-                    weight=int(h.get("weight", 1)),
-                    use_count=int(h.get("use_count", 0)),
-                    source=Source(h.get("source", "user")),
+            try:
+                profile.hot_words.append(
+                    HotWord(
+                        text=h.get("text", ""),
+                        weight=int(h.get("weight", 1)),
+                        use_count=int(h.get("use_count", 0)),
+                        source=Source(h.get("source", "user")),
+                    )
                 )
-            )
+            except (ValueError, TypeError, AttributeError):
+                continue
         for p in data.get("correction_patterns", []):
-            profile.correction_patterns.append(
-                CorrectionPattern(
-                    original=p.get("original", ""),
-                    corrected=p.get("corrected", ""),
-                    count=int(p.get("count", 1)),
-                    last_seen=int(p.get("last_seen", 0)),
-                    source=Source(p.get("source", "ai")),
+            try:
+                profile.correction_patterns.append(
+                    CorrectionPattern(
+                        original=p.get("original", ""),
+                        corrected=p.get("corrected", ""),
+                        count=int(p.get("count", 1)),
+                        last_seen=int(p.get("last_seen", 0)),
+                        source=Source(p.get("source", "ai")),
+                    )
                 )
-            )
+            except (ValueError, TypeError, AttributeError):
+                continue
         for word, entry in data.get("vocab_frequency", {}).items():
-            profile.vocab_frequency[word] = VocabEntry(
-                count=int(entry.get("count", 0)), last_seen=int(entry.get("last_seen", 0))
-            )
+            try:
+                profile.vocab_frequency[word] = VocabEntry(
+                    count=int(entry.get("count", 0)),
+                    last_seen=int(entry.get("last_seen", 0)),
+                )
+            except (ValueError, TypeError, AttributeError):
+                continue
         profile.blocked_hot_words = list(data.get("blocked_hot_words", []))
-        profile.total_transcriptions = int(data.get("total_transcriptions", 0))
-        profile.last_updated = int(data.get("last_updated", 0))
+        try:
+            profile.total_transcriptions = int(data.get("total_transcriptions", 0))
+            profile.last_updated = int(data.get("last_updated", 0))
+        except (ValueError, TypeError):
+            pass
         return profile
 
 
@@ -494,6 +511,11 @@ class ProfileStore:
         self.path = path
         self.debounce = debounce_seconds
         self._lock = threading.Lock()
+        # serializes the actual file write: the debounce timer thread, a
+        # flush(), and DailyMaintenance can otherwise run save_now
+        # concurrently over ONE shared .tmp path (interleaved JSON installed
+        # as the profile; FileNotFoundError from the losing os.replace)
+        self._io_lock = threading.Lock()
         self._timer: Optional[threading.Timer] = None
         self._generation = 0
 
@@ -501,19 +523,22 @@ class ProfileStore:
         try:
             with open(self.path, "r", encoding="utf-8") as f:
                 profile = UserProfile.from_dict(json.load(f))
-        except (OSError, json.JSONDecodeError, ValueError):
+        except (OSError, json.JSONDecodeError, ValueError, TypeError, AttributeError):
+            # non-dict JSON (null/list) lands here; malformed ENTRIES are
+            # skipped individually inside from_dict instead
             return UserProfile()
         cleanup_profile(profile)
         return profile
 
     def save_now(self, profile: UserProfile) -> None:
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(profile.to_dict(), f, ensure_ascii=False, indent=2)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.path)
+        with self._io_lock:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            tmp = self.path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(profile.to_dict(), f, ensure_ascii=False, indent=2)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.path)
 
     def schedule_save(self, profile: UserProfile) -> None:
         """Debounced: rapid successive edits collapse into one write."""

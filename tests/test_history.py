@@ -160,3 +160,55 @@ def test_export_formats(store):
     md = store.export_markdown()
     assert "line\\|with\\|pipes and newline" in md
     assert md.startswith("| time |")
+
+
+def test_percentile_rounds_half_away_from_zero(tmp_path):
+    from light_whisper_tpu.storage.history import HistoryStore
+
+    # Rust f64::round semantics: index round((n-1)*p) with .5 going UP
+    assert HistoryStore._percentile([10, 20], 0.5) == 20
+    assert HistoryStore._percentile(list(range(10)), 0.5) == 5
+
+
+def test_list_escapes_like_metacharacters(tmp_path):
+    from light_whisper_tpu.storage.history import HistoryDraft, HistoryStore
+
+    store = HistoryStore(str(tmp_path))
+    for text in ("progress 100% done", "progress 1009 done", "aXb", "a_b"):
+        store.insert(HistoryDraft(session_id=1, mode="dictation", status="success",
+                                  text=text))
+    hits = store.list(query="100%")["items"]
+    assert [r["text"] for r in hits] == ["progress 100% done"]
+    hits = store.list(query="a_b")["items"]
+    assert [r["text"] for r in hits] == ["a_b"]
+
+
+def test_orphan_sweep_removes_stale_wav_tmp(tmp_path):
+    import os
+
+    from light_whisper_tpu.storage.history import HistoryStore
+
+    store = HistoryStore(str(tmp_path))
+    stale = os.path.join(store.audio_dir, "123-9.wav.tmp")
+    os.makedirs(store.audio_dir, exist_ok=True)
+    with open(stale, "wb") as f:
+        f.write(b"partial")
+    HistoryStore(str(tmp_path))  # fresh startup triggers the sweep
+    assert not os.path.exists(stale)
+
+
+def test_get_for_reprocess_leases_atomically(tmp_path):
+    from light_whisper_tpu.storage.history import HistoryDraft, HistoryStore
+
+    store = HistoryStore(str(tmp_path))
+    name = store.save_audio(1, b"RIFF-fake-wav-bytes")
+    rid = store.insert(HistoryDraft(session_id=1, mode="dictation",
+                                    status="success", text="x", audio_file=name))
+    rec = store.get_for_reprocess(rid)
+    assert rec["audio_file"] == name
+    # leased: delete must keep the audio file alive
+    import os
+    store.delete(rid)
+    assert os.path.exists(os.path.join(store.audio_dir, name))
+    store.release_audio_lease(name)
+    assert not os.path.exists(os.path.join(store.audio_dir, name))

@@ -174,3 +174,80 @@ def test_store_load_missing_or_corrupt(tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text("{not json")
     assert ProfileStore(str(bad)).load().hot_words == []
+
+
+def test_one_malformed_entry_does_not_wipe_the_profile(tmp_path):
+    """A single bad hot word (unknown source from a newer version) must lose
+    only itself — an empty-profile load gets persisted by the next save."""
+    import json
+
+    from light_whisper_tpu.text.profile import ProfileStore
+
+    path = str(tmp_path / "profile.json")
+    data = {
+        "hot_words": [
+            {"text": "好词", "weight": 2, "use_count": 1, "source": "user"},
+            {"text": "坏词", "weight": 2, "use_count": 1, "source": "from-the-future"},
+            {"text": "又好", "weight": "not-a-number", "source": "user"},
+        ],
+        "correction_patterns": [
+            {"original": "a", "corrected": "b", "count": 3,
+             "last_seen": int(__import__("time").time()), "source": "ai"},
+            {"original": "c", "corrected": "d", "count": "x", "source": "ai"},
+        ],
+        "vocab_frequency": {"ok": {"count": 3, "last_seen": 0}, "bad": {"count": "?"}},
+        "blocked_hot_words": [],
+        "total_transcriptions": 7,
+        "last_updated": 0,
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(data, f)
+    profile = ProfileStore(path).load()
+    assert [h.text for h in profile.hot_words] == ["好词"]
+    assert len(profile.correction_patterns) == 1
+    assert list(profile.vocab_frequency) == ["ok"]
+    assert profile.total_transcriptions == 7
+
+
+def test_non_dict_profile_json_loads_empty(tmp_path):
+    from light_whisper_tpu.text.profile import ProfileStore
+
+    path = str(tmp_path / "profile.json")
+    for bad in ("null", "[1,2]", '"str"'):
+        with open(path, "w") as f:
+            f.write(bad)
+        assert ProfileStore(path).load().hot_words == []
+
+
+def test_concurrent_save_now_is_serialized(tmp_path):
+    import json
+    import threading
+
+    from light_whisper_tpu.text.profile import ProfileStore, UserProfile, add_hot_word
+
+    store = ProfileStore(str(tmp_path / "profile.json"))
+    profiles = []
+    for i in range(4):
+        p = UserProfile()
+        add_hot_word(p, f"词{i}")
+        profiles.append(p)
+    barrier = threading.Barrier(4)
+    errors = []
+
+    def save(p):
+        barrier.wait()
+        try:
+            store.save_now(p)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=save, args=(p,)) for p in profiles]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # whatever won, the installed file is valid JSON of a full profile
+    with open(store.path, encoding="utf-8") as f:
+        data = json.load(f)
+    assert len(data["hot_words"]) == 1

@@ -67,3 +67,31 @@ def test_provider_convenience_api(tmp_path):
     store.set_password(SERVICE, "alibaba-asr-cn-api-key", "ali-cn")
     assert store.online_asr_api_key("alibaba-asr", "domestic") == "ali-cn"
     assert store.online_asr_api_key("glm-asr") == ""
+
+
+def test_non_dict_bucket_degrades_to_no_key(tmp_path):
+    import json
+
+    from light_whisper_tpu.storage.secrets import SecretStore
+
+    path = str(tmp_path / "secrets.json")
+    with open(path, "w") as f:
+        json.dump({"light-whisper": "oops-not-a-dict"}, f)
+    store = SecretStore(path)
+    assert store.get_password("light-whisper", "openai-api-key") is None
+    assert store.delete_password("light-whisper", "openai-api-key") is False
+    store.set_password("light-whisper", "openai-api-key", "sk-new")
+    assert store.get_password("light-whisper", "openai-api-key") == "sk-new"
+
+
+def test_legacy_custom_key_never_migrates_into_builtin_slots(tmp_path):
+    from light_whisper_tpu.storage.secrets import SERVICE, SecretStore
+
+    store = SecretStore(str(tmp_path / "secrets.json"))
+    store.set_password(SERVICE, "custom-api-key", "sk-custom-legacy")
+    # builtin provider: must NOT receive the custom endpoint's secret
+    assert store.migrate_legacy_custom_key("openai") is False
+    assert store.get_password(SERVICE, "openai-api-key") is None
+    # custom provider id: migrates
+    assert store.migrate_legacy_custom_key("my-endpoint") is True
+    assert store.get_password(SERVICE, "custom-my-endpoint-api-key") == "sk-custom-legacy"
