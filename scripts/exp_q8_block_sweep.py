@@ -67,8 +67,12 @@ def bench_config(out_f, in_f, bo, bk, rtt_ms, iters=32):
         jnp.bfloat16
     )
 
+    # q/s_t MUST be arguments, not closures: a closed-over device array is
+    # embedded in the lowered module as a constant, and under remote compile
+    # the 688 MB weight stack ships inside the compile request body — the
+    # relay rejects it with HTTP 413 (observed 2026-08-18).
     @jax.jit
-    def run(x0):
+    def run(x0, q, s_t):
         def body(i, carry):
             layer = jax.lax.rem(i, L)
             y = _q8_matmul_stacked_2d(
@@ -79,12 +83,12 @@ def bench_config(out_f, in_f, bo, bk, rtt_ms, iters=32):
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     t0 = time.perf_counter()
-    jax.device_get(run(x))  # compile (standalone payload request)
+    jax.device_get(run(x, q, s_t))  # compile (standalone payload request)
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.device_get(run(x))
+        jax.device_get(run(x, q, s_t))
         best = min(best, time.perf_counter() - t0)
     per_call_ms = max(0.001, (best * 1000 - rtt_ms) / iters)
     weight_bytes = out_f * in_f + out_f * in_f // 32 * 2  # int8 q + bf16 scales
