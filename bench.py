@@ -284,27 +284,36 @@ def main() -> None:
 
     model.tokenizer = _NoEosTokenizer()
 
-    inc = IncrementalTranscriber(model, max_new_tokens=48)
+    # Every section below feeds ``details`` only: the headline RTF is already
+    # measured, so no section may sink the JSON line the driver records —
+    # each degrades to None and keeps going (same policy the batched
+    # sections always had).
     eos_samples = []
-    base = audio[: 10 * sample_rate]
-    grown = audio[: 10 * sample_rate + 8000]
-    # Warm BOTH shapes before measuring: a fresh process may find the grown
-    # window's 0.5 s bucket cold (round-2 caught a 24,978 ms first-tick
-    # recompile in the tail; compile belongs to warmup, not to an EOS tick).
-    t_warm = time.perf_counter()
-    inc.transcribe_window(base, window_start_sample=0)
-    inc.transcribe_window(grown, window_start_sample=0)
-    inc.reset()
-    print(f"[bench] eos shape warmup: {time.perf_counter() - t_warm:.1f}s", file=sys.stderr, flush=True)
-    for trial in range(7):
-        inc.reset()
-        inc.transcribe_window(base, window_start_sample=0)  # warm session
-        t1 = time.perf_counter()
+    p50_eos_ms = None
+    try:
+        inc = IncrementalTranscriber(model, max_new_tokens=48)
+        base = audio[: 10 * sample_rate]
+        grown = audio[: 10 * sample_rate + 8000]
+        # Warm BOTH shapes before measuring: a fresh process may find the
+        # grown window's 0.5 s bucket cold (round-2 caught a 24,978 ms
+        # first-tick recompile in the tail; compile belongs to warmup, not
+        # to an EOS tick).
+        t_warm = time.perf_counter()
+        inc.transcribe_window(base, window_start_sample=0)
         inc.transcribe_window(grown, window_start_sample=0)
-        eos_samples.append((time.perf_counter() - t1) * 1000)
-    eos_samples.sort()
-    p50_eos_ms = eos_samples[len(eos_samples) // 2]
-    print(f"[bench] eos latencies: {[round(v) for v in eos_samples]}", file=sys.stderr, flush=True)
+        inc.reset()
+        print(f"[bench] eos shape warmup: {time.perf_counter() - t_warm:.1f}s", file=sys.stderr, flush=True)
+        for trial in range(7):
+            inc.reset()
+            inc.transcribe_window(base, window_start_sample=0)  # warm session
+            t1 = time.perf_counter()
+            inc.transcribe_window(grown, window_start_sample=0)
+            eos_samples.append((time.perf_counter() - t1) * 1000)
+        eos_samples.sort()
+        p50_eos_ms = eos_samples[len(eos_samples) // 2]
+        print(f"[bench] eos latencies: {[round(v) for v in eos_samples]}", file=sys.stderr, flush=True)
+    except Exception as exc:
+        print(f"[bench] model-path eos failed: {exc}", file=sys.stderr, flush=True)
 
     # --- wire-to-wire end-of-speech → text ------------------------------
     # The number above is the model path alone. This one is what a protocol
@@ -312,84 +321,102 @@ def main() -> None:
     # session → decode → hot-word pass → JSON line out, over OS pipes —
     # the reference's user-visible path (interim.rs:21-196 →
     # qwen3_asr_server.py:269-353).
-    wire = _wire_eos_bench(model, model_size)
-    print(
-        f"[bench] wire eos latencies: {[round(v) for v in wire['samples']]} "
-        f"(vad p50 {wire['vad_ms_p50']} ms)",
-        file=sys.stderr, flush=True,
-    )
+    try:
+        wire = _wire_eos_bench(model, model_size)
+        print(
+            f"[bench] wire eos latencies: {[round(v) for v in wire['samples']]} "
+            f"(vad p50 {wire['vad_ms_p50']} ms)",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as exc:
+        print(f"[bench] wire eos failed: {exc}", file=sys.stderr, flush=True)
+        wire = {}
 
     # --- relay attribution ----------------------------------------------
     # Round-trip of a trivial pre-compiled device program: dispatch + execute
     # + fetch through the axon relay. Headline swings that track this number
     # are relay/contention noise, not kernel regressions (VERDICT r2 #10).
-    rtt = jnp.zeros((8,), jnp.float32)
-    trivial = jax.jit(lambda v: v + 1.0)
-    jax.device_get(trivial(rtt))
-    rtt_samples = []
-    for _ in range(15):
-        t0 = time.perf_counter()
+    relay_rtt_ms = 0.0
+    try:
+        rtt = jnp.zeros((8,), jnp.float32)
+        trivial = jax.jit(lambda v: v + 1.0)
         jax.device_get(trivial(rtt))
-        rtt_samples.append((time.perf_counter() - t0) * 1000)
-    rtt_samples.sort()
-    relay_rtt_ms = rtt_samples[len(rtt_samples) // 2]
-    print(f"[bench] relay rtt p50: {relay_rtt_ms:.2f} ms", file=sys.stderr, flush=True)
+        rtt_samples = []
+        for _ in range(15):
+            t0 = time.perf_counter()
+            jax.device_get(trivial(rtt))
+            rtt_samples.append((time.perf_counter() - t0) * 1000)
+        rtt_samples.sort()
+        relay_rtt_ms = rtt_samples[len(rtt_samples) // 2]
+        print(f"[bench] relay rtt p50: {relay_rtt_ms:.2f} ms", file=sys.stderr, flush=True)
+    except Exception as exc:
+        print(f"[bench] relay rtt probe failed: {exc}", file=sys.stderr, flush=True)
 
     # --- raw decode step cost -------------------------------------------
     # ms per autoregressive token (full layer stack + logits), the number
     # ROADMAP tracks against the ~3.2 ms weights-bandwidth floor.
     step_budget = 64
-    decode_ms = []
-    for _ in range(3):
-        step_cache = dec.init_cache(cfg.decoder, 1024)._replace(pos=jnp.int32(160))
-        _tokens, step_count, _c = dec.decode_greedy(
-            cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, step_budget
-        )
-        jax.device_get(step_count)  # warm/compile
-        step_cache = dec.init_cache(cfg.decoder, 1024)._replace(pos=jnp.int32(160))
-        t0 = time.perf_counter()
-        _tokens, step_count, _c = dec.decode_greedy(
-            cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, step_budget
-        )
-        n = int(jax.device_get(step_count))
-        decode_ms.append((time.perf_counter() - t0) / max(n, 1) * 1000)
-    decode_ms.sort()
-    decode_ms_per_step = decode_ms[len(decode_ms) // 2]
-    print(f"[bench] decode ms/step: {[round(v, 2) for v in decode_ms]}", file=sys.stderr, flush=True)
+    decode_ms_per_step = None
+    try:
+        decode_ms = []
+        for _ in range(3):
+            step_cache = dec.init_cache(cfg.decoder, 1024)._replace(pos=jnp.int32(160))
+            _tokens, step_count, _c = dec.decode_greedy(
+                cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, step_budget
+            )
+            jax.device_get(step_count)  # warm/compile
+            step_cache = dec.init_cache(cfg.decoder, 1024)._replace(pos=jnp.int32(160))
+            t0 = time.perf_counter()
+            _tokens, step_count, _c = dec.decode_greedy(
+                cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, step_budget
+            )
+            n = int(jax.device_get(step_count))
+            decode_ms.append((time.perf_counter() - t0) / max(n, 1) * 1000)
+        decode_ms.sort()
+        decode_ms_per_step = decode_ms[len(decode_ms) // 2]
+        print(f"[bench] decode ms/step: {[round(v, 2) for v in decode_ms]}", file=sys.stderr, flush=True)
+    except Exception as exc:
+        print(f"[bench] decode-step section failed: {exc}", file=sys.stderr, flush=True)
 
     # Relay-amortized decode: the 64-step loop carries one dispatch+fetch
     # round trip (~relay_rtt ms) spread over 64 steps; a 256-step run pins
     # the on-device per-step cost to ±rtt/256. The spread between the two
     # numbers is attributable relay overhead, not kernel time.
     decode256_cap = 1024  # 160+256 fits; reuses the capacity-1024 payload family
-    decode_ms_256 = []
-    for _ in range(2):
-        step_cache = dec.init_cache(cfg.decoder, decode256_cap)._replace(pos=jnp.int32(160))
-        _t, c256, _c = dec.decode_greedy(
-            cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, 256
+    decode_ms_per_step_256 = None
+    decode_ms_device = None
+    try:
+        decode_ms_256 = []
+        for _ in range(2):
+            step_cache = dec.init_cache(cfg.decoder, decode256_cap)._replace(pos=jnp.int32(160))
+            _t, c256, _c = dec.decode_greedy(
+                cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, 256
+            )
+            jax.device_get(c256)
+            step_cache = dec.init_cache(cfg.decoder, decode256_cap)._replace(pos=jnp.int32(160))
+            t0 = time.perf_counter()
+            _t, c256, _c = dec.decode_greedy(
+                cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, 256
+            )
+            n = int(jax.device_get(c256))
+            decode_ms_256.append((time.perf_counter() - t0) / max(n, 1) * 1000)
+        decode_ms_per_step_256 = min(decode_ms_256)
+        # Device-side per-step cost: the N-step loop is ONE dispatch, so its
+        # wall time carries exactly one relay round trip; subtracting the
+        # measured RTT pins the on-device cost to ±rtt/256 — the same
+        # in-dispatch-iteration methodology the prefill section uses (VERDICT
+        # r2 #10). Raw wall numbers for both loop lengths stay alongside for
+        # attribution.
+        decode_ms_device = max(
+            0.01, (decode_ms_per_step_256 * 256 - relay_rtt_ms) / 256
         )
-        jax.device_get(c256)
-        step_cache = dec.init_cache(cfg.decoder, decode256_cap)._replace(pos=jnp.int32(160))
-        t0 = time.perf_counter()
-        _t, c256, _c = dec.decode_greedy(
-            cfg.decoder, decoder_params, jnp.int32(7), step_cache, -2, 256
+        print(
+            f"[bench] decode ms/step @256 (relay-amortized): {[round(v, 2) for v in decode_ms_256]}"
+            f" → device {decode_ms_device:.2f}",
+            file=sys.stderr, flush=True,
         )
-        n = int(jax.device_get(c256))
-        decode_ms_256.append((time.perf_counter() - t0) / max(n, 1) * 1000)
-    decode_ms_per_step_256 = min(decode_ms_256)
-    # Device-side per-step cost: the N-step loop is ONE dispatch, so its wall
-    # time carries exactly one relay round trip; subtracting the measured RTT
-    # pins the on-device cost to ±rtt/256 — the same in-dispatch-iteration
-    # methodology the prefill section uses (VERDICT r2 #10). Raw wall numbers
-    # for both loop lengths stay alongside for attribution.
-    decode_ms_device = max(
-        0.01, (decode_ms_per_step_256 * 256 - relay_rtt_ms) / 256
-    )
-    print(
-        f"[bench] decode ms/step @256 (relay-amortized): {[round(v, 2) for v in decode_ms_256]}"
-        f" → device {decode_ms_device:.2f}",
-        file=sys.stderr, flush=True,
-    )
+    except Exception as exc:
+        print(f"[bench] decode-256 section failed: {exc}", file=sys.stderr, flush=True)
 
     # --- batched decode: aggregate throughput ---------------------------
     # B streams step together with the stream dimension on the matmul ROW
@@ -552,11 +579,15 @@ def main() -> None:
     except Exception as exc:  # 1 GB scratch can OOM — that IS the finding
         print(f"[bench] dense 32k prefill failed: {exc}", file=sys.stderr, flush=True)
         prefill_dense_ms = None
-    prefill_chunked_ms = _time(chunked_fn)
+    try:
+        prefill_chunked_ms = _time(chunked_fn)
+    except Exception as exc:
+        print(f"[bench] chunked 32k prefill failed: {exc}", file=sys.stderr, flush=True)
+        prefill_chunked_ms = None
     print(
         f"[bench] 32k prefill attention (device ms/layer, rtt-corrected): "
         f"dense {prefill_dense_ms and round(prefill_dense_ms, 2)}, "
-        f"chunked {round(prefill_chunked_ms, 2)}",
+        f"chunked {prefill_chunked_ms and round(prefill_chunked_ms, 2)}",
         file=sys.stderr, flush=True,
     )
     print(
@@ -576,18 +607,34 @@ def main() -> None:
                     "rtf_min": round(min(samples) / AUDIO_SECONDS, 5),
                     "device": str(jax.devices()[0]),
                     "xrt": round(AUDIO_SECONDS / elapsed, 1),
-                    "p50_end_of_speech_to_text_ms": round(p50_eos_ms, 1),
-                    "min_end_of_speech_to_text_ms": round(eos_samples[0], 1),
+                    "p50_end_of_speech_to_text_ms": (
+                        round(p50_eos_ms, 1) if p50_eos_ms is not None else None
+                    ),
+                    "min_end_of_speech_to_text_ms": (
+                        round(eos_samples[0], 1) if eos_samples else None
+                    ),
                     "eos_target_ms": 300,
-                    "wire_p50_end_of_speech_to_text_ms": round(wire["p50_ms"], 1),
-                    "wire_min_end_of_speech_to_text_ms": round(wire["min_ms"], 1),
-                    "wire_vad_ms_p50": wire["vad_ms_p50"],
-                    "wire_inference_ms_p50": wire["inference_ms_p50"],
-                    "wire_session_hit_rate": wire["session_hit_rate"],
+                    "wire_p50_end_of_speech_to_text_ms": (
+                        round(wire["p50_ms"], 1) if "p50_ms" in wire else None
+                    ),
+                    "wire_min_end_of_speech_to_text_ms": (
+                        round(wire["min_ms"], 1) if "min_ms" in wire else None
+                    ),
+                    "wire_vad_ms_p50": wire.get("vad_ms_p50"),
+                    "wire_inference_ms_p50": wire.get("inference_ms_p50"),
+                    "wire_session_hit_rate": wire.get("session_hit_rate"),
                     "relay_rtt_ms_p50": round(relay_rtt_ms, 2),
-                    "decode_ms_per_step": round(decode_ms_device, 2),
-                    "decode_ms_per_step_64_wall": round(decode_ms_per_step, 2),
-                    "decode_ms_per_step_256_wall": round(decode_ms_per_step_256, 2),
+                    "decode_ms_per_step": (
+                        round(decode_ms_device, 2) if decode_ms_device is not None else None
+                    ),
+                    "decode_ms_per_step_64_wall": (
+                        round(decode_ms_per_step, 2) if decode_ms_per_step is not None else None
+                    ),
+                    "decode_ms_per_step_256_wall": (
+                        round(decode_ms_per_step_256, 2)
+                        if decode_ms_per_step_256 is not None
+                        else None
+                    ),
                     "batched_tick_streams": 4,
                     "batched_tick_ms_p50": (
                         round(batched_tick_p50, 1) if batched_tick_p50 else None
@@ -605,7 +652,11 @@ def main() -> None:
                     "longform_prefill_attn_ms_dense_32k": (
                         round(prefill_dense_ms, 2) if prefill_dense_ms else None
                     ),
-                    "longform_prefill_attn_ms_chunked_32k": round(prefill_chunked_ms, 2),
+                    "longform_prefill_attn_ms_chunked_32k": (
+                        round(prefill_chunked_ms, 2)
+                        if prefill_chunked_ms is not None
+                        else None
+                    ),
                 },
             }
         )
