@@ -55,7 +55,11 @@ def measure_rtt():
     return samples[len(samples) // 2]
 
 
-def bench_config(out_f, in_f, bo, bk, rtt_ms, iters=32):
+def bench_config(out_f, in_f, bo, bk, rtt_ms, iters=512):
+    # iters=512, not 32: one layer call is ~0.03-0.05 ms, so a 32-iteration
+    # loop has ~1.4 ms of device time — unresolvable against the relay's
+    # multi-ms RTT jitter (a 32-iter run once "measured" 26 TB/s). 512 iters
+    # ≈ 20+ ms device time, the same floor the read-ceiling probe needs.
     rng = np.random.default_rng(0)
     q = jnp.asarray(
         rng.integers(-127, 127, size=(L, out_f, in_f), dtype=np.int8)
