@@ -65,6 +65,36 @@ def _pick(n: int, preferred: int) -> int:
     return preferred if n % preferred == 0 else n
 
 
+def _contig_bk_enabled() -> bool:
+    import os
+
+    return os.environ.get("LWT_BK2048", "").strip().lower() in ("1", "true", "on")
+
+
+def _tile_policy(out_features: int, in_features: int) -> tuple:
+    """(block_o, block_k) for the dequant-matmul grid.
+
+    Default tiling is (2048, 512): bk=512 gives the transposed-scales block
+    exactly the 16-sublane minimum tile, and bo=2048 amortizes grid overhead.
+    With ``LWT_BK2048`` on and a divisible in-dim, bk=2048 makes every
+    q-block row one contiguous 2 KB HBM burst from the [L, O, K] stack
+    instead of four 512 B bursts at stride K — measured 486 vs 403 GB/s at
+    the 1.7B gateup shape (scripts/exp_q8_block_sweep.py --contig, 512
+    in-dispatch iterations, same session). VMEM caps bo at 1024 when
+    bk=2048 (bo=2048/bk=2048 exceeds the 16 MB scoped-vmem limit). Gated
+    until the full decode program is A/B'd on hardware: changing bk regroups
+    the f32 accumulation order, which stays inside the serving exactness
+    doctrine (docs/SERVING.md) but is a different XLA program.
+    """
+    if (
+        _contig_bk_enabled()
+        and in_features % 2048 == 0
+        and out_features % 512 == 0
+    ):
+        return _pick(out_features, 1024), 2048
+    return _pick(out_features, 2048), 512
+
+
 @functools.partial(jax.jit, static_argnames=("block_t", "block_o", "block_k", "interpret"))
 def _q8_matmul_2d(
     x: jax.Array,  # [T, in] bf16
@@ -351,8 +381,7 @@ def q8_matmul_pallas_stacked_fused(
             residual = jnp.pad(residual, ((0, pad_t), (0, 0)))
         block_t = _pick(x.shape[0], max(block_t, 8))
     Tp = x.shape[0]
-    block_o = _pick(out_features, 2048)
-    block_k = 512
+    block_o, block_k = _tile_policy(out_features, in_features)
 
     with_norm = norm_w is not None
     if with_norm:
@@ -396,8 +425,7 @@ def q8_matmul_pallas_stacked(
         x2 = jnp.pad(x2, ((0, pad_t), (0, 0)))
         T = x2.shape[0]
         block_t = _pick(T, max(block_t, 8))
-    block_o = _pick(out_features, 2048)
-    block_k = 512
+    block_o, block_k = _tile_policy(out_features, in_features)
 
     y = _q8_matmul_stacked_2d(x2, q, s_t, layer, block_t, block_o, block_k, interpret)
     return y[: _prod(lead_shape)].reshape(*lead_shape, out_features)
@@ -422,12 +450,9 @@ def q8_matmul_pallas(x: jax.Array, q: jax.Array, s: jax.Array, interpret: bool =
         T = x2.shape[0]
         block_t = _pick(T, max(block_t, 8))
     # Measured on v5e at decode shapes: larger out-tiles amortize grid
-    # overhead (bo=2048 → ~580 GB/s vs ~530 at bo=512).
-    block_o = _pick(out_features, 2048)
-    # block_k is pinned at 512 so the transposed-scales block has exactly the
-    # f16 minimum sublane tile (512/32 = 16); ops.linear only routes shapes
-    # with in % 512 == 0 here.
-    block_k = 512
+    # overhead (bo=2048 → ~580 GB/s vs ~530 at bo=512); ops.linear only
+    # routes shapes with in % 512 == 0 here.
+    block_o, block_k = _tile_policy(out_features, in_features)
 
     y = _q8_matmul_2d(x2, q, s, block_t, block_o, block_k, interpret)
     return y[: _prod(lead_shape)].reshape(*lead_shape, out_features)

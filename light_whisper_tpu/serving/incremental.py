@@ -328,6 +328,7 @@ class IncrementalTranscriber:
         draft: list = []
         first = None
         cache = self._cache
+        redo_wave = None  # device buffer composed by a clip-guarded extend
 
         if can_extend:
             # One fused dispatch: encode + tail-segment prefill from rollback,
@@ -343,11 +344,12 @@ class IncrementalTranscriber:
             seg_true = (n_audio - stable) + suffix_len + DRAFT_TOKENS
             seg_bucket = _round_up(max(1, seg_true), SEGMENT_BUCKET)
             cache = cache._replace(pos=jnp.int32(prefix_len + stable))
+            wave_dev = device_window()
             first, accepted_dev, cache, clip_dev = _encode_prefill_segment(
                 cfg,
                 model.encoder_params,
                 model.decoder_params,
-                device_window(),
+                wave_dev,
                 jnp.int32(n_audio),
                 jnp.int32(stable),
                 jnp.asarray(np.asarray(model.suffix_ids, dtype=np.int32)),
@@ -389,6 +391,11 @@ class IncrementalTranscriber:
                 can_extend = False
                 accepted = 0
                 draft = []
+                # The composed [bucket] device window is bit-identical to a
+                # full send (zero-tail invariant) and the segment prefill does
+                # NOT donate it — reuse it for the redo instead of paying a
+                # second full-window host→device upload.
+                redo_wave = wave_dev
             else:
                 self.incremental_prefills += 1
                 self.draft_tokens_offered += len(draft)
@@ -411,10 +418,15 @@ class IncrementalTranscriber:
             ids[prefix_len : prefix_len + n_audio] = cfg.audio_token_id
             ids[prefix_len + n_audio : true_len] = model.suffix_ids
             cache = cache._replace(pos=jnp.int32(0))
-            wave_dev = jnp.asarray(full_window_np())
-            # seed the resident buffer with the shipped array (no extra copy)
-            self._audio_dev = wave_dev
-            self._sent = len(window)
+            if redo_wave is not None:
+                # Clip-guard redo: _audio_dev/_sent already describe this
+                # exact window; nothing to ship.
+                wave_dev = redo_wave
+            else:
+                wave_dev = jnp.asarray(full_window_np())
+                # seed the resident buffer with the shipped array (no copy)
+                self._audio_dev = wave_dev
+                self._sent = len(window)
             first, cache, clip_dev = _encode_and_prefill(
                 cfg,
                 model.encoder_params,

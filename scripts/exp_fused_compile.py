@@ -257,6 +257,32 @@ def e5():
         )
 
 
+def e6():
+    """Contiguous-bk tiling (LWT_BK2048): seed every payload the 1.7B decode
+    program needs at the new (bo=1024, bk=2048) tiling — the four fused
+    projection sites plus the unstacked logits kernel — then compile + time
+    the full decode program. Run the baseline e2 in a SEPARATE process (env
+    is read at trace time) and compare ms/step."""
+    os.environ["LWT_BK2048"] = "1"
+    e1()  # four fused projection payloads at the gated tiling
+    from light_whisper_tpu.ops.q8_matmul import q8_matmul_pallas
+
+    V, D2 = 152576, 2048  # 1.7B tied-embed logits shape (vocab padded to 1024)
+    qv = jnp.zeros((V, D2), jnp.int8)
+    sv = jnp.zeros((V, D2 // 32), jnp.bfloat16)
+
+    @jax.jit
+    def flogit(x, qv, sv):
+        return q8_matmul_pallas(x, qv, sv)[:, :8]
+
+    x = jnp.zeros((1, D2), jnp.bfloat16)
+    t0 = time.time()
+    jax.device_get(flogit(x, qv, sv))
+    log(f"E6 logits payload seed: first {time.time() - t0:.1f}s")
+    _run_decode(64)
+    _run_decode(40)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     log(f"devices: {jax.devices()}")
@@ -270,4 +296,6 @@ if __name__ == "__main__":
         e4()
     if which == "e5":
         e5()
+    if which == "e6":
+        e6()
     log("done")

@@ -254,6 +254,45 @@ def test_quiet_then_loud_stays_greedy_exact(model):
     assert inc.incremental_prefills >= 1
 
 
+def test_clip_guard_redo_reuses_device_buffer(model, monkeypatch):
+    """The clip-guard redo must not re-upload the full window: the extend
+    attempt already composed the [bucket] device buffer (zero-tail invariant
+    makes it bit-identical to a full send) and the segment prefill does not
+    donate it. On a remote-attached TPU the saved upload is the largest
+    non-decode term of a tick (scripts/exp_profile_rtf.py)."""
+    import light_whisper_tpu.serving.incremental as incremental
+    from light_whisper_tpu.models.qwen3_asr.model import bucket_audio_samples
+
+    rng = np.random.default_rng(7)
+    quiet = (rng.standard_normal(16000 * 6) * 0.002).astype(np.float32)
+    loud = (rng.standard_normal(16000 * 3) * 0.9).astype(np.float32)
+    audio = np.concatenate([quiet, loud])
+    bucket = bucket_audio_samples(len(audio))
+
+    inc = IncrementalTranscriber(model, max_new_tokens=8)
+    inc.transcribe_window(audio[: 16000 * 6], window_start_sample=0)
+
+    real_jnp = incremental.jnp
+    big_uploads: list = []
+
+    class _JnpSpy:
+        def __getattr__(self, name):
+            return getattr(real_jnp, name)
+
+        @staticmethod
+        def asarray(x, *args, **kwargs):
+            size = getattr(x, "size", None)
+            if size is not None and size >= bucket:
+                big_uploads.append(getattr(x, "shape", None))
+            return real_jnp.asarray(x, *args, **kwargs)
+
+    monkeypatch.setattr(incremental, "jnp", _JnpSpy())
+    r2 = inc.transcribe_window(audio, window_start_sample=0)
+    assert inc.clip_guard_prefills >= 1  # the guard fired → redo happened
+    assert r2.tokens == model.transcribe(audio).tokens
+    assert big_uploads == []  # the redo rode the resident device buffer
+
+
 def test_stable_boundary_excludes_mel_receptive_bleed(model):
     """Window ends landing within N_FFT/2 of a group boundary must not mark
     that group stable (its last mel frames still read future samples)."""

@@ -341,6 +341,53 @@ def test_fused_stacked_kernel_bit_matches_unfused():
     np.testing.assert_array_equal(want, got)
 
 
+def test_contig_bk_tiling_matches_default(monkeypatch):
+    """LWT_BK2048 selects the contiguous-read tiling (bo≤1024, bk=2048) on
+    divisible shapes and leaves others alone; kernel outputs match the
+    default tiling (a different k-grouping of the f32 accumulator — equal
+    up to reduction-order rounding, so allclose, not bitwise)."""
+    from light_whisper_tpu.ops import q8_matmul as m
+
+    monkeypatch.delenv("LWT_BK2048", raising=False)
+    assert m._tile_policy(12288, 2048) == (2048, 512)
+    monkeypatch.setenv("LWT_BK2048", "1")
+    assert m._tile_policy(12288, 2048) == (1024, 2048)
+    assert m._tile_policy(512, 2048) == (512, 2048)
+    assert m._tile_policy(12288, 1024) == (2048, 512)  # indivisible in-dim
+
+    rng = np.random.default_rng(17)
+    L, O, K = 2, 512, 2048
+    w = (rng.standard_normal((L, O, K)) * (1.0 / np.sqrt(K))).astype(np.float32)
+    qs = [quantize_q8_0(w[i]) for i in range(L)]
+    q = jnp.stack([jnp.asarray(a) for a, _ in qs])
+    s = jnp.stack([jnp.asarray(b) for _, b in qs])
+    s_t = jnp.swapaxes(s.astype(jnp.bfloat16), 1, 2)
+    x = jnp.asarray(rng.standard_normal((8, K)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    norm = jnp.asarray(1.0 + rng.standard_normal(K).astype(np.float32) * 0.1)
+
+    got = np.asarray(
+        m.q8_matmul_pallas_stacked(x, q, s_t, jnp.int32(1), interpret=True)
+    )
+    got_fused = np.asarray(
+        m.q8_matmul_pallas_stacked_fused(
+            x, q, s_t, jnp.int32(1), norm_w=norm, interpret=True
+        )
+    )
+    monkeypatch.delenv("LWT_BK2048")
+    want = np.asarray(
+        m.q8_matmul_pallas_stacked(x, q, s_t, jnp.int32(1), interpret=True)
+    )
+    want_fused = np.asarray(
+        m.q8_matmul_pallas_stacked_fused(
+            x, q, s_t, jnp.int32(1), norm_w=norm, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_fused, want_fused, rtol=1e-5, atol=1e-5)
+
+
 def test_fused_gateup_silu_matches_unfused():
     """Half-fused FFN kernel: silu(gate)·up in one layer-indexed launch."""
     import jax
