@@ -65,32 +65,52 @@ def _pick(n: int, preferred: int) -> int:
     return preferred if n % preferred == 0 else n
 
 
-def _contig_bk_enabled() -> bool:
+def _contig_bk_mode() -> str:
     import os
 
-    return os.environ.get("LWT_BK2048", "").strip().lower() in ("1", "true", "on")
+    v = os.environ.get("LWT_BK2048", "").strip().lower()
+    if v in ("1", "true", "on"):
+        return "all"  # contig for every divisible shape (the e6 experiment)
+    if v in ("0", "false", "off"):
+        return "off"
+    return "auto"  # measured per-shape policy (default)
 
 
 def _tile_policy(out_features: int, in_features: int) -> tuple:
     """(block_o, block_k) for the dequant-matmul grid.
 
-    Default tiling is (2048, 512): bk=512 gives the transposed-scales block
-    exactly the 16-sublane minimum tile, and bo=2048 amortizes grid overhead.
-    With ``LWT_BK2048`` on and a divisible in-dim, bk=2048 makes every
-    q-block row one contiguous 2 KB HBM burst from the [L, O, K] stack
-    instead of four 512 B bursts at stride K — measured 486 vs 403 GB/s at
-    the 1.7B gateup shape (scripts/exp_q8_block_sweep.py --contig, 512
-    in-dispatch iterations, same session). VMEM caps bo at 1024 when
-    bk=2048 (bo=2048/bk=2048 exceeds the 16 MB scoped-vmem limit). Gated
-    until the full decode program is A/B'd on hardware: changing bk regroups
-    the f32 accumulation order, which stays inside the serving exactness
-    doctrine (docs/SERVING.md) but is a different XLA program.
+    Base tiling is (2048, 512): bk=512 gives the transposed-scales block
+    exactly the 16-sublane minimum tile, and bo=2048 amortizes grid
+    overhead. bk=2048 ("contig") instead reads each q-block row as one
+    contiguous 2 KB HBM burst rather than four 512 B bursts at stride K —
+    but VMEM caps bo at 1024 there (bo=2048/bk=2048 exceeds the 16 MB
+    scoped-vmem limit), so it is not uniformly better. Per-site hardware
+    A/B at 1.7B decode shapes (scripts/exp_q8_block_sweep.py --ab, 512
+    in-dispatch iterations, v5e via relay, 2026-08-18):
+
+      gateup [12288x2048]: 555 → 567 GB/s   (contig wins)
+      logits [152576x2048]: 449 → 530 GB/s  (contig wins, ~0.11 ms/step)
+      down   [2048x6144]:  718 → 601 GB/s   (contig REGRESSES)
+      qkv/o  (≤8.4 MB/call): unresolvable through relay RTT jitter
+
+    Full-program confirmation: 256-step decode_greedy 4.47-4.52 (base) vs
+    4.36-4.43 ms/step (all-contig). Default policy is therefore
+    shape-targeted: contig only for in==2048 with out≥8192 (gateup +
+    tied-embed logits at 1.7B; 0.6B's D=1024 shapes keep the base tiling).
+    ``LWT_BK2048=1`` forces contig for every divisible shape, ``=0``
+    disables it. Changing bk regroups the f32 accumulation order — inside
+    the serving exactness doctrine (docs/SERVING.md), but a different XLA
+    program.
     """
-    if (
-        _contig_bk_enabled()
+    mode = _contig_bk_mode()
+    contig = (
+        mode == "all"
         and in_features % 2048 == 0
         and out_features % 512 == 0
-    ):
+    ) or (
+        mode == "auto" and in_features == 2048 and out_features >= 8192
+    )
+    if contig:
         return _pick(out_features, 1024), 2048
     return _pick(out_features, 2048), 512
 

@@ -55,17 +55,18 @@ def measure_rtt():
     return samples[len(samples) // 2]
 
 
-def bench_config(out_f, in_f, bo, bk, rtt_ms, iters=512):
+def bench_config(out_f, in_f, bo, bk, rtt_ms, iters=512, layers=None):
     # iters=512, not 32: one layer call is ~0.03-0.05 ms, so a 32-iteration
     # loop has ~1.4 ms of device time — unresolvable against the relay's
     # multi-ms RTT jitter (a 32-iter run once "measured" 26 TB/s). 512 iters
     # ≈ 20+ ms device time, the same floor the read-ceiling probe needs.
     rng = np.random.default_rng(0)
+    nl = L if layers is None else layers
     q = jnp.asarray(
-        rng.integers(-127, 127, size=(L, out_f, in_f), dtype=np.int8)
+        rng.integers(-127, 127, size=(nl, out_f, in_f), dtype=np.int8)
     )
     s_t = jnp.asarray(
-        (rng.standard_normal((L, in_f // 32, out_f)) * 0.01).astype(np.float32)
+        (rng.standard_normal((nl, in_f // 32, out_f)) * 0.01).astype(np.float32)
     ).astype(jnp.bfloat16)
     x = jnp.asarray(rng.standard_normal((T, in_f)).astype(np.float32)).astype(
         jnp.bfloat16
@@ -78,7 +79,7 @@ def bench_config(out_f, in_f, bo, bk, rtt_ms, iters=512):
     @jax.jit
     def run(x0, q, s_t):
         def body(i, carry):
-            layer = jax.lax.rem(i, L)
+            layer = jax.lax.rem(i, nl)
             y = _q8_matmul_stacked_2d(
                 x0 + (carry * 1e-9).astype(x0.dtype), q, s_t, layer, T, bo, bk
             )
@@ -124,6 +125,42 @@ def main():
             (6144, 1024),
             (512, 2048),
         ]
+
+    if "--ab" in sys.argv:
+        # Per-site A/B: shipped tiling vs the LWT_BK2048 contig tiling, for
+        # every matmul site the 1.7B decode step actually runs — the four
+        # stacked projections (L=28) plus the tied-embed logits (layers=1
+        # approximates the unstacked kernel; same block schedule). Answers
+        # why the full-program win (4.50 → 4.38 ms/step) is smaller than
+        # gateup's standalone +20%: which shapes regress at bo=1024?
+        from light_whisper_tpu.ops.q8_matmul import _pick
+
+        rtt = measure_rtt()
+        log(f"device {jax.devices()[0]}, relay rtt p50 {rtt:.1f} ms [--ab]")
+        ab_shapes = [
+            ("qkv", 4096, 2048, 28),
+            ("o", 2048, 2048, 28),
+            ("gateup", 12288, 2048, 28),
+            ("down", 2048, 6144, 28),
+            ("logits", 152576, 2048, 1),
+        ]
+        for name, out_f, in_f, nl in ab_shapes:
+            for tag, (bo, bk) in (
+                ("default", (_pick(out_f, 2048), 512)),
+                ("contig", (_pick(out_f, 1024), 2048)),
+            ):
+                try:
+                    ms, gbps, compile_s = bench_config(
+                        out_f, in_f, bo, bk, rtt, layers=nl
+                    )
+                    log(
+                        f"{name} [{out_f}x{in_f}]x{nl} {tag} bo={bo} bk={bk}: "
+                        f"{ms:.3f} ms/call → {gbps:.0f} GB/s "
+                        f"(compile {compile_s:.0f}s)"
+                    )
+                except Exception as exc:
+                    log(f"{name} {tag} bo={bo} bk={bk}: FAILED {type(exc).__name__}: {exc}")
+        return
 
     rtt = measure_rtt()
     log(f"device {jax.devices()[0]}, relay rtt p50 {rtt:.1f} ms")

@@ -348,13 +348,27 @@ def test_contig_bk_tiling_matches_default(monkeypatch):
     up to reduction-order rounding, so allclose, not bitwise)."""
     from light_whisper_tpu.ops import q8_matmul as m
 
+    # auto (default): contig only for the measured winners — in==2048 with
+    # out >= 8192 (1.7B gateup + tied-embed logits)
     monkeypatch.delenv("LWT_BK2048", raising=False)
-    assert m._tile_policy(12288, 2048) == (2048, 512)
+    assert m._tile_policy(12288, 2048) == (1024, 2048)  # gateup
+    assert m._tile_policy(152576, 2048) == (1024, 2048)  # logits
+    assert m._tile_policy(4096, 2048) == (2048, 512)  # qkv: unresolved, base
+    assert m._tile_policy(2048, 6144) == (2048, 512)  # down: contig regresses
+    assert m._tile_policy(12288, 1024) == (2048, 512)  # 0.6B D=1024
+    # forced on: every divisible shape
     monkeypatch.setenv("LWT_BK2048", "1")
     assert m._tile_policy(12288, 2048) == (1024, 2048)
     assert m._tile_policy(512, 2048) == (512, 2048)
+    assert m._tile_policy(2048, 6144) == (1024, 2048)
     assert m._tile_policy(12288, 1024) == (2048, 512)  # indivisible in-dim
+    # forced off
+    monkeypatch.setenv("LWT_BK2048", "0")
+    assert m._tile_policy(12288, 2048) == (2048, 512)
 
+    # Numeric check: contig vs base tiling on a small divisible shape
+    # (forced-on picks contig for it; forced-off picks base).
+    monkeypatch.setenv("LWT_BK2048", "1")
     rng = np.random.default_rng(17)
     L, O, K = 2, 512, 2048
     w = (rng.standard_normal((L, O, K)) * (1.0 / np.sqrt(K))).astype(np.float32)
@@ -375,7 +389,7 @@ def test_contig_bk_tiling_matches_default(monkeypatch):
             x, q, s_t, jnp.int32(1), norm_w=norm, interpret=True
         )
     )
-    monkeypatch.delenv("LWT_BK2048")
+    monkeypatch.setenv("LWT_BK2048", "0")
     want = np.asarray(
         m.q8_matmul_pallas_stacked(x, q, s_t, jnp.int32(1), interpret=True)
     )
