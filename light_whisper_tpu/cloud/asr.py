@@ -217,7 +217,8 @@ def dashscope_transcribe(
             timeout=60.0,
         )
         if not 200 <= status < 300:
-            raise CloudAsrError(f"DashScope Omni HTTP {status}")
+            body_text = "\n".join(payload) if is_stream else str(payload)
+            raise CloudAsrError(f"DashScope Omni HTTP {status}: {body_text[:200]}")
         pieces: List[str] = []
         error: Optional[str] = None
         lines = payload if is_stream else str(payload).splitlines()
@@ -239,9 +240,18 @@ def dashscope_transcribe(
                 delta = (choice.get("delta") or {}).get("content")
                 if isinstance(delta, str):
                     pieces.append(delta)
-        if error and not pieces:
-            return CloudTranscription(text="", success=False, error=error)
-        return CloudTranscription(text="".join(pieces).strip(), success=True)
+        # Reference semantics (alibaba_asr_service.rs:248-258): a stream
+        # error fails the whole request even if partial deltas arrived, and
+        # an empty stream is an actionable error (quota/refusal), never a
+        # silent empty transcript.
+        if error:
+            raise CloudAsrError(f"DashScope Omni 返回错误: {error}")
+        text = "".join(pieces).strip()
+        if not text:
+            raise CloudAsrError(
+                "DashScope Omni 流式响应为空，请检查模型可用性、额度或控制台日志"
+            )
+        return CloudTranscription(text=text, success=True)
 
     status, _is_stream, payload = transport.post_json(
         endpoint.rstrip("/") + DASHSCOPE_ASR_PATH,
@@ -249,9 +259,10 @@ def dashscope_transcribe(
         dashscope_asr_request_body(model, wav_bytes),
         timeout=60.0,
     )
-    if not 200 <= status < 300:
-        raise CloudAsrError(f"DashScope ASR HTTP {status}")
     body = payload if isinstance(payload, str) else json.dumps(payload)
+    if not 200 <= status < 300:
+        # Reference includes the response body (alibaba_asr_service.rs:97-102)
+        raise CloudAsrError(f"DashScope ASR HTTP {status}: {body[:200]}")
     return _parse_dashscope_asr_response(body)
 
 

@@ -118,6 +118,44 @@ def test_omni_chat_streaming_path():
     assert body["messages"][1]["content"][0]["type"] == "input_audio"
 
 
+def test_omni_stream_error_fails_even_with_partial_text():
+    """A stream error fails the whole request even if deltas arrived before
+    it (alibaba_asr_service.rs:248-249 returns Err unconditionally)."""
+    lines = [
+        'data: {"choices":[{"delta":{"content":"你好"}}]}',
+        'data: {"error":{"message":"quota exceeded"}}',
+        "data: [DONE]",
+    ]
+    with pytest.raises(CloudAsrError, match="quota exceeded"):
+        dashscope_transcribe(
+            wav(), "key", model="qwen3-omni-flash",
+            transport=FakeJson(stream_lines=lines),
+        )
+
+
+def test_omni_empty_stream_is_actionable_error_not_empty_success():
+    """An empty stream usually means upstream refusal/quota — surface an
+    actionable error, never a silent empty transcript
+    (alibaba_asr_service.rs:252-258)."""
+    with pytest.raises(CloudAsrError, match="为空"):
+        dashscope_transcribe(
+            wav(), "key", model="qwen3-omni-flash",
+            transport=FakeJson(stream_lines=["data: [DONE]"]),
+        )
+
+
+def test_dashscope_http_error_includes_body():
+    """HTTP-level failures carry the response body like the reference
+    (alibaba_asr_service.rs:97-102)."""
+
+    class FailTransport:
+        def post_json(self, url, headers, body, timeout):
+            return 400, False, '{"message":"InvalidParameter.audio"}'
+
+    with pytest.raises(CloudAsrError, match="InvalidParameter.audio"):
+        dashscope_transcribe(wav(), "key", transport=FailTransport())
+
+
 def test_transcribe_online_resolves_config_and_secrets(tmp_path, monkeypatch):
     """The orchestration wires engine.json (engine/region/model/endpoint) and
     the secret store's engine+region key slot (funasr.rs:139-178)."""
