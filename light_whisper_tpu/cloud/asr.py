@@ -62,8 +62,8 @@ def _wav_duration_seconds(wav_bytes: bytes) -> Optional[float]:
 
 
 def exceeds_dashscope_limit(raw_len: int) -> bool:
-    """ceil(raw·4/3) against the body cap — inflation-aware."""
-    return raw_len * 4 // 3 > DASHSCOPE_MAX_BASE64_BYTES
+    """Base64-inflated size (raw·4/3, padded) against the body cap."""
+    return (raw_len + 2) // 3 * 4 > DASHSCOPE_MAX_BASE64_BYTES
 
 
 def alibaba_model_uses_omni_chat(model: str) -> bool:

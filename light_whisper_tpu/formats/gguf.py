@@ -83,19 +83,24 @@ _SCALAR_FMT = {
 def quantize_q8_0(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Quantize along the last axis into (int8 quants, f16 per-block scales).
 
-    Matches ggml's reference row quantizer: ``d = absmax/127``,
-    ``q = round(x/d)`` with a zero scale producing zero quants.
+    Bit-matches ggml's ``quantize_row_q8_0_ref``: ``d = absmax/127`` in
+    float32, quants from the *unrounded* inverse (``id = 1/d`` before the
+    f16 store — inverting the f16-rounded scale shifts quants by ±1 near
+    block edges), rounding half AWAY from zero (C ``roundf``; ``np.rint``
+    is ties-to-even), and a zero scale producing zero quants. Byte parity
+    with llama.cpp's converter given identical float inputs is what lets
+    exported artifacts be diffed against externally produced ones.
     """
     x = np.asarray(x, dtype=np.float32)
     if x.shape[-1] % Q8_0_BLOCK != 0:
         raise ValueError(f"last dim {x.shape[-1]} not divisible by {Q8_0_BLOCK}")
     blocks = x.reshape(*x.shape[:-1], x.shape[-1] // Q8_0_BLOCK, Q8_0_BLOCK)
     absmax = np.max(np.abs(blocks), axis=-1)
-    d = (absmax / 127.0).astype(np.float16)
-    df = d.astype(np.float32)
-    inv = np.where(df > 0, 1.0 / np.where(df > 0, df, 1.0), 0.0)
-    q = np.rint(blocks * inv[..., None]).astype(np.int8)
-    return q.reshape(x.shape), d
+    d32 = (absmax / np.float32(127.0)).astype(np.float32)
+    inv = np.where(d32 > 0, np.float32(1.0) / np.where(d32 > 0, d32, 1.0), 0.0)
+    scaled = blocks * inv[..., None].astype(np.float32)
+    q = (np.sign(scaled) * np.floor(np.abs(scaled) + np.float32(0.5))).astype(np.int8)
+    return q.reshape(x.shape), d32.astype(np.float16)
 
 
 def dequantize_q8_0(q: np.ndarray, d: np.ndarray) -> np.ndarray:

@@ -119,6 +119,37 @@ def test_q4_0_roundtrip(tmp_path):
     np.testing.assert_array_equal(gguf.dequantize_q8_0(q, d), back)
 
 
+def test_q8_0_matches_ggml_reference_quantizer():
+    """Byte parity with ggml's ``quantize_row_q8_0_ref``: scale stays f32
+    until the f16 store, quants use the UNROUNDED inverse (1/d before f16
+    rounding), and rounding is half-away-from-zero (C roundf) — np.rint's
+    ties-to-even flips exact .5 quants."""
+    # Deterministic tie case: d = 1.0 exactly, elements landing on .5
+    tie = np.zeros(32, dtype=np.float32)
+    tie[0] = 127.0  # absmax → d32 = 1.0 (f16-exact)
+    tie[1:7] = [2.5, -2.5, 0.5, -0.5, 1.5, -1.5]
+    q, d = gguf.quantize_q8_0(tie)
+    assert float(d[0]) == 1.0
+    np.testing.assert_array_equal(q[:7], [127, 3, -3, 1, -1, 2, -2])
+
+    # Random blocks vs a literal float32 transcription of the C reference
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((64, 32)).astype(np.float32) * rng.uniform(
+        0.001, 8.0, size=(64, 1)
+    ).astype(np.float32)
+    x[5] = 0.0  # zero block → d = 0, q = 0
+    q, d = gguf.quantize_q8_0(x)
+    for row in range(x.shape[0]):
+        blk = x[row]
+        amax = np.float32(np.max(np.abs(blk)))
+        d_ref = np.float32(amax / np.float32(127.0))
+        assert float(np.float16(d_ref)) == float(d[row, 0])
+        id_ref = np.float32(0.0) if d_ref == 0 else np.float32(1.0) / d_ref
+        scaled = blk * id_ref
+        q_ref = np.sign(scaled) * np.floor(np.abs(scaled) + np.float32(0.5))
+        np.testing.assert_array_equal(q[row], q_ref.astype(np.int8))
+
+
 def test_q4_0_matches_ggml_reference_quantizer():
     """ADVICE r1: writer must use ggml's scheme — signed extreme → index 0
     exactly (d = extreme/-8), indices min(15, floor(x/d + 8.5))."""
