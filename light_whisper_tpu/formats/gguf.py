@@ -433,8 +433,16 @@ def write_gguf(
         elif ggml_type == GGML_F32:
             payload = arr.astype("<f4").tobytes()
         elif ggml_type == GGML_BF16:
+            # Round-to-nearest-EVEN like ggml_compute_fp32_to_bf16 (plain
+            # +0x8000 is round-half-up); NaNs force the quiet bit.
             u32 = arr.astype(np.float32).view(np.uint32)
-            payload = ((u32 + 0x8000) >> 16).astype("<u2").tobytes()
+            rounded = (u32 + 0x7FFF + ((u32 >> 16) & 1)) >> 16
+            is_nan = (u32 & 0x7FFFFFFF) > 0x7F800000
+            payload = (
+                np.where(is_nan, (u32 >> 16) | 0x0040, rounded)
+                .astype("<u2")
+                .tobytes()
+            )
         elif ggml_type in _SIMPLE_TYPE_NP:
             payload = arr.astype(_SIMPLE_TYPE_NP[ggml_type]).tobytes()
         else:

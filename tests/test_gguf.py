@@ -119,6 +119,25 @@ def test_q4_0_roundtrip(tmp_path):
     np.testing.assert_array_equal(gguf.dequantize_q8_0(q, d), back)
 
 
+def test_bf16_writer_rounds_to_nearest_even(tmp_path):
+    """ggml_compute_fp32_to_bf16 rounds ties to even and quiets NaNs;
+    plain +0x8000 (half-up) would bump 0x...8000 ties to the odd value."""
+    bits = np.array(
+        [0x3F808000, 0x3F818000, 0x7FC00000, 0x3F800001], dtype=np.uint32
+    )
+    x = bits.view(np.float32)
+    path = str(tmp_path / "bf16.gguf")
+    gguf.write_gguf(path, {}, {"w": (x, gguf.GGML_BF16)})
+    t = gguf.read_gguf(path).tensors["w"]
+    raw = t.raw().copy().view("<u2")
+    # 0x3F808000: tie → even → 0x3F80 (half-up gives 0x3F81)
+    # 0x3F818000: tie → even → 0x3F82
+    # NaN stays NaN (quiet bit forced); 0x3F800001 rounds down
+    assert list(raw[:2]) == [0x3F80, 0x3F82]
+    assert np.isnan(t.array()[2])
+    assert raw[3] == 0x3F80
+
+
 def test_q8_0_matches_ggml_reference_quantizer():
     """Byte parity with ggml's ``quantize_row_q8_0_ref``: scale stays f32
     until the f16 store, quants use the UNROUNDED inverse (1/d before f16
