@@ -113,8 +113,17 @@ class EngineServer:
             payload["request_id"] = request_id
         line = json.dumps(payload, ensure_ascii=False) + "\n"
         with self._emit_lock:
-            self._stdout.write(line)
-            self._stdout.flush()
+            try:
+                self._stdout.write(line)
+                self._stdout.flush()
+            except (OSError, ValueError):
+                # The reader end is gone (parent process died / pipe closed).
+                # Nothing we write can ever be seen again, so treat it like
+                # stdin EOF: stop the serve loop so the shutdown hook runs,
+                # instead of letting EPIPE kill the emitting thread with the
+                # scheduler/sessions abandoned mid-job. (ValueError is what a
+                # closed text stream raises; BrokenPipeError ⊂ OSError.)
+                self._running = False
 
     # -- pipelined transcribe plumbing ---------------------------------
 

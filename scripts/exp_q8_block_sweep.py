@@ -101,6 +101,59 @@ def bench_config(out_f, in_f, bo, bk, rtt_ms, iters=512, layers=None):
     return per_call_ms, gbps, compile_s
 
 
+def bench_config_diff(out_f, in_f, bo, bk, iters_pair, layers=None, trials=5):
+    """Differential timing: slope between two in-dispatch trip counts.
+
+    min-wall(N) ≈ RTT_min + N·t_call, so the slope between two trip counts
+    cancels the relay term exactly — the fix that made bench.py's prefill
+    section stop printing clamped 0.01s (DEVNOTES session 7). This resolves
+    shapes whose per-call device time (qkv/o ≤ 8.4 MB ≈ 15 µs) drowns in
+    RTT jitter under single-point RTT subtraction.
+    """
+    rng = np.random.default_rng(0)
+    nl = L if layers is None else layers
+    q = jnp.asarray(
+        rng.integers(-127, 127, size=(nl, out_f, in_f), dtype=np.int8)
+    )
+    s_t = jnp.asarray(
+        (rng.standard_normal((nl, in_f // 32, out_f)) * 0.01).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((T, in_f)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    lo, hi = iters_pair
+    walls = {}
+    compile_total = 0.0
+    for iters in (lo, hi):
+
+        @jax.jit
+        def run(x0, q, s_t, iters=iters):
+            def body(i, carry):
+                layer = jax.lax.rem(i, nl)
+                y = _q8_matmul_stacked_2d(
+                    x0 + (carry * 1e-9).astype(x0.dtype), q, s_t, layer, T, bo, bk
+                )
+                return jnp.sum(y).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        t0 = time.perf_counter()
+        jax.device_get(run(x, q, s_t))
+        compile_total += time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            jax.device_get(run(x, q, s_t))
+            best = min(best, time.perf_counter() - t0)
+        walls[iters] = best * 1000
+
+    per_call_ms = max(1e-6, (walls[hi] - walls[lo]) / (hi - lo))
+    weight_bytes = out_f * in_f + out_f * in_f // 32 * 2
+    gbps = weight_bytes / (per_call_ms / 1000) / 1e9
+    return per_call_ms, gbps, compile_total, walls
+
+
 def main():
     # 1.7B projection shapes: (name, out, in)
     shapes = [("gateup", 12288, 2048)]
@@ -125,6 +178,39 @@ def main():
             (6144, 1024),
             (512, 2048),
         ]
+
+    if "--diff" in sys.argv:
+        # Differential-slope per-site A/B (RTT cancels exactly): the shapes
+        # the single-point --ab mode could not resolve (qkv/o) plus the two
+        # contested ones (down regressed; gateup/logits sanity anchors).
+        from light_whisper_tpu.ops.q8_matmul import _pick
+
+        log(f"device {jax.devices()[0]} [--diff: slope between trip counts]")
+        diff_shapes = [
+            # (name, out, in, layers, (lo, hi) trip counts)
+            ("qkv", 4096, 2048, 28, (512, 2048)),
+            ("o", 2048, 2048, 28, (512, 2048)),
+            ("down", 2048, 6144, 28, (512, 2048)),
+            ("gateup", 12288, 2048, 28, (256, 1024)),
+            ("logits", 152576, 2048, 1, (64, 256)),
+        ]
+        for name, out_f, in_f, nl, pair in diff_shapes:
+            for tag, (bo, bk) in (
+                ("default", (_pick(out_f, 2048), 512)),
+                ("contig", (_pick(out_f, 1024), 2048)),
+            ):
+                try:
+                    ms, gbps, compile_s, walls = bench_config_diff(
+                        out_f, in_f, bo, bk, pair, layers=nl
+                    )
+                    log(
+                        f"{name} [{out_f}x{in_f}]x{nl} {tag} bo={bo} bk={bk}: "
+                        f"{ms * 1000:.1f} us/call → {gbps:.0f} GB/s "
+                        f"(walls {walls} ms, compile {compile_s:.0f}s)"
+                    )
+                except Exception as exc:
+                    log(f"{name} {tag} bo={bo} bk={bk}: FAILED {type(exc).__name__}: {exc}")
+        return
 
     if "--ab" in sys.argv:
         # Per-site A/B: shipped tiling vs the LWT_BK2048 contig tiling, for

@@ -202,6 +202,55 @@ def test_exit_runs_shutdown_exactly_once():
     assert calls == ["x"]
 
 
+def test_broken_stdout_pipe_shuts_down_gracefully():
+    """A vanished reader (parent died / test closed the pipe) is EOF, not a
+    thread-killing EPIPE: the loop must stop and still run the shutdown hook
+    so scheduler/sessions aren't abandoned mid-job."""
+
+    class BrokenAfterInit(io.StringIO):
+        def __init__(self):
+            super().__init__()
+            self.writes = 0
+
+        def write(self, s):
+            self.writes += 1
+            if self.writes > 1:  # init line lands, everything after EPIPEs
+                raise BrokenPipeError(32, "Broken pipe")
+            return super().write(s)
+
+    calls = []
+    stdin = io.StringIO(
+        json.dumps({"action": "status", "request_id": 1})
+        + "\n"
+        + json.dumps({"action": "status", "request_id": 2})
+        + "\n"
+    )
+    stdout = BrokenAfterInit()
+    EngineServer(
+        _hooks(shutdown=lambda: calls.append("shutdown")), stdin=stdin, stdout=stdout
+    ).run()  # must return, not raise
+    assert calls == ["shutdown"]
+    out = [json.loads(line) for line in stdout.getvalue().splitlines()]
+    assert out[0]["success"] is True  # only the init line made it out
+
+
+def test_closed_stdout_stream_shuts_down_gracefully():
+    """A closed text stream raises ValueError, not OSError — same treatment."""
+    calls = []
+    stdin = io.StringIO(json.dumps({"action": "status", "request_id": 1}) + "\n")
+    stdout = io.StringIO()
+    server = EngineServer(
+        _hooks(
+            initialize=lambda: (stdout.close(), {"success": True})[1],
+            shutdown=lambda: calls.append("shutdown"),
+        ),
+        stdin=stdin,
+        stdout=stdout,
+    )
+    server.run()
+    assert calls == ["shutdown"]
+
+
 def test_malformed_max_concurrency_falls_back(monkeypatch):
     monkeypatch.setenv("LIGHT_WHISPER_MAX_CONCURRENCY", "auto")
     out = run_server([json.dumps({"action": "status", "request_id": 1})])
