@@ -93,6 +93,19 @@ def _tile_policy(out_features: int, in_features: int) -> tuple:
       down   [2048x6144]:  718 → 601 GB/s   (contig REGRESSES)
       qkv/o  (≤8.4 MB/call): unresolvable through relay RTT jitter
 
+    Differential-slope re-measurement (--diff: per-call time from the slope
+    between two in-dispatch trip counts, relay RTT cancels exactly;
+    2026-08-18, absolute GB/s lower that session — compare within-session
+    deltas only):
+
+      qkv  [4096x2048]:  421 default → 396 contig  (default wins)
+      o    [2048x2048]:  343 default → 319 contig  (default wins)
+      down [2048x6144]:  448 default → 426 contig  (default wins)
+      gateup:            463 default → 483 contig  (contig wins)
+      logits:            443 default → 514 contig  (contig wins)
+
+    i.e. the shape-targeted auto policy below is confirmed at every site.
+
     Full-program confirmation: 256-step decode_greedy 4.47-4.52 (base) vs
     4.36-4.43 ms/step (all-contig). Default policy is therefore
     shape-targeted: contig only for in==2048 with out≥8192 (gateup +
