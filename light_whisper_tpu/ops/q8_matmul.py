@@ -106,6 +106,26 @@ def _tile_policy(out_features: int, in_features: int) -> tuple:
 
     i.e. the shape-targeted auto policy below is confirmed at every site.
 
+    0.6B decode shapes (D=1024; same --diff methodology, same session),
+    default (bo, 512) vs bk=1024 contiguous 1 KB bursts:
+
+      qkv    [4096x1024]:  350 → 314 GB/s  (default wins)
+      o      [1024x2048]:  248 → 403 GB/s  (bk=1024 WINS, 9.0 → 5.5 us)
+      down   [1024x3072]:  310 → 378 GB/s  (bk=1024 wins, 10.8 → 8.8 us)
+      gateup [6144x1024]:  464 → 343 GB/s  (default wins)
+      logits [152576x1024]: 466 → 502 GB/s (bk=1024 wins)
+
+    …but the per-call wins DO NOT TRANSFER to the real decode chain: a
+    policy switching o/down/logits to bk=1024 measured the matmul chain at
+    1.355 vs 1.310 ms/step and the full decode at 2.052 vs 2.040 (base) —
+    flat-to-worse (bench_decode_step.py, 256-step walls, same session).
+    Isolated back-to-back calls on one weight buffer reward the longer
+    burst; interleaved with the other projections' streams it buys nothing.
+    The 0.6B therefore KEEPS the base tiling everywhere. Methodology rule:
+    a --diff per-site win is a candidate, not a decision — only a
+    full-program A/B lands a policy change (the 1.7B contig rule above
+    passed exactly that gate: 4.50 → 4.38 ms/step).
+
     Full-program confirmation: 256-step decode_greedy 4.47-4.52 (base) vs
     4.36-4.43 ms/step (all-contig). Default policy is therefore
     shape-targeted: contig only for in==2048 with out≥8192 (gateup +

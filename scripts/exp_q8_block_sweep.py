@@ -183,21 +183,34 @@ def main():
         # Differential-slope per-site A/B (RTT cancels exactly): the shapes
         # the single-point --ab mode could not resolve (qkv/o) plus the two
         # contested ones (down regressed; gateup/logits sanity anchors).
+        # --model06 swaps in the 0.6B decode shapes, where the full-row
+        # contiguous read is bk=1024 (D=1024), untested by the 1.7B sweeps.
         from light_whisper_tpu.ops.q8_matmul import _pick
 
         log(f"device {jax.devices()[0]} [--diff: slope between trip counts]")
-        diff_shapes = [
-            # (name, out, in, layers, (lo, hi) trip counts)
-            ("qkv", 4096, 2048, 28, (512, 2048)),
-            ("o", 2048, 2048, 28, (512, 2048)),
-            ("down", 2048, 6144, 28, (512, 2048)),
-            ("gateup", 12288, 2048, 28, (256, 1024)),
-            ("logits", 152576, 2048, 1, (64, 256)),
-        ]
+        if "--model06" in sys.argv:
+            diff_shapes = [
+                ("qkv", 4096, 1024, 28, (512, 2048)),
+                ("o", 1024, 2048, 28, (512, 2048)),
+                ("down", 1024, 3072, 28, (512, 2048)),
+                ("gateup", 6144, 1024, 28, (512, 2048)),
+                ("logits", 152576, 1024, 1, (64, 256)),
+            ]
+            contig_bk = 1024
+        else:
+            diff_shapes = [
+                # (name, out, in, layers, (lo, hi) trip counts)
+                ("qkv", 4096, 2048, 28, (512, 2048)),
+                ("o", 2048, 2048, 28, (512, 2048)),
+                ("down", 2048, 6144, 28, (512, 2048)),
+                ("gateup", 12288, 2048, 28, (256, 1024)),
+                ("logits", 152576, 2048, 1, (64, 256)),
+            ]
+            contig_bk = 2048
         for name, out_f, in_f, nl, pair in diff_shapes:
             for tag, (bo, bk) in (
                 ("default", (_pick(out_f, 2048), 512)),
-                ("contig", (_pick(out_f, 1024), 2048)),
+                ("contig", (_pick(out_f, 2048 if contig_bk == 1024 else 1024), contig_bk)),
             ):
                 try:
                     ms, gbps, compile_s, walls = bench_config_diff(

@@ -353,9 +353,16 @@ def test_contig_bk_tiling_matches_default(monkeypatch):
     monkeypatch.delenv("LWT_BK2048", raising=False)
     assert m._tile_policy(12288, 2048) == (1024, 2048)  # gateup
     assert m._tile_policy(152576, 2048) == (1024, 2048)  # logits
-    assert m._tile_policy(4096, 2048) == (2048, 512)  # qkv: unresolved, base
+    assert m._tile_policy(4096, 2048) == (2048, 512)  # qkv: default wins (--diff)
     assert m._tile_policy(2048, 6144) == (2048, 512)  # down: contig regresses
-    assert m._tile_policy(12288, 1024) == (2048, 512)  # 0.6B D=1024
+    # 0.6B (D=1024) keeps base tiling everywhere: per-call --diff wins for
+    # o/down/logits at bk=1024 did NOT transfer to the chained decode step
+    # (full-program A/B flat-to-worse — see the _tile_policy docstring).
+    assert m._tile_policy(1024, 2048) == (1024, 512)  # o
+    assert m._tile_policy(1024, 3072) == (1024, 512)  # down
+    assert m._tile_policy(152576, 1024) == (1024, 512)  # logits
+    assert m._tile_policy(4096, 1024) == (2048, 512)  # qkv
+    assert m._tile_policy(6144, 1024) == (2048, 512)  # gateup
     # forced on: every divisible shape
     monkeypatch.setenv("LWT_BK2048", "1")
     assert m._tile_policy(12288, 2048) == (1024, 2048)
