@@ -535,6 +535,15 @@ def forward(
             )
             return (x, k_all, v_all), None
 
+        # Measured dead end (bench_decode_step.py, 1.7B, 256-step walls):
+        # scan(unroll=block_count) REGRESSES 4.34 → 5.13 ms/step — with
+        # constant layer indices XLA folds the stacked-buffer gathers into
+        # static slices feeding the kernels, re-materializing exactly the
+        # per-layer weight copies this scan design exists to avoid. (The
+        # matmul chain over SEPARATE pre-materialized per-layer buffers
+        # does run 0.17 ms/step faster than this scan — 3.19 vs 3.36 —
+        # but capturing it means duplicating the decoder weights in HBM or
+        # dropping the stacked layout; deferred, see ROADMAP.)
         (x, new_k, new_v), _ = jax.lax.scan(
             body,
             (embeds, cache.k, cache.v),
