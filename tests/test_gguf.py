@@ -204,3 +204,50 @@ def test_q4_0_nibble_order():
     q2, d2 = gguf._q4_0_from_bytes(raw, (1, 32))
     np.testing.assert_array_equal(q, q2)
     np.testing.assert_array_equal(np.asarray(d, np.float16), np.asarray(d2))
+
+
+def test_truncated_header_raises_not_crashes(tmp_path):
+    """A download cut off mid-header must raise a Python exception (which the
+    engine's initialize() wraps as a typed ``init_error``), never segfault or
+    silently parse."""
+    good = str(tmp_path / "good.gguf")
+    gguf.write_gguf(good, {"k": "v"}, {"t": np.zeros((64,), np.float32)})
+    blob = open(good, "rb").read()
+    for cut in (6, 20, len(blob) // 4):
+        bad = tmp_path / f"cut{cut}.gguf"
+        bad.write_bytes(blob[:cut])
+        with pytest.raises(Exception):
+            gguf.read_gguf(str(bad))
+
+
+def test_truncated_data_section_fails_on_materialize(tmp_path):
+    """Header intact but tensor bytes missing: the mmap slice comes up short
+    and materialization must raise (numpy slicing is silent — the reshape is
+    the guard), both for float and Q8_0 tensors."""
+    good = str(tmp_path / "good.gguf")
+    gguf.write_gguf(
+        good,
+        {},
+        {
+            "f": np.arange(4096, dtype=np.float32),
+            "q": (np.random.default_rng(0).standard_normal((64, 64)).astype(np.float32), gguf.GGML_Q8_0),
+        },
+    )
+    blob = open(good, "rb").read()
+    f = gguf.read_gguf(good)
+    data_start = min(t.data_offset for t in f.tensors.values())
+    f.close()
+    bad = tmp_path / "short.gguf"
+    bad.write_bytes(blob[: data_start + 100])
+    short = gguf.read_gguf(str(bad))
+    with pytest.raises(Exception):
+        short.tensors["f"].array()
+    with pytest.raises(Exception):
+        short.tensors["q"].q8_0_parts()
+
+
+def test_empty_file_raises(tmp_path):
+    p = tmp_path / "empty.gguf"
+    p.write_bytes(b"")
+    with pytest.raises(Exception):
+        gguf.read_gguf(str(p))

@@ -365,3 +365,19 @@ def test_vad_prefix_reuse_on_growing_interim_stream():
     )
     assert r["success"]
     assert server.performance_stats()["vad_prefix_reuse"] == 2
+
+
+def test_corrupt_artifact_yields_typed_init_error(tmp_path):
+    """A truncated/corrupt download must surface as a typed ``init_error``
+    response (the UI routes on it — reference ``qwen3_asr_server.py:180-228``),
+    never as an unhandled exception out of initialize()."""
+    bad = tmp_path / "corrupt.gguf"
+    bad.write_bytes(b"GGUF" + b"\x00" * 64)  # right magic, garbage after
+    server = Qwen3EngineServer(engine="qwen3-asr-0.6b", model_path=str(bad))
+    result = server.initialize()
+    assert result["success"] is False
+    assert result["type"] == "init_error"
+    assert server.model is None
+    # status keeps reporting the stored failure, not a crash
+    status = server.check_status()
+    assert status["initialized"] is False
