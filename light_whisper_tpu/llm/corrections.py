@@ -72,8 +72,10 @@ def parse_correction_pairs(raw: str) -> List[Tuple[str, str]]:
                 pairs.append((src, dst))
         return pairs
 
+    from light_whisper_tpu.llm.polish import _normalize_payload
+
     try:
-        payload = json.loads(raw)
+        payload = json.loads(_normalize_payload(raw))
     except json.JSONDecodeError:
         return []
     if isinstance(payload, list):

@@ -225,6 +225,9 @@ def test_parse_correction_pairs_variants():
     assert parse_correction_pairs("[]") == []
     assert parse_correction_pairs("not json") == []
     assert parse_correction_pairs('[{"from":"", "to":"b"}]') == []
+    # markdown-fenced output (models ignore json_output more often than not)
+    fenced = '```json\n[{"from":"安装","to":"安卓"}]\n```'
+    assert parse_correction_pairs(fenced) == [("安装", "安卓")]
 
 
 def _llm_pairs_transport(pairs):
