@@ -17,6 +17,19 @@ from light_whisper_tpu.utils.errors import AsrError
 from scripts.package_engine import build_archive
 
 
+@pytest.fixture(autouse=True)
+def _dev_build(monkeypatch):
+    """Force dev-build semantics regardless of working-tree state.
+
+    ``scripts/release_gate.py build`` writes a baked stamp module
+    (``light_whisper_tpu/_build_stamp.py``, gitignored) that makes every
+    OTHER archive refuse to install — correct for a release binary, and
+    exactly what running the release gate locally leaves behind. These tests
+    exercise the dev contract; the release-stamp refusal has its own test.
+    """
+    monkeypatch.setattr(install, "baked_fingerprint", lambda: None)
+
+
 def _make_archive(tmp_path, name="engine.tar.xz", files=None):
     """A minimal valid engine archive + .version sidecar."""
     src = tmp_path / "src"
@@ -181,3 +194,19 @@ def test_cli_install_roundtrip(tmp_path, capsys):
     assert lines[-1]["fingerprint"] == fingerprint
     assert lines[-1]["extracted"] is True
     assert (dest / "light_whisper_tpu" / "__init__.py").is_file()
+
+
+def test_release_stamp_gates_archives(tmp_path, monkeypatch):
+    """Release-build semantics (build.rs:18-51 / build_support.rs:28-50):
+    the baked fingerprint is authoritative — the stamped archive installs,
+    any other archive is refused before extraction."""
+    archive, fingerprint = _make_archive(tmp_path)
+    other, _ = _make_archive(tmp_path, name="other.tar.xz", files={"x.py": "A=1\n"})
+
+    monkeypatch.setattr(install, "baked_fingerprint", lambda: fingerprint)
+    result = install.ensure_installed(archive, str(tmp_path / "engine"))
+    assert result.fingerprint == fingerprint
+
+    with pytest.raises(AsrError):
+        install.ensure_installed(other, str(tmp_path / "engine2"))
+    assert not (tmp_path / "engine2").exists()
