@@ -319,6 +319,20 @@ class VadPrefixSession:
             )
         self.reused_ticks = 0
 
+    def retained_bytes(self) -> int:
+        """Host bytes this session parks between ticks (stats surface).
+        Bounded by construction: samples/probs are ≤ ``_FINE_MAX`` (16 s),
+        and the streaming cascade's per-stage caches scale with the same
+        frame count."""
+        with self._tick_lock:
+            total = 0
+            for arr in (self._samples, self._probs):
+                if arr is not None:
+                    total += int(arr.nbytes)
+            if self._stream is not None:
+                total += self._stream.retained_bytes()
+            return total
+
     def probabilities(self, audio: np.ndarray) -> np.ndarray:
         with self._tick_lock:
             return self._probabilities_locked(audio)

@@ -249,6 +249,14 @@ class StreamingVad:
     def total_frames(self) -> int:
         return self._net.total_frames
 
+    def retained_bytes(self) -> int:
+        net = self._net
+        total = int(net._probs.nbytes)
+        if net._h is not None:
+            total += int(net._h.nbytes)
+        total += sum(int(s.nbytes) for s in net._s if s is not None)
+        return total
+
     def extend(self, samples: np.ndarray) -> np.ndarray:
         """``samples``: the FULL buffer so far (float32 ±1.0 scale). Returns
         probabilities for every complete frame in it."""

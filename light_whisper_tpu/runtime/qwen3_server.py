@@ -46,6 +46,17 @@ TRIM_PIN_TOLERANCE_SAMPLES = 2400
 # process lifetime — cap what the pin remembers instead; longer audio simply
 # re-trims fresh, which is the stateless behavior.
 TRIM_PIN_MAX_SAMPLES = 30 * SAMPLE_RATE
+# Hard byte budget across ALL trim pins (the per-entry sample cap bounds one
+# entry; this bounds the dict — entry count scales with LWT_MAX_SESSIONS, so
+# a count-only cap is a byte bound that silently grows with configuration).
+DEFAULT_TRIM_PIN_MAX_BYTES = 16 << 20
+
+
+def _trim_pin_budget_bytes() -> int:
+    try:
+        return max(0, int(os.environ.get("LWT_TRIM_PIN_MAX_BYTES", DEFAULT_TRIM_PIN_MAX_BYTES)))
+    except ValueError:
+        return DEFAULT_TRIM_PIN_MAX_BYTES
 
 
 def _tick_degrades() -> int:
@@ -426,14 +437,38 @@ class Qwen3EngineServer:
         from light_whisper_tpu.serving.session_pool import max_sessions
 
         cap = 2 * max_sessions()
+        budget = _trim_pin_budget_bytes()
         with self._stats_lock:
             # Bounded alongside the session pool: pins for evicted/stale
-            # streams age out once the dict outgrows 2× the session limit.
+            # streams age out once the dict outgrows 2× the session limit,
+            # AND total retained bytes stay under LWT_TRIM_PIN_MAX_BYTES
+            # (oldest-first eviction; the new pin itself is dropped if it
+            # alone exceeds the budget — stateless behavior for that tick).
             self._prev_trims.pop(session_key, None)
-            self._prev_trims[session_key] = (raw, start, end)
-            while len(self._prev_trims) > cap:
+            if raw.nbytes <= budget:
+                self._prev_trims[session_key] = (raw, start, end)
+            while len(self._prev_trims) > cap or (
+                len(self._prev_trims) > 1
+                and sum(r.nbytes for r, _s, _e in self._prev_trims.values()) > budget
+            ):
                 self._prev_trims.pop(next(iter(self._prev_trims)))
         return start, end
+
+    def _retained_audio_bytes(self) -> Dict[str, int]:
+        """Host bytes parked per retention surface: trim pins and VAD
+        prefix sessions (the KV-session pool reports its own
+        ``session_parked_audio_bytes``). Each surface is individually
+        byte-bounded; this makes residency observable via ``stats``."""
+        with self._stats_lock:
+            trim = sum(r.nbytes for r, _s, _e in self._prev_trims.values())
+            vad = sum(
+                s.retained_bytes() if hasattr(s, "retained_bytes") else 0
+                for s in self._vad_sessions.values()
+            )
+        return {
+            "trim_pin_retained_bytes": int(trim),
+            "vad_session_retained_bytes": int(vad),
+        }
 
     def _transcribe_model(self, audio: np.ndarray, session_key: str):
         """Route through the stream's own KV session when this request
@@ -789,6 +824,7 @@ class Qwen3EngineServer:
                 "punc": True,
             },
         }
+        stats.update(self._retained_audio_bytes())
         pool = self._session_pool
         if pool:  # surface KV-reuse effectiveness (interim-loop health)
             stats.update(pool.stats())

@@ -18,11 +18,34 @@ check and reset, so correctness never depends on VAD stability.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
 
 from light_whisper_tpu.serving.incremental import IncrementalTranscriber
+
+# Per-stream cap on the host audio parked for the next tick's prefix
+# memcmp. Interim windows are ≤12 s (≤768 KB f32) so any real streaming
+# traffic parks far below this; what the cap excludes is the one-shot long
+# finalize (a 30-min request is ~115 MB f32 — the reference bounds the same
+# surface with its 64 MB IPC cap, ``commands/funasr.rs:17-25``). Audio over
+# the cap is simply not parked: the next tick resets the session, which is
+# exactly the stateless behavior, and nothing ever byte-extends a finalize.
+DEFAULT_PARK_MAX_BYTES = 8 << 20
+
+
+def park_max_bytes() -> int:
+    try:
+        return max(0, int(os.environ.get("LWT_SESSION_PARK_MAX_BYTES", DEFAULT_PARK_MAX_BYTES)))
+    except ValueError:
+        return DEFAULT_PARK_MAX_BYTES
+
+
+def _parkable(audio: Optional[np.ndarray]) -> Optional[np.ndarray]:
+    if audio is None or audio.nbytes > park_max_bytes():
+        return None
+    return audio
 
 
 class SessionBridge:
@@ -51,12 +74,17 @@ class SessionBridge:
             self._inc.reset()
             self.session_resets += 1
         result = self._inc.transcribe_window(audio, window_start_sample=0)
-        self._prev = audio
+        self._prev = _parkable(audio)
         return result
 
     def reset(self) -> None:
         self._inc.reset()
         self._prev = None
+
+    @property
+    def retained_bytes(self) -> int:
+        prev = self._prev
+        return 0 if prev is None else int(prev.nbytes)
 
 
 def transcribe_extending_batch(bridges, audios):
@@ -89,5 +117,5 @@ def transcribe_extending_batch(bridges, audios):
             # window skip the reset and extend KV built from other audio.
             bridge._prev = None
         else:
-            bridge._prev = window
+            bridge._prev = _parkable(window)
     return results

@@ -126,12 +126,16 @@ class SessionPool:
             }
             hits = self._retired_hits + sum(s["hits"] for s in per_stream.values())
             resets = self._retired_resets + sum(s["resets"] for s in per_stream.values())
+            parked = sum(b.retained_bytes for b in self._bridges.values())
         return {
             "session_hits": hits,
             "session_resets": resets,
             "session_hit_rate": round(hits / max(1, hits + resets), 4),
             "session_streams": per_stream,
             "session_evictions": self.evictions,
+            # Host bytes parked for prefix memcmps — bounded per stream by
+            # LWT_SESSION_PARK_MAX_BYTES and overall by it × the pool limit.
+            "session_parked_audio_bytes": parked,
         }
 
     def __len__(self) -> int:

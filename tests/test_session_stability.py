@@ -259,3 +259,75 @@ def test_checkout_pins_bridge_against_concurrent_eviction(model):
     pool.bridge_for("third")
     assert len(pool) <= 2  # fresh/busy/third minus at least one eviction
     assert pool.evictions >= 1
+
+
+def test_thirty_minute_request_bounds_host_retention(model, monkeypatch):
+    """VERDICT r3 #8: retention is bounded by BYTES, not entry count.
+
+    A 30-min finalize request must not park its raw audio anywhere for the
+    process lifetime: the session bridge skips parking audio over
+    ``LWT_SESSION_PARK_MAX_BYTES``, the trim pin drops requests over its
+    30 s sample cap, and ``stats`` exposes the retained bytes so residency
+    is observable over the wire."""
+    from light_whisper_tpu.serving.session_bridge import SessionBridge
+
+    bridge = SessionBridge(model)
+    thirty_min = np.zeros(30 * 60 * SR, dtype=np.int16)  # 57.6 MB wire dtype
+
+    # Park decision only — a real 30-min decode is a multi-minute CPU run.
+    monkeypatch.setattr(
+        bridge._inc, "transcribe_window", lambda audio, window_start_sample: object()
+    )
+    bridge.transcribe_extending(thirty_min)
+    assert bridge.retained_bytes == 0  # over the cap: not parked
+
+    short = np.zeros(3 * SR, dtype=np.int16)
+    bridge.transcribe_extending(short)
+    assert bridge.retained_bytes == short.nbytes  # normal ticks still park
+
+    # Trim pinning: a 30-min raw request never enters the pin dict; the pin
+    # dict itself evicts oldest-first down to the byte budget.
+    vad = JitterVad(true_start=0, start_jitter=[0], end_jitter=[0])
+    server = make_server(model, vad)
+    assert server.initialize()["success"]
+    long_raw = np.zeros(30 * 60 * SR, dtype=np.float32)
+    server._stabilize_trim(long_raw, 0, len(long_raw), "finalize")
+    stats = server.performance_stats()
+    assert stats["trim_pin_retained_bytes"] == 0
+
+    # Byte-budget eviction across streams: shrink the budget to 2 pins'
+    # worth and insert 4 — only the newest ≤2 survive.
+    pin = np.zeros(5 * SR, dtype=np.float32)  # 320 KB each
+    monkeypatch.setenv("LWT_TRIM_PIN_MAX_BYTES", str(2 * pin.nbytes))
+    for name in ("a", "b", "c", "d"):
+        server._stabilize_trim(pin, 0, len(pin), name)
+    stats = server.performance_stats()
+    assert 0 < stats["trim_pin_retained_bytes"] <= 2 * pin.nbytes
+    assert set(server._prev_trims) == {"c", "d"}
+
+    # A single pin larger than the whole budget is itself dropped.
+    monkeypatch.setenv("LWT_TRIM_PIN_MAX_BYTES", str(pin.nbytes // 2))
+    server._stabilize_trim(pin, 0, len(pin), "huge")
+    assert "huge" not in server._prev_trims
+
+
+def test_stats_expose_retained_audio_bytes(model):
+    """The stats action reports every host retention surface."""
+    vad = JitterVad(true_start=0, start_jitter=[0], end_jitter=[0])
+    server = make_server(model, vad)
+    assert server.initialize()["success"]
+    audio = (np.random.default_rng(3).standard_normal(SR * 3) * 0.3).astype(np.float32)
+    resp = server.transcribe(
+        audio_base64=pcm_b64(audio), audio_format="pcm_s16le", sample_rate=SR
+    )
+    assert resp["success"]
+    stats = server.performance_stats()
+    for key in (
+        "trim_pin_retained_bytes",
+        "vad_session_retained_bytes",
+        "session_parked_audio_bytes",
+    ):
+        assert key in stats and stats[key] >= 0
+    # something was actually parked by the tick above
+    assert stats["trim_pin_retained_bytes"] > 0
+    assert stats["session_parked_audio_bytes"] > 0
