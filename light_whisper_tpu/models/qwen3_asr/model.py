@@ -13,9 +13,10 @@ Static-shape strategy (XLA compiles one program per shape):
 - the KV cache is allocated per power-of-two capacity bucket and reused
   across requests; greedy decoding is one on-device ``lax.while_loop``.
 
-The prompt template comes from GGUF metadata (``tokenizer.chat_template``
-with an ``{audio}`` placeholder) so the engine follows the artifact, not
-hardcoded strings.
+The prompt template comes from GGUF metadata (``tokenizer.chat_template``:
+either an explicit ``{audio}``-placeholder string or a real artifact's
+Jinja template — resolved by ``models/qwen3_asr/prompt.py``) so the engine
+follows the artifact, not hardcoded strings.
 """
 
 from __future__ import annotations
@@ -34,8 +35,10 @@ from light_whisper_tpu.models.qwen3_asr import decoder as dec
 from light_whisper_tpu.models.qwen3_asr.config import Qwen3ASRConfig
 from light_whisper_tpu.models.qwen3_asr.encoder import encode as encode_audio
 from light_whisper_tpu.models.qwen3_asr.loader import Qwen3ASRWeights
-
-DEFAULT_TEMPLATE = "<|im_start|>user\n{audio}<|im_end|>\n<|im_start|>assistant\n"
+from light_whisper_tpu.models.qwen3_asr.prompt import (
+    DEFAULT_TEMPLATE,
+    resolve_prompt_ids,
+)
 PROMPT_BUCKET = 64
 _LANG_TOKEN = re.compile(r"^<\|([a-z]{2,3}(?:-[a-z]+)?)\|>$")
 
@@ -275,12 +278,17 @@ class Qwen3ASRModel:
             # rides the layer-indexed kernel (decoder.prepare_stacked_scales).
             self.decoder_params = dec.prepare_stacked_scales(self.decoder_params)
 
-        template = weights.metadata.get("tokenizer.chat_template") or DEFAULT_TEMPLATE
-        if "{audio}" not in template:
-            raise ValueError("prompt template must contain an {audio} placeholder")
-        prefix_text, suffix_text = template.split("{audio}", 1)
-        self.prefix_ids: List[int] = self.tokenizer.encode(prefix_text)
-        self.suffix_ids: List[int] = self.tokenizer.encode(suffix_text)
+        # Real llama.cpp-family GGUFs carry a Jinja chat template here —
+        # never a literal {audio} string — so resolution handles both (and
+        # never refuses to serve). See models/qwen3_asr/prompt.py.
+        import os as _os
+
+        self.prefix_ids, self.suffix_ids = resolve_prompt_ids(
+            weights.metadata.get("tokenizer.chat_template"),
+            self.tokenizer,
+            self.config.audio_token_id,
+            context=_os.environ.get("LWT_ASR_CONTEXT", ""),
+        )
 
     # ------------------------------------------------------------------
 
