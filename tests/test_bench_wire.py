@@ -34,3 +34,20 @@ def test_wire_eos_bench_runs(model):
     assert out["vad_ms_p50"] >= 0
     # the grown window extends the base → the bench stream must hit its session
     assert out["session_hit_rate"] is None or out["session_hit_rate"] > 0
+
+
+def test_wire_bench_first_tick_and_two_streams(model):
+    """VERDICT r3 #3: the bench must report the fresh dictation's first
+    tick (full prefill) and witness two interleaved streams hitting their
+    own KV sessions."""
+    import bench
+
+    out = bench._wire_eos_bench(model, "0.6b", trials=2)
+    assert out["first_tick_p50_ms"] > 0
+    assert len(out["first_tick_samples"]) == 2
+    assert out["two_stream_tick_ms_p50"] is None or out["two_stream_tick_ms_p50"] > 0
+    rates = out["two_stream_hit_rates"]
+    assert set(rates) == {"s1", "s2"}
+    # each stream alternates fresh(base)/extend(grown): hit rate 0.5 per round
+    for key, rate in rates.items():
+        assert rate is not None and rate >= 0.4, (key, rate, out)
