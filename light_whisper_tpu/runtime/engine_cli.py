@@ -25,10 +25,14 @@ def cmd_serve(engine: str) -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
+    from light_whisper_tpu.runtime import compile_cache
     from light_whisper_tpu.runtime.logging_util import setup_rotating_logger
     from light_whisper_tpu.runtime.qwen3_server import Qwen3EngineServer
 
     logger = setup_rotating_logger(__name__, "qwen3_asr_server.log", "Qwen3-ASR server")
+    # Cold-start contract: warmup must be a cache-hit walk, not a compile
+    # storm — the shell's init timeout is 120 s (funasr_service.rs:273).
+    compile_cache.configure(logger)
     Qwen3EngineServer(engine=engine, logger=logger).serve_forever()
 
 
@@ -91,6 +95,10 @@ def cmd_dictate(
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    from light_whisper_tpu.runtime import compile_cache
+
+    compile_cache.configure()
 
     from light_whisper_tpu.audio.capture import ScriptedSource
     from light_whisper_tpu.audio.pcm import read_audio_file_mono_f32, resample_linear

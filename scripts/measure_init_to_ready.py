@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Fresh-process install→ready measurement (VERDICT r3 #1).
+
+Simulates what a newly installed engine pays from process start to "ready
+to transcribe" with a shipped compilation cache in place:
+
+- a brand-new Python process (cold in-memory JAX, nothing traced/compiled),
+- the persistent XLA cache pointed at the given directory — what
+  ``runtime/compile_cache.py`` does for a real install after the archive's
+  ``jax_cache/`` seed is placed,
+- full production init: flagship-shaped model + FireRedVAD + encoder/decode
+  warmup + the interim bucket ladder (``LWT_WARMUP_LADDER``), then one real
+  transcribe through the engine server.
+
+Prints ONE JSON line: ``{"init_to_ready_s": ..., ...breakdown}``. The
+reference's shell kills engines not ready in 120 s
+(``funasr_service.rs:273``) — that is the budget this number is judged
+against. Run it twice on a fresh machine: the first run SEEDS the cache
+(records the cold cost), the second measures the shipped-cache experience.
+
+Usage:
+    python scripts/measure_init_to_ready.py [--cache-dir .jax_cache]
+        [--model 1.7b] [--ladder-budget 90]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+T0 = time.perf_counter()
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cache-dir", default=os.path.join(REPO, ".jax_cache"))
+    parser.add_argument("--model", default=os.environ.get("BENCH_MODEL", "1.7b"))
+    parser.add_argument("--ladder-budget", type=float, default=90.0)
+    parser.add_argument("--decode-tokens", type=int, default=40)
+    args = parser.parse_args()
+
+    os.environ["LWT_JAX_CACHE_DIR"] = args.cache_dir
+    os.environ["LWT_WARMUP_LADDER"] = str(args.ladder_budget)
+
+    if os.environ.get("LIGHT_WHISPER_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from light_whisper_tpu.runtime import compile_cache
+
+    compile_cache.configure()
+
+    import jax.numpy as jnp
+
+    import __graft_entry__ as graft
+    from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+
+    # Synthetic flagship-shaped weights stand in for the GGUF read (real
+    # artifacts aren't downloadable here; bench.py uses the same stance).
+    t = time.perf_counter()
+    if args.model == "tiny":  # harness smoke-test shapes (tests/CI only)
+        import tempfile
+
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        from helpers.tiny_model import write_tiny_model
+
+        path = os.path.join(tempfile.gettempdir(), "lwt_init_probe_tiny.gguf")
+        write_tiny_model(path, quantize=True)
+        model = Qwen3ASRModel(path, max_new_tokens=args.decode_tokens)
+    else:
+        cfg = graft._flagship_config(args.model)
+        encoder_params, decoder_params = graft._random_params(
+            cfg, quantize_decoder=True
+        )
+        model = Qwen3ASRModel.__new__(Qwen3ASRModel)
+        model.config = cfg
+        model.decoder_params = decoder_params
+        model.encoder_params = encoder_params
+        model.max_new_tokens = args.decode_tokens
+        model.cache_dtype = jnp.bfloat16
+        model.mesh = None
+        model._cache_sharding = None
+        model.prefix_ids = list(range(2, 10))
+        model.suffix_ids = [3, 4, 5]
+        model._caches = {}
+
+        class _Tok:
+            tokens = []
+
+            def decode(self, ids, skip_special=True):
+                return "ready"
+
+        model.tokenizer = _Tok()
+    params_s = time.perf_counter() - t
+
+    from light_whisper_tpu.runtime.qwen3_server import Qwen3EngineServer
+
+    engine_name = "qwen3-asr-0.6b" if args.model == "tiny" else f"qwen3-asr-{args.model}"
+    engine = Qwen3EngineServer(
+        engine=engine_name,
+        model_factory=lambda _path: model,
+        model_path="/bench/synthetic.gguf",
+    )
+    t = time.perf_counter()
+    init = engine.initialize()  # warmup + bucket ladder inside
+    init_s = time.perf_counter() - t
+    assert init["success"], init
+
+    # first real request through the full serving path = "ready"
+    import base64
+
+    import numpy as np
+
+    from light_whisper_tpu.eval.speechlike import speechlike
+
+    speech = speechlike(3.0, seed=5)
+    pcm = np.clip(speech * 32767, -32768, 32767).astype("<i2")
+    t = time.perf_counter()
+    resp = engine.transcribe(
+        audio_base64=base64.b64encode(pcm.tobytes()).decode(),
+        audio_format="pcm_s16le",
+        sample_rate=16_000,
+    )
+    first_request_s = time.perf_counter() - t
+    assert resp.get("success"), resp
+
+    total = time.perf_counter() - T0
+    print(
+        json.dumps(
+            {
+                "init_to_ready_s": round(total, 1),
+                "params_build_s": round(params_s, 1),
+                "engine_init_s": round(init_s, 1),
+                "first_request_s": round(first_request_s, 1),
+                "interpreter_and_imports_s": round(
+                    total - params_s - init_s - first_request_s, 1
+                ),
+                "cache_dir": args.cache_dir,
+                "budget_s": 120,
+                "model": args.model,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,8 +56,19 @@ def sha256_file(path: str) -> str:
     return digest.hexdigest()
 
 
-def build_archive(out_path: str, source_root: str = REPO_ROOT) -> str:
-    """Create the archive atomically; returns its sha256 fingerprint."""
+def build_archive(
+    out_path: str, source_root: str = REPO_ROOT, cache_dir: str | None = None
+) -> str:
+    """Create the archive atomically; returns its sha256 fingerprint.
+
+    ``cache_dir``: a persistent XLA compilation-cache directory whose
+    entries ship as ``jax_cache/`` inside the archive. A fresh install
+    hard-links them into its durable cache (``runtime/compile_cache.py``)
+    so warmup is a cache-hit walk — the reference's engine needs zero
+    compilation at install (``build_engine.py:79-118``) and its shell
+    kills engines not ready in 120 s (``funasr_service.rs:273``); without
+    the shipped cache this engine's first compile is ~15 min (BENCH_r03).
+    """
     out_dir = os.path.dirname(os.path.abspath(out_path)) or "."
     os.makedirs(out_dir, exist_ok=True)
 
@@ -81,6 +92,11 @@ def build_archive(out_path: str, source_root: str = REPO_ROOT) -> str:
                         rel = os.path.relpath(full, source_root)
                         if _want(rel):
                             tar.add(full, arcname=rel)
+            if cache_dir and os.path.isdir(cache_dir):
+                for name in sorted(os.listdir(cache_dir)):
+                    full = os.path.join(cache_dir, name)
+                    if os.path.isfile(full):
+                        tar.add(full, arcname=os.path.join("jax_cache", name))
         fingerprint = sha256_file(staging)
         os.replace(staging, out_path)
     except BaseException:
@@ -126,6 +142,12 @@ def main() -> None:
     parser.add_argument(
         "--skip-native", action="store_true", help="don't compile the C++ runtime"
     )
+    parser.add_argument(
+        "--cache-dir",
+        default=os.path.join(REPO_ROOT, ".jax_cache"),
+        help="XLA compilation cache to ship as jax_cache/ (cold-start seed); "
+        "pass an empty string to ship none",
+    )
     args = parser.parse_args()
 
     print("step 1/3: native runtime")
@@ -137,7 +159,14 @@ def main() -> None:
 
     print("step 2/3: stage + prune (tests, caches, build residue excluded)")
     print("step 3/3: archive (staged, atomic) + fingerprint stamp")
-    fingerprint = build_archive(args.out)
+    cache = args.cache_dir or None
+    if cache and not os.path.isdir(cache):
+        print(f"  note: no compile cache at {cache} — shipping none (cold installs compile)")
+        cache = None
+    elif cache:
+        n = sum(1 for f in os.listdir(cache) if os.path.isfile(os.path.join(cache, f)))
+        print(f"  shipping {n} compiled-program cache entries from {cache}")
+    fingerprint = build_archive(args.out, cache_dir=cache)
     size = os.path.getsize(args.out)
     print(f"wrote {args.out} ({size / 1e6:.1f} MB, sha256={fingerprint})")
     print(f"stamped {args.out}.version")

@@ -73,3 +73,44 @@ def test_rebuild_overwrites_atomically(fake_repo, tmp_path):
     second = build_archive(out, source_root=str(fake_repo))
     assert first != second
     assert open(out + ".version").read().strip() == second
+
+
+def test_shipped_compile_cache_rides_install_to_durable_cache(fake_repo, tmp_path, monkeypatch):
+    """Cold-start loop (VERDICT r3 #1): package ships jax_cache/ entries,
+    install extracts them, and compile_cache seeds them into the durable
+    per-machine cache — so a fresh install's warmup hits precompiled
+    programs instead of paying the ~15 min first compile."""
+    cache = tmp_path / "xla_cache"
+    cache.mkdir()
+    (cache / "prog_aaa.bin").write_bytes(b"\x01" * 64)
+    (cache / "prog_bbb.bin").write_bytes(b"\x02" * 64)
+
+    out = str(tmp_path / "engine.tar.xz")
+    build_archive(out, source_root=str(fake_repo), cache_dir=str(cache))
+    with tarfile.open(out) as tar:
+        names = tar.getnames()
+    assert "jax_cache/prog_aaa.bin" in names and "jax_cache/prog_bbb.bin" in names
+
+    from light_whisper_tpu.runtime.install import ensure_installed
+
+    engine_dir = str(tmp_path / "installed")
+    result = ensure_installed(out, engine_dir)
+    assert result.extracted
+    shipped = os.path.join(engine_dir, "jax_cache")
+    assert sorted(os.listdir(shipped)) == ["prog_aaa.bin", "prog_bbb.bin"]
+
+    from light_whisper_tpu.runtime import compile_cache
+
+    durable = tmp_path / "durable_cache"
+    placed = compile_cache.seed_cache(str(durable), seed=shipped)
+    assert placed == 2
+    # merge is idempotent and name-keyed: nothing re-placed, extras kept
+    (durable / "prog_newer.bin").write_bytes(b"\x03")
+    assert compile_cache.seed_cache(str(durable), seed=shipped) == 0
+    assert sorted(os.listdir(durable)) == [
+        "prog_aaa.bin", "prog_bbb.bin", "prog_newer.bin",
+    ]
+
+    # env override wins cache-dir resolution
+    monkeypatch.setenv("LWT_JAX_CACHE_DIR", str(durable))
+    assert compile_cache.cache_dir() == str(durable)
