@@ -31,6 +31,7 @@ import numpy as np
 
 from light_whisper_tpu.audio import fbank as kfb
 from light_whisper_tpu.models.vad.onnx_import import FILTER_TAPS, NUM_BLOCKS
+from light_whisper_tpu.native import binding
 
 _STAGES = NUM_BLOCKS + 1  # fsmn1 + residual blocks
 _BACK = FILTER_TAPS - 1  # lookback frames (taps cover t-19 .. t+20)
@@ -84,13 +85,9 @@ def _conv_rows(
     s0, s1 = max(lo, off), min(hi, T)
     if s1 > s0:
         span[s0 - lo : s1 - lo] = src[s0 - off : s1 - off]
-    # 2·TAPS shifted multiply-adds on [n, C] blocks: each tap is one
-    # vectorized FMA sweep, ~5× the throughput of einsum's generic
-    # single-threaded kernel at these shapes.
-    out = span[:n] * filt[0]
-    for j in range(1, 2 * FILTER_TAPS):
-        out += span[j : j + n] * filt[j]
-    return out
+    # Native single-pass depthwise FIR (liblwt_native); the fallback inside
+    # fir_rows is the shifted-FMA numpy loop (one vectorized sweep per tap).
+    return binding.fir_rows(span, filt, n)
 
 
 class StreamingDfsmn:
@@ -185,11 +182,10 @@ class StreamingDfsmn:
                 zin = src[i0 - off : T - off]
                 z = np.maximum(zin @ p[f"blocks.{b}.fc1.w"] + p[f"blocks.{b}.fc1.b"], 0.0)
                 z = z @ p[f"blocks.{b}.fc2.w"]
-                # zfull holds rows [off, T) like the stage buffers
-                zfull = np.zeros((T - off, z.shape[1]), dtype=np.float32)
-                zfull[i0 - off :] = z
-                conv = _conv_rows(zfull, off, T, p[f"blocks.{b}.filt"], r0, T)
-                rows = zfull[r0 - off :] + conv + src[r0 - off : T - off]
+                # z holds rows [i0, T); the conv's lookback window starts at
+                # r0 - 19 = i0 (when r0 ≥ 19), so no [off, i0) copy is needed
+                conv = _conv_rows(z, i0, T, p[f"blocks.{b}.filt"], r0, T)
+                rows = z[r0 - i0 :] + conv + src[r0 - off : T - off]
             self._s[l] = self._append(self._s[l], rows, r0)
             self._valid[l] = max(0, T - _AHEAD * (l + 1))
             src = self._s[l]

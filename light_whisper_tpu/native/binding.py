@@ -33,7 +33,10 @@ def build_library(force: bool = False) -> Optional[str]:
             return _LIB_PATH
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _LIB_PATH, _SRC],
+            # -O3 for the auto-vectorized FIR; no -march so the packaged .so
+            # stays portable across install hosts (build_library also runs
+            # on-demand at first import on hosts WITH a toolchain).
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB_PATH, _SRC],
             check=True,
             capture_output=True,
             timeout=120,
@@ -81,6 +84,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ]
         lib.lwt_levenshtein.restype = ctypes.c_int64
+        lib.lwt_fir_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return _lib
 
@@ -144,6 +152,26 @@ def vad_segments(
         pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_segments,
     )
     return [(int(pairs[2 * i]), int(pairs[2 * i + 1])) for i in range(count)]
+
+
+def fir_rows(span: np.ndarray, filt: np.ndarray, n: int) -> np.ndarray:
+    """Depthwise FIR: out[t] = Σ_j span[t+j] · filt[j] for t in [0, n).
+
+    span: [n + taps - 1, C] float32 (contiguous); filt: [taps, C] float32.
+    The streaming DFSMN's per-tick memory-block hot path
+    (``models/vad/streaming.py:_conv_rows``)."""
+    lib = _load()
+    taps, C = filt.shape
+    if lib is None:
+        out = span[:n] * filt[0]
+        for j in range(1, taps):
+            out += span[j : j + n] * filt[j]
+        return out
+    span = np.ascontiguousarray(span, dtype=np.float32)
+    filt = np.ascontiguousarray(filt, dtype=np.float32)
+    out = np.empty((n, C), dtype=np.float32)
+    lib.lwt_fir_rows(_fptr(span), n, taps, C, _fptr(filt), _fptr(out))
+    return out
 
 
 def levenshtein(left: str, right: str) -> int:

@@ -145,6 +145,34 @@ int64_t lwt_vad_segments(
     return count;
 }
 
+// Depthwise FIR over row-major [n + taps - 1, C] float32 activations with a
+// [taps, C] per-channel kernel: out[t][c] = Σ_j span[t+j][c] · filt[j][c].
+// The DFSMN streaming VAD's memory blocks (20-tap lookback + 20-tap
+// lookahead, C=128; models/vad/streaming.py) run this every interim tick on
+// the 1-core serving host — the numpy shifted-FMA loop pays a [n, C]
+// temporary per tap (~22 ms/tick); this single pass is bound by the FMA
+// throughput of one core (~1 ms). Reference cost center: firered_vad.py's
+// onnxruntime CPU threads.
+void lwt_fir_rows(
+    const float* span,
+    int64_t n,
+    int64_t taps,
+    int64_t C,
+    const float* filt,
+    float* out) {
+    for (int64_t t = 0; t < n; ++t) {
+        float* o = out + t * C;
+        std::memset(o, 0, static_cast<size_t>(C) * sizeof(float));
+        for (int64_t j = 0; j < taps; ++j) {
+            const float* s = span + (t + j) * C;
+            const float* f = filt + j * C;
+            for (int64_t c = 0; c < C; ++c) {
+                o[c] += s[c] * f[c];
+            }
+        }
+    }
+}
+
 // Byte-wise Levenshtein distance (UTF-8 normalized inputs are ASCII-only in
 // the hot-word path, where byte == char).
 int64_t lwt_levenshtein(const uint8_t* left, int64_t n_left, const uint8_t* right, int64_t n_right) {

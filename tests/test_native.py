@@ -59,3 +59,27 @@ def test_levenshtein_native():
     assert binding.levenshtein("kitten", "sitting") == 3
     assert binding.levenshtein("", "") == 0
     assert binding.levenshtein("abc", "") == 3
+
+
+def test_fir_rows_native_matches_fallback():
+    """lwt_fir_rows (the streaming VAD's per-tick hot path) must equal the
+    numpy shifted-FMA fallback bit-for-bit-ish on random activations."""
+    import numpy as np
+
+    from light_whisper_tpu.native import binding
+
+    rng = np.random.default_rng(11)
+    taps, C, n = 40, 128, 173
+    span = rng.standard_normal((n + taps - 1, C)).astype(np.float32)
+    filt = rng.standard_normal((taps, C)).astype(np.float32)
+
+    out = span[:n] * filt[0]
+    for j in range(1, taps):
+        out += span[j : j + n] * filt[j]
+
+    got = binding.fir_rows(span, filt, n)
+    assert got.shape == (n, C)
+    np.testing.assert_allclose(got, out, rtol=1e-5, atol=1e-5)
+
+    # degenerate row counts must not crash or mis-shape
+    assert binding.fir_rows(span[: taps - 1 + 0 + 39], filt, 0).shape == (0, C)
