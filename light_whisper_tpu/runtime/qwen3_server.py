@@ -767,9 +767,12 @@ class Qwen3EngineServer:
             "backend": self.backend,
             "input_mode": input_mode,
             "vad_segments": result.num_windows,
-            "vad_ms": 0.0,
+            "vad_ms": round(result.vad_ms, 3),
             "inference_ms": round(total_ms, 3),
             "long_form": True,
+            # per-window attribution: decode wall + planned window sizes
+            "long_form_asr_ms": round(result.asr_ms, 3),
+            "long_form_window_seconds": result.window_seconds,
         }
 
     # ------------------------------------------------------------------

@@ -32,6 +32,12 @@ class LongFormResult:
     language: str
     num_windows: int
     speech_seconds: float
+    # Attribution the wire surfaces per request (vad_ms / inference_ms for
+    # the short path; long-form reports its own split + window sizes so a
+    # 30-min request's cost is inspectable per window).
+    vad_ms: float = 0.0
+    asr_ms: float = 0.0
+    window_seconds: List[float] = dataclasses.field(default_factory=list)
 
 
 def plan_windows(
@@ -108,16 +114,24 @@ def transcribe_long_form(
     audio: np.ndarray,
     max_window_seconds: float = DEFAULT_MAX_WINDOW_SECONDS,
 ) -> LongFormResult:
+    import time
+
     audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+    t0 = time.perf_counter()
     segments = vad.speech_timestamps(audio)
+    vad_ms = (time.perf_counter() - t0) * 1000
     if not segments:
-        return LongFormResult(text="", language="unknown", num_windows=0, speech_seconds=0.0)
+        return LongFormResult(
+            text="", language="unknown", num_windows=0, speech_seconds=0.0, vad_ms=vad_ms
+        )
 
     windows = plan_windows(segments, len(audio), max_window_seconds)
     clips = [audio[s:e] for s, e in windows]
     speech_seconds = sum(len(c) for c in clips) / SAMPLE_RATE
 
+    t0 = time.perf_counter()
     results = model.transcribe_batch(clips)
+    asr_ms = (time.perf_counter() - t0) * 1000
     language = next(
         (r.language for r in results if r.language not in ("", "unknown")), "unknown"
     )
@@ -126,4 +140,7 @@ def transcribe_long_form(
         language=language,
         num_windows=len(windows),
         speech_seconds=speech_seconds,
+        vad_ms=vad_ms,
+        asr_ms=asr_ms,
+        window_seconds=[round((e - s) / SAMPLE_RATE, 2) for s, e in windows],
     )
