@@ -73,11 +73,18 @@ def main() -> None:
         path = os.path.join(tempfile.gettempdir(), "lwt_init_probe_tiny.gguf")
         write_tiny_model(path, quantize=True)
         model = Qwen3ASRModel(path, max_new_tokens=args.decode_tokens)
+        gen_s = upload_s = 0.0
     else:
         cfg = graft._flagship_config(args.model)
-        encoder_params, decoder_params = graft._random_params(
-            cfg, quantize_decoder=True
+        host_enc, host_dec = graft._random_params(
+            cfg, quantize_decoder=True, device=False
         )
+        gen_s = time.perf_counter() - t
+        t_up = time.perf_counter()
+        encoder_params, decoder_params = graft._ship_params(
+            host_enc, host_dec, quantize_decoder=True
+        )
+        upload_s = time.perf_counter() - t_up
         model = Qwen3ASRModel.__new__(Qwen3ASRModel)
         model.config = cfg
         model.decoder_params = decoder_params
@@ -136,8 +143,17 @@ def main() -> None:
             {
                 "init_to_ready_s": round(total, 1),
                 "params_build_s": round(params_s, 1),
+                # synthetic-weights generation vs host→device upload. The
+                # upload here rides the tunneled remote relay; a real
+                # install co-located with the chip pays PCIe speed for the
+                # same 1.8 GB (seconds). ready_after_weights_s is the
+                # compile-bound part the 120 s budget actually gates
+                # (920 s cold in BENCH_r03 → cache-hit walk when shipped).
+                "weights_generate_s": round(gen_s, 1),
+                "weights_upload_s": round(upload_s, 1),
                 "engine_init_s": round(init_s, 1),
                 "first_request_s": round(first_request_s, 1),
+                "ready_after_weights_s": round(init_s + first_request_s, 1),
                 "interpreter_and_imports_s": round(
                     total - params_s - init_s - first_request_s, 1
                 ),
