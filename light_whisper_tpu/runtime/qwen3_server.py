@@ -148,6 +148,8 @@ class Qwen3EngineServer:
         self.vad = None
         self._session_pool = None  # per-stream KV sessions (see _transcribe_model)
         self._scheduler = None  # device-serialization + batch coalescing
+        self._bg_ladder_thread = None  # LWT_WARMUP_LADDER=bg walker
+        self._bg_ladder_stop = None
         self._stats_lock = threading.Lock()
         self._init_lock = threading.Lock()  # pipelined requests may race init
         self._anon_stream = itertools.count()
@@ -260,10 +262,21 @@ class Qwen3EngineServer:
     def _warmup(self) -> None:
         try:
             started = time.perf_counter()
+            # VAD warmup is host-dominated (numpy cascade + one small device
+            # program); the model warmup is device-transfer-dominated (first
+            # use commits the weights). Overlapping them shaves the smaller
+            # off the init wall — the shell's 120 s budget is tight
+            # (funasr_service.rs:273).
+            vad_thread = None
             if self.vad is not None and hasattr(self.vad, "warmup"):
-                self.vad.warmup()
+                import threading
+
+                vad_thread = threading.Thread(target=self.vad.warmup, daemon=True)
+                vad_thread.start()
             if hasattr(self.model, "warmup"):
                 self.model.warmup()
+            if vad_thread is not None:
+                vad_thread.join(timeout=120)
             self.log.info("warmup done in %.3fs", time.perf_counter() - started)
             self._warmup_ladder()
         except Exception as exc:
@@ -277,22 +290,71 @@ class Qwen3EngineServer:
         bucket per ~0.5 s of speech, and a cold bucket costs a device
         recompile inside an interim tick (a ~25 s stall through the remote
         compiler, VERDICT r2 weak #2). Value: ``1`` → default 90 s budget,
-        a number → that budget in seconds. Buckets warm shortest-first so a
-        partial budget still covers what every dictation crosses. The
-        reference's init budget is 120 s (``funasr_service.rs:273``)."""
+        a number → that budget in seconds, ``bg`` or ``bg:<seconds>`` →
+        warm the first 2 s of buckets synchronously (every dictation
+        crosses them within its first ticks) and walk the rest on a
+        background thread AFTER init returns — ready lands inside the
+        shell's 120 s budget while the ladder still beats real dictations
+        to the deeper buckets (ticks outpace speech once programs are
+        cached/shipped). Buckets warm shortest-first so a partial budget
+        still covers what every dictation crosses. The reference's init
+        budget is 120 s (``funasr_service.rs:273``)."""
         import os
 
         raw = os.environ.get("LWT_WARMUP_LADDER", "").strip()
         if not raw or raw == "0":
             return
+        background = raw == "bg" or raw.startswith("bg:")
+        if background:
+            raw = raw[3:] if raw.startswith("bg:") else "1"
         try:
-            budget = 90.0 if raw == "1" else float(raw)
+            budget = 90.0 if raw in ("1", "") else float(raw)
         except ValueError:
             budget = 90.0
         try:
             from light_whisper_tpu.serving.incremental import warmup_ladder
 
             started = time.perf_counter()
+            if background:
+                sync_ticks = warmup_ladder(
+                    self.model,
+                    max_seconds=2.0,
+                    budget_seconds=budget,
+                    log=lambda msg: self.log.info("ladder %s", msg),
+                )
+                self.log.info(
+                    "bucket-ladder warmup (sync ≤2 s): %d ticks in %.1fs",
+                    sync_ticks,
+                    time.perf_counter() - started,
+                )
+                import threading
+
+                stop = threading.Event()
+
+                def _rest() -> None:
+                    try:
+                        t0 = time.perf_counter()
+                        ticks = warmup_ladder(
+                            self.model,
+                            budget_seconds=budget,
+                            log=lambda msg: self.log.info("ladder(bg) %s", msg),
+                            should_stop=stop.is_set,
+                        )
+                        self.log.info(
+                            "bucket-ladder warmup (background): %d ticks in %.1fs",
+                            ticks,
+                            time.perf_counter() - t0,
+                        )
+                    except Exception as exc:  # pragma: no cover - log only
+                        self.log.warning("background ladder failed: %s", exc)
+
+                # Tracked so shutdown can stop+join before teardown — a
+                # daemon thread mid-device-call at interpreter exit aborts
+                # the process (jax runtime teardown race).
+                self._bg_ladder_stop = stop
+                self._bg_ladder_thread = threading.Thread(target=_rest, daemon=True)
+                self._bg_ladder_thread.start()
+                return
             ticks = warmup_ladder(
                 self.model,
                 budget_seconds=budget,
@@ -789,6 +851,15 @@ class Qwen3EngineServer:
         gc.collect()
 
     def shutdown(self) -> None:
+        thread = self._bg_ladder_thread
+        if thread is not None and thread.is_alive():
+            # Signal per-tick stop, then wait out the in-flight tick: jax
+            # runtime teardown under a mid-dispatch warmup aborts the
+            # process, but exit must not wait for the whole ladder.
+            if self._bg_ladder_stop is not None:
+                self._bg_ladder_stop.set()
+            thread.join(timeout=60)
+        self._bg_ladder_thread = None
         if self._scheduler is not None:
             self._scheduler.shutdown()
             self._scheduler = None

@@ -498,6 +498,7 @@ def warmup_ladder(
     budget_seconds: Optional[float] = None,
     max_new_tokens: Optional[int] = None,
     log=None,
+    should_stop=None,
 ) -> int:
     """Precompile the interim shape-bucket ladder at init time.
 
@@ -535,6 +536,8 @@ def warmup_ladder(
     ticks = 0
     seconds = step_seconds
     while seconds <= max_seconds + 1e-9:
+        if should_stop is not None and should_stop():
+            return ticks
         if budget_seconds is not None:
             if _time.perf_counter() - started > budget_seconds:
                 break
@@ -557,6 +560,8 @@ def warmup_ladder(
     # in-process cache in well under a second.
     seconds = step_seconds
     while seconds <= max_seconds + 1e-9:
+        if should_stop is not None and should_stop():
+            return ticks
         if budget_seconds is not None:
             if _time.perf_counter() - started > budget_seconds:
                 break
@@ -597,6 +602,8 @@ def warmup_ladder(
         ]
         seconds = step_seconds
         while seconds <= max_seconds + 1e-9:
+            if should_stop is not None and should_stop():
+                return ticks
             if budget_seconds is not None:
                 if _time.perf_counter() - started > budget_seconds:
                     break

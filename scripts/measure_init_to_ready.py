@@ -20,7 +20,7 @@ against. Run it twice on a fresh machine: the first run SEEDS the cache
 
 Usage:
     python scripts/measure_init_to_ready.py [--cache-dir .jax_cache]
-        [--model 1.7b] [--ladder-budget 90]
+        [--model 1.7b] [--ladder bg:90]
 """
 
 from __future__ import annotations
@@ -40,12 +40,17 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cache-dir", default=os.path.join(REPO, ".jax_cache"))
     parser.add_argument("--model", default=os.environ.get("BENCH_MODEL", "1.7b"))
-    parser.add_argument("--ladder-budget", type=float, default=90.0)
+    parser.add_argument(
+        "--ladder",
+        default="bg:90",
+        help="LWT_WARMUP_LADDER value (product default bg:90 — ≤2 s buckets "
+        "sync, rest on a background thread after ready)",
+    )
     parser.add_argument("--decode-tokens", type=int, default=40)
     args = parser.parse_args()
 
     os.environ["LWT_JAX_CACHE_DIR"] = args.cache_dir
-    os.environ["LWT_WARMUP_LADDER"] = str(args.ladder_budget)
+    os.environ["LWT_WARMUP_LADDER"] = args.ladder
 
     if os.environ.get("LIGHT_WHISPER_FORCE_CPU"):
         import jax
@@ -163,6 +168,9 @@ def main() -> None:
             }
         )
     )
+    # Stop the background ladder (if any) before interpreter teardown —
+    # a daemon thread mid-device-dispatch at exit aborts the process.
+    engine.shutdown()
 
 
 if __name__ == "__main__":

@@ -381,3 +381,49 @@ def test_corrupt_artifact_yields_typed_init_error(tmp_path):
     # status keeps reporting the stored failure, not a crash
     status = server.check_status()
     assert status["initialized"] is False
+
+
+def test_background_ladder_mode_defers_deep_buckets(monkeypatch):
+    """LWT_WARMUP_LADDER=bg warms the ≤2 s buckets synchronously and walks
+    the full ladder on a background thread AFTER init — the cold-start
+    budget fix (the shell kills engines not ready in 120 s,
+    funasr_service.rs:273)."""
+    import threading
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from helpers.tiny_model import write_tiny_model
+    import tempfile, os as _os
+
+    from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+    from light_whisper_tpu.runtime.qwen3_server import Qwen3EngineServer
+    import light_whisper_tpu.serving.incremental as inc_mod
+
+    calls = []
+    done = threading.Event()
+
+    real_ladder = inc_mod.warmup_ladder
+
+    def spy(model, **kw):
+        calls.append((threading.current_thread().name, kw.get("max_seconds")))
+        if kw.get("max_seconds") is None:
+            done.set()
+        return 0
+
+    monkeypatch.setattr(inc_mod, "warmup_ladder", spy)
+    monkeypatch.setenv("LWT_WARMUP_LADDER", "bg:5")
+
+    path = _os.path.join(tempfile.gettempdir(), "lwt_bg_ladder_tiny.gguf")
+    write_tiny_model(path, quantize=True)
+    model = Qwen3ASRModel(path, max_new_tokens=4)
+    server = Qwen3EngineServer(
+        engine="qwen3-asr-0.6b", model_factory=lambda _p: model, model_path=path
+    )
+    assert server.initialize()["success"]
+    assert done.wait(timeout=30), "background ladder never ran"
+    # first call synchronous with the ≤2 s cap, second on a non-main thread
+    assert calls[0][1] == 2.0
+    assert calls[0][0] == "MainThread"
+    assert calls[1][1] is None
+    assert calls[1][0] != "MainThread"
+    assert real_ladder is not inc_mod.warmup_ladder  # spy actually used
