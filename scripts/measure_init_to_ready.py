@@ -143,25 +143,29 @@ def main() -> None:
     assert resp.get("success"), resp
 
     total = time.perf_counter() - T0
+    imports_s = total - params_s - init_s - first_request_s
     print(
         json.dumps(
             {
-                "init_to_ready_s": round(total, 1),
+                # The product-equivalent number the 120 s budget gates:
+                # process start → first transcription served, EXCLUDING the
+                # synthetic-weights *generation* (225 s of host RNG at 1.7B
+                # — the stand-in for a GGUF disk read that costs seconds on
+                # a real install; real artifacts aren't downloadable here).
+                # The host→device upload IS included: a real install pays
+                # that transfer too (here it rides the tunneled relay; a
+                # co-located chip pays PCIe speed for the same 1.8 GB).
+                "init_to_ready_s": round(
+                    imports_s + upload_s + init_s + first_request_s, 1
+                ),
+                "wall_with_synthetic_weights_s": round(total, 1),
                 "params_build_s": round(params_s, 1),
-                # synthetic-weights generation vs host→device upload. The
-                # upload here rides the tunneled remote relay; a real
-                # install co-located with the chip pays PCIe speed for the
-                # same 1.8 GB (seconds). ready_after_weights_s is the
-                # compile-bound part the 120 s budget actually gates
-                # (920 s cold in BENCH_r03 → cache-hit walk when shipped).
                 "weights_generate_s": round(gen_s, 1),
                 "weights_upload_s": round(upload_s, 1),
                 "engine_init_s": round(init_s, 1),
                 "first_request_s": round(first_request_s, 1),
                 "ready_after_weights_s": round(init_s + first_request_s, 1),
-                "interpreter_and_imports_s": round(
-                    total - params_s - init_s - first_request_s, 1
-                ),
+                "interpreter_and_imports_s": round(imports_s, 1),
                 "cache_dir": args.cache_dir,
                 "budget_s": 120,
                 "model": args.model,
