@@ -262,23 +262,26 @@ class Qwen3EngineServer:
     def _warmup(self) -> None:
         try:
             started = time.perf_counter()
-            # VAD warmup is host-dominated (numpy cascade + one small device
-            # program); the model warmup is device-transfer-dominated (first
-            # use commits the weights). Overlapping them shaves the smaller
-            # off the init wall — the shell's 120 s budget is tight
-            # (funasr_service.rs:273).
-            vad_thread = None
-            if self.vad is not None and hasattr(self.vad, "warmup"):
-                import threading
+            # The warmup phases are independent program sets: VAD (host
+            # cascade + one small device program), the offline transcribe
+            # path (encoder/prefill/decode + the weight commit), and the
+            # interim bucket ladder. Compile/load RPCs to the backend
+            # overlap across Python threads (measured 3× on the tunneled
+            # v5e relay) while device execution serializes — so run them
+            # concurrently instead of serially; the shell's 120 s budget is
+            # tight (funasr_service.rs:273).
+            from concurrent.futures import ThreadPoolExecutor
 
-                vad_thread = threading.Thread(target=self.vad.warmup, daemon=True)
-                vad_thread.start()
-            if hasattr(self.model, "warmup"):
-                self.model.warmup()
-            if vad_thread is not None:
-                vad_thread.join(timeout=120)
+            with ThreadPoolExecutor(2) as pool:
+                futures = []
+                if self.vad is not None and hasattr(self.vad, "warmup"):
+                    futures.append(pool.submit(self.vad.warmup))
+                if hasattr(self.model, "warmup"):
+                    futures.append(pool.submit(self.model.warmup))
+                self._warmup_ladder()  # sync phase; bg walker starts after
+                for f in futures:
+                    f.result()
             self.log.info("warmup done in %.3fs", time.perf_counter() - started)
-            self._warmup_ladder()
         except Exception as exc:
             self.log.warning("warmup failed (first request may be slow): %s", exc)
 
@@ -311,6 +314,12 @@ class Qwen3EngineServer:
             budget = 90.0 if raw in ("1", "") else float(raw)
         except ValueError:
             budget = 90.0
+        # Ladder passes run on threads by default (compile RPCs overlap,
+        # 3× measured through the relay); LWT_WARMUP_CONCURRENCY=1 → serial.
+        try:
+            conc = max(1, int(os.environ.get("LWT_WARMUP_CONCURRENCY", "3")))
+        except ValueError:
+            conc = 3
         try:
             from light_whisper_tpu.serving.incremental import warmup_ladder
 
@@ -321,6 +330,7 @@ class Qwen3EngineServer:
                     max_seconds=2.0,
                     budget_seconds=budget,
                     log=lambda msg: self.log.info("ladder %s", msg),
+                    concurrency=conc,
                 )
                 self.log.info(
                     "bucket-ladder warmup (sync ≤2 s): %d ticks in %.1fs",
@@ -339,6 +349,7 @@ class Qwen3EngineServer:
                             budget_seconds=budget,
                             log=lambda msg: self.log.info("ladder(bg) %s", msg),
                             should_stop=stop.is_set,
+                            concurrency=conc,
                         )
                         self.log.info(
                             "bucket-ladder warmup (background): %d ticks in %.1fs",
@@ -359,6 +370,7 @@ class Qwen3EngineServer:
                 self.model,
                 budget_seconds=budget,
                 log=lambda msg: self.log.info("ladder %s", msg),
+                concurrency=conc,
             )
             self.log.info(
                 "bucket-ladder warmup: %d ticks in %.1fs",

@@ -356,6 +356,11 @@ def test_warmup_ladder_precompiles_buckets(model):
     ticks = warmup_ladder(model, max_seconds=1.5, step_seconds=0.5)
     assert ticks == 9
 
+    # threaded passes (compile RPCs overlap across threads) warm the same
+    # tick set — concurrency changes wall time only
+    ticks_conc = warmup_ladder(model, max_seconds=1.5, step_seconds=0.5, concurrency=3)
+    assert ticks_conc == 9
+
     # budget cuts the walk short but never below one tick
     few = warmup_ladder(model, max_seconds=5.0, step_seconds=0.5, budget_seconds=0.0)
     assert few <= 1
