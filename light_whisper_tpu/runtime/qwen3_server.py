@@ -150,6 +150,9 @@ class Qwen3EngineServer:
         self._scheduler = None  # device-serialization + batch coalescing
         self._bg_ladder_thread = None  # LWT_WARMUP_LADDER=bg walker
         self._bg_ladder_stop = None
+        self._active_requests = 0  # live transcribes; bg ladder yields to them
+        self._device_idle = threading.Event()
+        self._device_idle.set()
         self._stats_lock = threading.Lock()
         self._init_lock = threading.Lock()  # pipelined requests may race init
         self._anon_stream = itertools.count()
@@ -341,6 +344,15 @@ class Qwen3EngineServer:
 
                 stop = threading.Event()
 
+                def _gate() -> None:
+                    # Yield to live requests: never start a warmup tick
+                    # while one is in flight (a first request queuing
+                    # behind three in-flight pass ticks measured +6.6 s).
+                    while not stop.is_set() and not self._device_idle.wait(
+                        timeout=0.5
+                    ):
+                        pass
+
                 def _rest() -> None:
                     try:
                         t0 = time.perf_counter()
@@ -349,6 +361,7 @@ class Qwen3EngineServer:
                             budget_seconds=budget,
                             log=lambda msg: self.log.info("ladder(bg) %s", msg),
                             should_stop=stop.is_set,
+                            wait_turn=_gate,
                             concurrency=conc,
                         )
                         self.log.info(
@@ -703,6 +716,12 @@ class Qwen3EngineServer:
         from light_whisper_tpu.serving.session_pool import DEFAULT_STREAM
 
         session_key = str(named_stream) if named_stream else DEFAULT_STREAM
+        # Mark a live request for the background-ladder gate: warmup ticks
+        # must not start while real work is in flight (a first request
+        # queuing behind three in-flight pass ticks measured +6.6 s).
+        with self._stats_lock:
+            self._active_requests += 1
+            self._device_idle.clear()
         try:
             audio, duration, input_mode = self._load_audio(
                 audio_path, audio_base64, audio_format, sample_rate
@@ -792,6 +811,11 @@ class Qwen3EngineServer:
                 "type": "transcription_error",
                 "input_mode": input_mode,
             }
+        finally:
+            with self._stats_lock:
+                self._active_requests -= 1
+                if self._active_requests <= 0:
+                    self._device_idle.set()
 
     def _transcribe_long_form(
         self, audio, duration, input_mode, hot_words, stream, max_window_seconds=None

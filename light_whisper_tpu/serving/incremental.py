@@ -499,6 +499,7 @@ def warmup_ladder(
     max_new_tokens: Optional[int] = None,
     log=None,
     should_stop=None,
+    wait_turn=None,
     concurrency: int = 1,
 ) -> int:
     """Precompile the interim shape-bucket ladder at init time.
@@ -546,12 +547,24 @@ def warmup_ladder(
     ticks = [0]
     lock = __import__("threading").Lock()
 
+    tls = __import__("threading").local()
+
     def _over() -> bool:
+        # wait_turn (called before the stop/budget check) lets a background
+        # ladder yield to live requests — the server gates warmup ticks on
+        # its in-flight request count so real work never queues behind them.
+        # Time spent yielding doesn't count against the budget (per pass
+        # thread), else a long dictation right after ready would expire the
+        # ladder without warming anything.
+        if wait_turn is not None:
+            t0 = _time.perf_counter()
+            wait_turn()
+            tls.waited = getattr(tls, "waited", 0.0) + _time.perf_counter() - t0
         if should_stop is not None and should_stop():
             return True
-        return (
-            budget_seconds is not None
-            and _time.perf_counter() - started > budget_seconds
+        return budget_seconds is not None and (
+            _time.perf_counter() - started - getattr(tls, "waited", 0.0)
+            > budget_seconds
         )
 
     def _tick(tag: str, seconds: float, t0: float) -> None:

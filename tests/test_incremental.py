@@ -405,3 +405,31 @@ def test_device_audio_buffer_exactness(model):
     if buf.dtype == np.int16:
         want = np.clip(np.rint(want * 32768), -32768, 32767).astype(np.int16)
     np.testing.assert_array_equal(buf, want)
+
+
+def test_warmup_ladder_wait_turn_excluded_from_budget(model):
+    """warmup_ladder(wait_turn=...) blocks before each tick, and the time
+    spent waiting does not burn budget_seconds — a long dictation right
+    after ready must not expire the background ladder without warming
+    anything."""
+    import time as _time
+
+    from light_whisper_tpu.serving.incremental import warmup_ladder
+
+    waits = []
+
+    def gate():
+        if not waits:  # one long yield before the first tick
+            _time.sleep(0.8)
+        waits.append(1)
+
+    ticks = warmup_ladder(
+        model,
+        max_seconds=0.5,
+        step_seconds=0.5,
+        budget_seconds=0.5,
+        wait_turn=gate,
+    )
+    # with the wait counted against the budget this would be 0
+    assert ticks >= 1
+    assert len(waits) >= 1

@@ -427,3 +427,41 @@ def test_background_ladder_mode_defers_deep_buckets(monkeypatch):
     assert calls[1][1] is None
     assert calls[1][0] != "MainThread"
     assert real_ladder is not inc_mod.warmup_ladder  # spy actually used
+
+
+def test_bg_ladder_yields_to_live_requests():
+    """The background ladder's gate: warmup ticks must not start while a
+    transcribe is in flight (_device_idle clears on entry, sets on exit),
+    and time spent yielding must not count against the ladder budget."""
+    import threading
+
+    server, model, _vad = make_server(segments=[{"start": 0, "end": 16000}])
+    assert server.initialize()["success"]
+    assert server._device_idle.is_set()
+
+    entered = threading.Event()
+    release = threading.Event()
+    orig = model.transcribe
+
+    def slow(audio):
+        entered.set()
+        release.wait(timeout=10)
+        return orig(audio)
+
+    model.transcribe = slow
+    t = threading.Thread(
+        target=server.transcribe,
+        kwargs=dict(
+            audio_base64=pcm_b64(np.random.default_rng(0).standard_normal(16000) * 0.1),
+            audio_format="pcm_s16le",
+            sample_rate=16000,
+        ),
+    )
+    t.start()
+    assert entered.wait(timeout=10)
+    assert not server._device_idle.is_set()  # gate closed while in flight
+    release.set()
+    t.join(timeout=10)
+    assert server._device_idle.is_set()  # gate reopens at exit
+
+
