@@ -153,6 +153,7 @@ class Qwen3EngineServer:
         self._active_requests = 0  # live transcribes; bg ladder yields to them
         self._device_idle = threading.Event()
         self._device_idle.set()
+        self._init_timings = {}  # per-phase warmup walls (cold-start attribution)
         self._stats_lock = threading.Lock()
         self._init_lock = threading.Lock()  # pipelined requests may race init
         self._anon_stream = itertools.count()
@@ -275,15 +276,32 @@ class Qwen3EngineServer:
             # tight (funasr_service.rs:273).
             from concurrent.futures import ThreadPoolExecutor
 
+            def _timed(tag, fn):
+                def run():
+                    t0 = time.perf_counter()
+                    fn()
+                    self._init_timings[tag] = round(time.perf_counter() - t0, 3)
+
+                return run
+
             with ThreadPoolExecutor(2) as pool:
                 futures = []
                 if self.vad is not None and hasattr(self.vad, "warmup"):
-                    futures.append(pool.submit(self.vad.warmup))
+                    futures.append(pool.submit(_timed("vad_warmup_s", self.vad.warmup)))
                 if hasattr(self.model, "warmup"):
-                    futures.append(pool.submit(self.model.warmup))
+                    futures.append(
+                        pool.submit(_timed("model_warmup_s", self.model.warmup))
+                    )
+                t_ladder = time.perf_counter()
                 self._warmup_ladder()  # sync phase; bg walker starts after
+                self._init_timings["ladder_sync_s"] = round(
+                    time.perf_counter() - t_ladder, 3
+                )
                 for f in futures:
                     f.result()
+            self._init_timings["warmup_total_s"] = round(
+                time.perf_counter() - started, 3
+            )
             self.log.info("warmup done in %.3fs", time.perf_counter() - started)
         except Exception as exc:
             self.log.warning("warmup failed (first request may be slow): %s", exc)
@@ -328,10 +346,20 @@ class Qwen3EngineServer:
 
             started = time.perf_counter()
             if background:
+                # The sync phase must be bounded BY CONSTRUCTION: its ticks
+                # ride the backend's compile/payload-population path, whose
+                # per-program cost swings 1-30 s with server-side cache
+                # temperature — unbounded, a cold backend blows the shell's
+                # 120 s init window. Unwarmed sync buckets fall through to
+                # the background walker (which yields to live requests).
+                sync_budget = min(
+                    budget,
+                    float(os.environ.get("LWT_WARMUP_SYNC_BUDGET", "45") or 45),
+                )
                 sync_ticks = warmup_ladder(
                     self.model,
                     max_seconds=2.0,
-                    budget_seconds=budget,
+                    budget_seconds=sync_budget,
                     log=lambda msg: self.log.info("ladder %s", msg),
                     concurrency=conc,
                 )

@@ -166,6 +166,9 @@ def main() -> None:
                 "first_request_s": round(first_request_s, 1),
                 "ready_after_weights_s": round(init_s + first_request_s, 1),
                 "interpreter_and_imports_s": round(imports_s, 1),
+                # per-phase warmup walls from inside the engine (the
+                # threaded phases overlap — these attribute, not sum)
+                "engine_phases": dict(getattr(engine, "_init_timings", {})),
                 "cache_dir": args.cache_dir,
                 "budget_s": 120,
                 "model": args.model,
