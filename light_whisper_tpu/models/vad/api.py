@@ -73,17 +73,39 @@ def _vad_probs_batched(params, cmvn_mean, cmvn_inv_std, waveforms, valid_frames,
     return jax.vmap(one)(waveforms, valid_frames)
 
 
+def _is_relay_backend() -> bool:
+    """True when the default device is a *remote* relay (axon tunnel).
+
+    The relay presents ``platform == "tpu"`` like a directly attached chip —
+    the only stable discriminator is the PJRT ``platform_version`` string,
+    which the axon plugin stamps (``"PJRT C API\\naxon 0.1.0; ..."``). A
+    plain platform check silently misclassifies the relay as local, which
+    puts every VAD dispatch behind a ~30 ms network round trip.
+    """
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return False
+    if dev.platform == "axon":
+        return True
+    try:
+        version = dev.client.platform_version or ""
+    except Exception:
+        return False
+    return "axon" in version
+
+
 def _vad_device():
     """Device policy (``LWT_VAD_DEVICE``: auto | cpu | default).
 
     The DFSMN is a ~1 M-param net; its per-call cost on an accelerator is
     pure dispatch latency. When the accelerator is a *remote* relay
-    (platform ``axon``, ~30 ms round trip) that latency lands inside every
+    (axon tunnel, ~30 ms round trip) that latency lands inside every
     interim tick, so ``auto`` pins the VAD to the host CPU backend — the
     reference's placement too (onnxruntime CPU EP, 1 thread,
-    ``firered_vad.py:81-85``). On a directly attached TPU (platform
-    ``tpu``) dispatch is microseconds and audio already lives device-side,
-    so ``auto`` keeps the default device.
+    ``firered_vad.py:81-85``). On a directly attached TPU dispatch is
+    microseconds and audio already lives device-side, so ``auto`` keeps
+    the default device.
     """
     mode = os.environ.get("LWT_VAD_DEVICE", "auto")
     if mode == "default":
@@ -94,11 +116,7 @@ def _vad_device():
         return None
     if mode == "cpu":
         return cpu
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return None
-    return cpu if platform == "axon" else None
+    return cpu if _is_relay_backend() else None
 
 
 def _prefer_host_numpy(vad_device) -> bool:

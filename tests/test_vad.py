@@ -231,6 +231,37 @@ def test_vad_cpu_device_mode_matches_default(monkeypatch):
     np.testing.assert_allclose(default, pinned, rtol=1e-6, atol=1e-6)
 
 
+def test_relay_backend_detected_from_platform_version(monkeypatch):
+    """The axon relay presents ``platform == "tpu"`` exactly like a locally
+    attached chip; the only stable discriminator is the PJRT
+    ``platform_version`` string. A plain platform check misclassified the
+    relay as local and put every VAD dispatch behind a ~30 ms network round
+    trip (measured: wire vad p50 33.7 ms vs ~5 ms pinned-host)."""
+    import jax
+
+    from light_whisper_tpu.models.vad import api
+
+    class _Client:
+        platform_version = "PJRT C API\naxon 0.1.0; SerializedExecutable v9"
+
+    class _RelayDevice:
+        platform = "tpu"  # NOT "axon" — this is what the relay reports
+        client = _Client()
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [_RelayDevice()])
+    assert api._is_relay_backend()
+    # auto policy must pin to the host CPU backend
+    monkeypatch.delenv("LWT_VAD_DEVICE", raising=False)
+    dev = api._vad_device()
+    assert dev is not None and dev.platform == "cpu"
+    assert api._prefer_host_numpy(dev)
+
+    # A genuinely local chip (no axon stamp) keeps the default placement.
+    _Client.platform_version = "PJRT C API\nTFRT TPU v5 lite"
+    assert not api._is_relay_backend()
+    assert api._vad_device() is None
+
+
 def test_longform_batched_probs_match_monolithic(monkeypatch):
     """>32 s audio routes through the batched window pass; probabilities
     must match the monolithic single-program pass (halo covers the DFSMN
