@@ -99,6 +99,71 @@ def _body_noscale(idx_ref, x_ref, q_ref, st_ref, expand_ref, o_ref, acc_ref):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _body_subexpand(idx_ref, x_ref, q_ref, st_ref, expand_ref, o_ref, acc_ref):
+    """Bit-exact variant: build s_full in 512-lane sub-tiles.
+
+    The expand matrix has exactly one nonzero per column, so each s_full
+    element is a pure copy of s[o, b] — sub-tiling the expand matmul
+    changes NO value (no accumulation happens), only its MAC count:
+    bo*nb*bk -> bo*(nb_sub)*bk with nb_sub = 512/32, i.e. 4x fewer at
+    bk=2048 (134M -> 33.5M MACs vs the main contraction's 16.8M).
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    s = st_ref[0].T  # [bo, nb]
+    bk = q.shape[1]
+    sub = 512
+    nb_sub = sub // Q8_0_BLOCK
+    parts = []
+    for j0 in range(0, bk, sub):
+        b0 = j0 // Q8_0_BLOCK
+        parts.append(
+            jax.lax.dot_general(
+                s[:, b0 : b0 + nb_sub],
+                expand_ref[:nb_sub, :sub],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        )
+    s_full = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    w = q.astype(jnp.bfloat16) * s_full
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _body_repeatcost(idx_ref, x_ref, q_ref, st_ref, expand_ref, o_ref, acc_ref):
+    """COST PROBE ONLY (wrong math): s_full via pltpu.repeat's tiled
+    semantics instead of the expand matmul. If this runs at the noscale
+    ceiling, an exact permuted-weight-layout design is worth building."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    s = st_ref[0].T  # [bo, nb]
+    s_full = pltpu.repeat(s, Q8_0_BLOCK, 1)  # [bo, bk] tiled (k % nb)
+    w = q.astype(jnp.bfloat16) * s_full
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
 def _body_dma(idx_ref, x_ref, q_ref, st_ref, expand_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -120,7 +185,8 @@ def _run_variant(x, q, s_t, layer, variant: str, block_o: int, block_k: int):
     nb = block_k // Q8_0_BLOCK
     expand = jnp.repeat(jnp.eye(nb, dtype=jnp.bfloat16), Q8_0_BLOCK, axis=1)
     idx = jnp.reshape(layer.astype(jnp.int32), (1,))
-    body = {"full": _body_full, "noscale": _body_noscale, "dma": _body_dma}[variant]
+    body = {"full": _body_full, "noscale": _body_noscale, "dma": _body_dma,
+            "subexpand": _body_subexpand, "repeatcost": _body_repeatcost}[variant]
 
     grid = (T // T, out_features // block_o, in_features // block_k)
     return pl.pallas_call(
@@ -193,7 +259,7 @@ def main():
     else:
         bo, bk = 1024, 2048  # shipped contig policy for this shape
     log(f"device {jax.devices()[0]} gateup [{out_f}x{in_f}] bo={bo} bk={bk}")
-    for variant in ("dma", "noscale", "full"):
+    for variant in ("subexpand", "repeatcost"):
         try:
             ms, gbps, walls, compile_s = bench_variant(variant, out_f, in_f, bo, bk)
             log(
