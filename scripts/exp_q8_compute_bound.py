@@ -164,6 +164,60 @@ def _body_repeatcost(idx_ref, x_ref, q_ref, st_ref, expand_ref, o_ref, acc_ref):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _body_permexact(idx_ref, x_ref, q_ref, st_ref, expand_ref, o_ref, acc_ref):
+    """EXACT math over the k-permuted weight layout.
+
+    Caller contract: within every bk block, weight column j holds original
+    column (j % nb) * 32 + j // nb, and x's k-axis is permuted identically
+    (a (nb, 32) -> (32, nb) transpose per block, done outside the kernel).
+    Under that layout the scale of permuted column j is s[o, j % nb] — which
+    is exactly ``pltpu.repeat``'s tiled semantics, so the expand matmul
+    (the measured 38%-over-DMA-floor term) disappears.
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    s = st_ref[0].T  # [bo, nb]
+    s_full = pltpu.repeat(s, Q8_0_BLOCK, 1)  # [bo, bk]: s[o, j % nb] — exact here
+    w = q.astype(jnp.bfloat16) * s_full
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def permute_weights_k(q_np, block_k):
+    """Host-side k-permute: per bk block, new column a*nb+b <- old b*32+a."""
+    nb = block_k // Q8_0_BLOCK
+    L_, out_f, in_f = q_np.shape
+    K = in_f // block_k
+    return (
+        q_np.reshape(L_, out_f, K, nb, Q8_0_BLOCK)
+        .swapaxes(-1, -2)
+        .reshape(L_, out_f, in_f)
+    )
+
+
+def permute_x_k(x, block_k):
+    """The matching activation permute (traced, XLA): per bk block, a
+    (nb, 32) -> (32, nb) transpose of the k-axis."""
+    nb = block_k // Q8_0_BLOCK
+    T_, in_f = x.shape
+    K = in_f // block_k
+    return (
+        x.reshape(T_, K, nb, Q8_0_BLOCK)
+        .transpose(0, 1, 3, 2)
+        .reshape(T_, in_f)
+    )
+
+
 def _body_dma(idx_ref, x_ref, q_ref, st_ref, expand_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -186,7 +240,10 @@ def _run_variant(x, q, s_t, layer, variant: str, block_o: int, block_k: int):
     expand = jnp.repeat(jnp.eye(nb, dtype=jnp.bfloat16), Q8_0_BLOCK, axis=1)
     idx = jnp.reshape(layer.astype(jnp.int32), (1,))
     body = {"full": _body_full, "noscale": _body_noscale, "dma": _body_dma,
-            "subexpand": _body_subexpand, "repeatcost": _body_repeatcost}[variant]
+            "subexpand": _body_subexpand, "repeatcost": _body_repeatcost,
+            "permexact": _body_permexact}[variant]
+    if variant == "permexact":
+        x = permute_x_k(x, block_k)  # honest: the permute is part of the call
 
     grid = (T // T, out_features // block_o, in_features // block_k)
     return pl.pallas_call(
@@ -215,7 +272,10 @@ def _run_variant(x, q, s_t, layer, variant: str, block_o: int, block_k: int):
 
 def bench_variant(variant, out_f, in_f, bo, bk, iters_pair=(256, 1024), trials=5):
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.integers(-127, 127, size=(L, out_f, in_f), dtype=np.int8))
+    q_np = rng.integers(-127, 127, size=(L, out_f, in_f), dtype=np.int8)
+    if variant == "permexact":
+        q_np = permute_weights_k(q_np, bk)
+    q = jnp.asarray(q_np)
     s_t = jnp.asarray(
         (rng.standard_normal((L, in_f // 32, out_f)) * 0.01).astype(np.float32)
     ).astype(jnp.bfloat16)
@@ -252,6 +312,31 @@ def bench_variant(variant, out_f, in_f, bo, bk, iters_pair=(256, 1024), trials=5
     return per_call_ms, gbps, walls, compile_s
 
 
+def check_permexact(out_f, in_f, bo, bk):
+    """Numeric check: permexact(q_perm, x) vs full(q, x) on one layer."""
+    rng = np.random.default_rng(7)
+    q_np = rng.integers(-127, 127, size=(2, out_f, in_f), dtype=np.int8)
+    s_t = jnp.asarray(
+        (rng.standard_normal((2, in_f // 32, out_f)) * 0.01).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((T, in_f)).astype(np.float32)).astype(jnp.bfloat16)
+    layer = jnp.int32(1)
+    global L
+    L_saved = L
+    L = 2
+    try:
+        y_ref = np.asarray(_run_variant(x, jnp.asarray(q_np), s_t, layer, "full", bo, bk))
+        q_perm = jnp.asarray(permute_weights_k(q_np, bk))
+        y_new = np.asarray(_run_variant(x, q_perm, s_t, layer, "permexact", bo, bk))
+    finally:
+        L = L_saved
+    denom = np.maximum(np.abs(y_ref), 1e-6)
+    max_rel = float(np.max(np.abs(y_new - y_ref) / denom))
+    bitwise = bool(np.array_equal(y_new, y_ref))
+    log(f"permexact check: bitwise={bitwise} max_rel={max_rel:.2e}")
+    return max_rel
+
+
 def main():
     out_f, in_f = 12288, 2048  # gateup: the largest per-layer stream
     if "--default-tiling" in sys.argv:
@@ -259,7 +344,8 @@ def main():
     else:
         bo, bk = 1024, 2048  # shipped contig policy for this shape
     log(f"device {jax.devices()[0]} gateup [{out_f}x{in_f}] bo={bo} bk={bk}")
-    for variant in ("subexpand", "repeatcost"):
+    check_permexact(out_f, in_f, bo, bk)
+    for variant in ("permexact", "full"):
         try:
             ms, gbps, walls, compile_s = bench_variant(variant, out_f, in_f, bo, bk)
             log(
