@@ -48,6 +48,7 @@ def test_wire_bench_first_tick_and_two_streams(model):
     assert out["two_stream_tick_ms_p50"] is None or out["two_stream_tick_ms_p50"] > 0
     rates = out["two_stream_hit_rates"]
     assert set(rates) == {"s1", "s2"}
-    # each stream alternates fresh(base)/extend(grown): hit rate 0.5 per round
+    # each stream is a growing dictation (1 fresh + 4 extensions per round):
+    # every extension must hit its own session → 0.8 per round exactly
     for key, rate in rates.items():
-        assert rate is not None and rate >= 0.4, (key, rate, out)
+        assert rate is not None and rate >= 0.75, (key, rate, out)
