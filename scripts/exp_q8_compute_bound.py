@@ -337,7 +337,96 @@ def check_permexact(out_f, in_f, bo, bk):
     return max_rel
 
 
+def bench_chain(variant, iters_pair=(64, 256), trials=5):
+    """The 4-projection chain at 1.7B decode shapes, all streams as
+    ``variant`` kernels. With variant="dma" (touch-only bodies) this is the
+    chain's pure DMA ceiling: if it matches the shipped chain's ~3.3
+    ms/step, the decode matmul chain is bound by sustained HBM throughput
+    across alternating streams, not by anything inside the kernels."""
+    shapes = {  # name: (out, in, bo, bk) — shipped tiling policy
+        "qkv": (4096, 2048, 2048, 512),
+        "o": (2048, 2048, 2048, 512),
+        "gateup": (12288, 2048, 1024, 2048),
+        "down": (2048, 6144, 2048, 512),
+    }
+    rng = np.random.default_rng(0)
+    bufs = {}
+    for name, (out_f, in_f, bo, bk) in shapes.items():
+        q = jnp.asarray(
+            rng.integers(-127, 127, size=(L, out_f, in_f), dtype=np.int8)
+        )
+        s_t = jnp.asarray(
+            (rng.standard_normal((L, in_f // 32, out_f)) * 0.01).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        bufs[name] = (q, s_t, bo, bk)
+
+    # Seed each Mosaic payload standalone first — the full chain program
+    # otherwise crosses the relay's per-request compile wall (the fused-
+    # decode lesson from round 3, exp_fused_compile.py).
+    for name, (q, s_t, bo, bk) in bufs.items():
+        x_seed = jnp.zeros((T, q.shape[2]), jnp.bfloat16)
+        t0 = time.perf_counter()
+        jax.device_get(_run_variant(x_seed, q, s_t, jnp.int32(0), variant, bo, bk))
+        log(f"  seeded {variant}/{name} in {time.perf_counter() - t0:.0f}s")
+
+    lo, hi = iters_pair
+    walls = {}
+    for iters in (lo, hi):
+
+        @jax.jit
+        def run(seed, iters=iters):
+            def layer(idx, x):
+                def mm(name, h):
+                    q, s_t, bo, bk = bufs[name]
+                    y = _run_variant(h, q, s_t, idx, variant, bo, bk)
+                    return y[:, : h.shape[1]].astype(jnp.bfloat16)
+
+                x = mm("qkv", x)
+                x = mm("o", x)
+                x = mm("gateup", x)
+                xf = jnp.pad(x, ((0, 0), (0, 6144 - x.shape[1])))
+                y = mm("down", xf)
+                return y[:, :2048]
+
+            def step(i, x):
+                return jax.lax.fori_loop(
+                    0, L, lambda j, h: layer(j, h), x
+                ) * jnp.bfloat16(1e-6) + seed
+
+            x0 = jnp.zeros((T, 2048), jnp.bfloat16) + seed
+            return jnp.sum(jax.lax.fori_loop(0, iters, step, x0))
+
+        seed = jnp.bfloat16(0.0)
+        t0 = time.perf_counter()
+        jax.device_get(run(seed))
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            jax.device_get(run(seed))
+            best = min(best, time.perf_counter() - t0)
+        walls[iters] = best * 1000
+
+    per_step_ms = (walls[hi] - walls[lo]) / (hi - lo)
+    mb = sum(
+        (o * i + o * i // 32 * 2) for o, i, _, _ in shapes.values()
+    ) * L / 1e6
+    gbps = mb * 1e6 / (per_step_ms / 1000) / 1e9
+    log(
+        f"chain[{variant}]: {per_step_ms:6.3f} ms/step → {gbps:4.0f} GB/s "
+        f"sustained ({mb:.0f} MB/step, walls {walls}, compile {compile_s:.0f}s)"
+    )
+
+
 def main():
+    if "--chain" in sys.argv:
+        log(f"device {jax.devices()[0]} 4-projection chain, L={L} T={T}")
+        for variant in ("dma", "permexact", "full"):
+            try:
+                bench_chain(variant)
+            except Exception as exc:
+                log(f"chain {variant}: FAILED {type(exc).__name__}: {str(exc)[:160]}")
+        return
     out_f, in_f = 12288, 2048  # gateup: the largest per-layer stream
     if "--default-tiling" in sys.argv:
         bo, bk = 2048, 512
