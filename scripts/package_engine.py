@@ -93,10 +93,27 @@ def build_archive(
                         if _want(rel):
                             tar.add(full, arcname=rel)
             if cache_dir and os.path.isdir(cache_dir):
-                for name in sorted(os.listdir(cache_dir)):
-                    full = os.path.join(cache_dir, name)
-                    if os.path.isfile(full):
-                        tar.add(full, arcname=os.path.join("jax_cache", name))
+                cache_names = [
+                    n
+                    for n in sorted(os.listdir(cache_dir))
+                    if os.path.isfile(os.path.join(cache_dir, n))
+                ]
+                for name in cache_names:
+                    tar.add(
+                        os.path.join(cache_dir, name),
+                        arcname=os.path.join("jax_cache", name),
+                    )
+                # The cold-start story rides these entries; a wiped cache
+                # would silently ship a cold archive (first compile ~15 min
+                # vs the shell's 120 s kill). Warn loudly — dev archives may
+                # legitimately pack cold, a release should not.
+                if not any(n.startswith("jit_decode_greedy-") for n in cache_names):
+                    print(
+                        "WARNING: cache_dir has no jit_decode_greedy-* entry — "
+                        "the archive ships a COLD compile cache; run bench.py "
+                        "(or the warmup ladder) first to seed it",
+                        file=sys.stderr,
+                    )
         fingerprint = sha256_file(staging)
         os.replace(staging, out_path)
     except BaseException:
