@@ -88,24 +88,7 @@ def prepare_stacked_scales(params: Dict) -> Dict:
     load time keeps the transpose out of the decode ``while_loop`` (XLA's
     loop-invariant motion is not guaranteed for materializing ops). Dense
     and kernel-incompatible projections pass through untouched.
-
-    When ``LWT_Q8_KPERM`` is on (default), the int8 stack is additionally
-    re-stored k-permuted (``ops.q8_matmul.permute_kaxis``) under key ``qp``
-    replacing ``q``: inside every tile-policy bk block, weight column
-    a*nb + b holds original column b*32 + a, which turns the kernels' scale
-    expansion into a free ``pltpu.repeat`` (the measured 38%-over-DMA-floor
-    term of the decode step — see ops/q8_matmul.py). Key presence is the
-    static layout marker; the permute granularity is re-derived from the
-    shape via :func:`~light_whisper_tpu.ops.q8_matmul.kperm_block` at every
-    dispatch, so ``LWT_BK2048`` must not change between load and dispatch
-    (same trace-time contract as ``LWT_FUSED_DECODE``).
     """
-    from light_whisper_tpu.ops.q8_matmul import (
-        kperm_block,
-        kperm_enabled,
-        permute_kaxis,
-    )
-
     layers = params.get("layers")
     if not isinstance(layers, dict):
         return params
@@ -117,41 +100,10 @@ def prepare_stacked_scales(params: Dict) -> Dict:
         _, out_f, in_f = p["q"].shape
         if out_f < 256 or out_f % 128 != 0 or in_f % 512 != 0:
             continue
-        p2 = dict(p, s_t=jnp.asarray(p["s"]).astype(jnp.bfloat16).transpose(0, 2, 1))
-        if kperm_enabled():
-            p2["qp"] = permute_kaxis(
-                jnp.asarray(p2.pop("q")), kperm_block(out_f, in_f)
-            )
-        new_layers[name] = p2
-    new_params = dict(params, layers=new_layers)
-    # The tied Q8 embedding doubles as the logits head (decode's single
-    # largest weight stream) — same layout win applies. ``embed_tokens``
-    # dequantizes lookups with the permuted mapping and un-permutes the
-    # row, so token embeddings stay bitwise identical to the natural path.
-    embed = params.get("embed")
-    if (
-        kperm_enabled()
-        and isinstance(embed, dict)
-        and "q" in embed
-        and params.get("lm_head") is None
-    ):
-        v, d = embed["q"].shape
-        if v >= 256 and v % 128 == 0 and d % 512 == 0:
-            new_params["embed"] = dict(
-                embed,
-                qp=permute_kaxis(jnp.asarray(embed["q"]), kperm_block(v, d)),
-            )
-            new_params["embed"].pop("q")
-    return new_params
-
-
-def _q_kperm(p: Dict):
-    """(int8 stack, kperm granularity or None) for a stacked projection."""
-    if "qp" in p:
-        from light_whisper_tpu.ops.q8_matmul import kperm_block
-
-        return p["qp"], kperm_block(p["qp"].shape[-2], p["qp"].shape[-1])
-    return p["q"], None
+        new_layers[name] = dict(
+            p, s_t=jnp.asarray(p["s"]).astype(jnp.bfloat16).transpose(0, 2, 1)
+        )
+    return dict(params, layers=new_layers)
 
 
 def _use_fused_stacked() -> bool:
@@ -471,17 +423,15 @@ def _layer_forward_stacked(
 
     def proj(name, h):
         p = layers[name]
-        qa, kp = _q_kperm(p)
-        return q8_matmul_pallas_stacked(h, qa, p["s_t"], idx, kperm=kp)
+        return q8_matmul_pallas_stacked(h, p["q"], p["s_t"], idx)
 
     def proj_norm(name, h, norm_w):
         """rms-norm prologue folded into the projection kernel."""
         if not fused:
             return proj(name, rms_norm(h, norm_w, cfg.rms_epsilon))
         p = layers[name]
-        qa, kp = _q_kperm(p)
         return q8_matmul_pallas_stacked_fused(
-            h, qa, p["s_t"], idx, norm_w=norm_w, eps=cfg.rms_epsilon, kperm=kp
+            h, p["q"], p["s_t"], idx, norm_w=norm_w, eps=cfg.rms_epsilon
         )
 
     def proj_residual(name, h, residual):
@@ -489,9 +439,8 @@ def _layer_forward_stacked(
         if not fused:
             return residual + proj(name, h).astype(residual.dtype)
         p = layers[name]
-        qa, kp = _q_kperm(p)
         return q8_matmul_pallas_stacked_fused(
-            h, qa, p["s_t"], idx, residual=residual, kperm=kp
+            h, p["q"], p["s_t"], idx, residual=residual
         ).astype(residual.dtype)
 
     q, k, v = _split_qkv(
@@ -530,8 +479,6 @@ def _layer_forward_stacked(
         attn = _attention(q, k_layer, v_layer, q_positions, groups, cfg.dtype)
 
     x = proj_residual("o", attn.reshape(T, -1), x)
-    # The FFN megakernel predates the k-permuted layout ("qp"); route
-    # permuted weights through the two-kernel path.
     if fused and _use_fused_ffn() and "q" in layers["gateup"]:
         # Whole FFN half (norm → gate/up → silu·mul → down → residual) in
         # ONE launch: 2 fewer kernel entries + no [T, F] round trip per
@@ -680,7 +627,7 @@ def logits_for(cfg: DecoderConfig, params: Dict, hidden: jax.Array) -> jax.Array
         logits = apply_linear(head, hidden)
     else:
         embed = params["embed"]
-        if "q" in embed or "qp" in embed:
+        if "q" in embed:
             # Tied Q8_0 embedding doubles as the output head ([V, D] = [out, in]).
             logits = apply_linear(embed, hidden)
         else:
@@ -700,21 +647,6 @@ def logits_for(cfg: DecoderConfig, params: Dict, hidden: jax.Array) -> jax.Array
 
 def embed_tokens(params: Dict, ids: jax.Array) -> jax.Array:
     embed = params["embed"]
-    if "qp" in embed:
-        # k-permuted tied table: dequantize with the permuted scale mapping,
-        # then un-permute the row — elementwise ops pair the same values, so
-        # the result is bitwise identical to the natural-layout lookup.
-        from light_whisper_tpu.ops.q8_matmul import (
-            expand_scales_perm,
-            kperm_block,
-            unpermute_kaxis,
-        )
-
-        v, d = embed["qp"].shape
-        bk = kperm_block(v, d)
-        rows_q = embed["qp"][ids].astype(jnp.bfloat16)  # [T, D] permuted
-        rows_s = expand_scales_perm(embed["s"][ids].astype(jnp.bfloat16), bk)
-        return unpermute_kaxis(rows_q * rows_s, bk)
     if "q" in embed:
         from light_whisper_tpu.formats.gguf import Q8_0_BLOCK
 
@@ -848,26 +780,22 @@ def _layer_forward_batch(
 
         def proj(name, h):
             p = layers[name]
-            qa, kp = _q_kperm(p)
-            return q8_matmul_pallas_stacked(h, qa, p["s_t"], idx, kperm=kp)
+            return q8_matmul_pallas_stacked(h, p["q"], p["s_t"], idx)
 
         def proj_norm(name, h, norm_w):
             if not fused:
                 return proj(name, rms_norm(h, norm_w, cfg.rms_epsilon))
             p = layers[name]
-            qa, kp = _q_kperm(p)
             return q8_matmul_pallas_stacked_fused(
-                h, qa, p["s_t"], idx, norm_w=norm_w, eps=cfg.rms_epsilon,
-                kperm=kp,
+                h, p["q"], p["s_t"], idx, norm_w=norm_w, eps=cfg.rms_epsilon
             )
 
         def proj_residual(name, h, residual):
             if not fused:
                 return residual + proj(name, h).astype(residual.dtype)
             p = layers[name]
-            qa, kp = _q_kperm(p)
             return q8_matmul_pallas_stacked_fused(
-                h, qa, p["s_t"], idx, residual=residual, kperm=kp
+                h, p["q"], p["s_t"], idx, residual=residual
             ).astype(residual.dtype)
 
     else:
@@ -951,9 +879,8 @@ def _layer_forward_batch_seq(
 
         def proj(name, h):  # h: [B, T, Din] → [B, T, out]
             p = layers[name]
-            qa, kp = _q_kperm(p)
             out = q8_matmul_pallas_stacked(
-                h.reshape(B * T, h.shape[-1]), qa, p["s_t"], idx, kperm=kp
+                h.reshape(B * T, h.shape[-1]), p["q"], p["s_t"], idx
             )
             return out.reshape(B, T, -1)
 

@@ -42,29 +42,9 @@ def q8_matmul_xla(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
     )
 
 
-def q8_matmul_xla_perm(
-    x: jax.Array, qp: jax.Array, s: jax.Array, block_k: int
-) -> jax.Array:
-    """XLA fallback over the k-permuted layout (``ops.q8_matmul``): permute
-    x to match and expand scales with the permuted (tiled) mapping."""
-    from light_whisper_tpu.ops.q8_matmul import expand_scales_perm, permute_kaxis
-
-    w = qp.astype(jnp.bfloat16) * expand_scales_perm(
-        s.astype(jnp.bfloat16), block_k
-    )
-    return jax.lax.dot_general(
-        permute_kaxis(x.astype(jnp.bfloat16), block_k),
-        w,
-        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
 def apply_linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     """Apply a dense or Q8_0 linear parameter dict to ``x`` (f32 result)."""
-    if "qp" in p:
-        out = _q8_dispatch_perm(x, p["qp"], p["s"])
-    elif "q" in p:
+    if "q" in p:
         out = _q8_dispatch(x, p["q"], p["s"])
     else:
         out = jax.lax.dot_general(
@@ -85,17 +65,6 @@ def _q8_dispatch(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
 
         return q8_matmul_pallas(x, q, s)
     return q8_matmul_xla(x, q, s)
-
-
-def _q8_dispatch_perm(x: jax.Array, qp: jax.Array, s: jax.Array) -> jax.Array:
-    from light_whisper_tpu.ops.q8_matmul import kperm_block
-
-    block_k = kperm_block(qp.shape[0], qp.shape[1])
-    if _use_pallas(qp):
-        from light_whisper_tpu.ops.q8_matmul import q8_matmul_pallas
-
-        return q8_matmul_pallas(x, qp, s, kperm=block_k)
-    return q8_matmul_xla_perm(x, qp, s, block_k)
 
 
 def _use_pallas(q: jax.Array) -> bool:

@@ -65,77 +65,14 @@ def _pick(n: int, preferred: int) -> int:
     return preferred if n % preferred == 0 else n
 
 
-# --- k-permuted weight layout ("kperm") --------------------------------------
-#
-# The expand matmul above is the kernel's measured over-the-DMA-floor term:
-# on gateup [12288x2048] bo=1024/bk=2048 the full kernel runs 55.3 us/call vs
-# a 40.0 us DMA ceiling, while the same kernel with the expand replaced by
-# ``pltpu.repeat`` runs 39.0 (scripts/exp_q8_compute_bound.py, v5e, 2026-08).
-# ``repeat`` has *tiled* semantics — s_full[o, j] = s[o, j % nb] — which is
-# wrong for the natural layout but EXACT if, inside every bk block, weight
-# column j holds original column (j % nb) * 32 + j // nb (a (nb, 32) →
-# (32, nb) transpose of the k-axis). Weights are permuted once at load;
-# activations get the matching (cheap, XLA-fused) transpose per call. The
-# permute granularity is the tile policy's block_k, so prepare-time and
-# dispatch-time must derive the same value: both call :func:`kperm_block`.
-# Reordering k also reorders the MXU's f32 accumulation — inside the serving
-# exactness doctrine (docs/SERVING.md): every serving path shares these
-# kernels, so paths move together.
-
-
-def kperm_enabled() -> bool:
-    # Default OFF: with per-call activation permutes the full 1.7B decode
-    # measured a wash (4.235 vs 4.19 ms/step — the ~113 tiny transpose ops
-    # per step eat the per-kernel win). The resident-permuted-activation
-    # design (weights' out-rows permuted so the residual stream lives in
-    # permuted space and no per-call transposes exist) is what cashes it.
-    import os
-
-    return os.environ.get("LWT_Q8_KPERM", "0").strip().lower() not in (
-        "0", "false", "off",
-    )
-
-
-def kperm_block(out_features: int, in_features: int) -> int:
-    """The k-permute granularity for a weight shape (= the policy block_k)."""
-    return _tile_policy(out_features, in_features)[1]
-
-
-def permute_kaxis(a: jax.Array, block_k: int) -> jax.Array:
-    """Permute the last axis: within each ``block_k`` block, position
-    a*nb + b  ←  old position b*32 + a (nb = block_k/32). Applied to the
-    weight in-features axis at load and to activations at dispatch."""
-    nb = block_k // Q8_0_BLOCK
-    *lead, n = a.shape
-    k_blocks = n // block_k
-    return (
-        a.reshape(*lead, k_blocks, nb, Q8_0_BLOCK)
-        .swapaxes(-1, -2)
-        .reshape(*lead, n)
-    )
-
-
-def unpermute_kaxis(a: jax.Array, block_k: int) -> jax.Array:
-    """Inverse of :func:`permute_kaxis` (same transform with axes swapped)."""
-    nb = block_k // Q8_0_BLOCK
-    *lead, n = a.shape
-    k_blocks = n // block_k
-    return (
-        a.reshape(*lead, k_blocks, Q8_0_BLOCK, nb)
-        .swapaxes(-1, -2)
-        .reshape(*lead, n)
-    )
-
-
-def expand_scales_perm(s: jax.Array, block_k: int) -> jax.Array:
-    """Per-k scale vector matching the permuted layout, via XLA ops:
-    within each block, position j carries scale s[..., j % nb]."""
-    nb = block_k // Q8_0_BLOCK
-    *lead, n_scales = s.shape
-    k_blocks = n_scales // nb
-    s3 = s.reshape(*lead, k_blocks, 1, nb)
-    s3 = jnp.broadcast_to(s3, (*lead, k_blocks, Q8_0_BLOCK, nb))
-    return s3.reshape(*lead, k_blocks * block_k)
+# RETIRED: the k-permuted weight layout ("kperm") that replaced the expand
+# matmul with a free ``pltpu.repeat`` measured a full-program WASH (isolated
+# kernels hit the DMA floor, but the decode chain sustains ~470-480 GB/s
+# across the alternating weight streams regardless of kernel internals —
+# 3.290 vs 3.374 ms/step even with zero activation permutes). It was removed
+# from the shipped kernels in round 5; the probe and its exactness selftest
+# live self-contained in ``scripts/exp_q8_kperm_probe.py``, the measurement
+# record in docs/SERVING.md ("Retired: the k-permuted Q8 layout").
 
 
 def _contig_bk_mode() -> str:
@@ -222,16 +159,15 @@ def _tile_policy(out_features: int, in_features: int) -> tuple:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_t", "block_o", "block_k", "perm", "interpret")
+    jax.jit, static_argnames=("block_t", "block_o", "block_k", "interpret")
 )
 def _q8_matmul_2d(
-    x: jax.Array,  # [T, in] bf16 (k-permuted by the caller when perm=True)
-    q: jax.Array,  # [out, in] int8 (k-permuted at load when perm=True)
+    x: jax.Array,  # [T, in] bf16
+    q: jax.Array,  # [out, in] int8
     s: jax.Array,  # [out, in // 32] f16
     block_t: int,
     block_o: int,
     block_k: int,
-    perm: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     T = x.shape[0]
@@ -244,18 +180,16 @@ def _q8_matmul_2d(
         pl.BlockSpec((block_t, block_k), lambda t, o, k: (t, k)),
         pl.BlockSpec((block_o, block_k), lambda t, o, k: (o, k)),
         pl.BlockSpec((block_k // Q8_0_BLOCK, block_o), lambda t, o, k: (k, o)),
+        pl.BlockSpec((nb, block_k), lambda t, o, k: (0, 0)),
     ]
-    operands = [x.astype(jnp.bfloat16), q, s_t]
-    if perm:
-        kernel = _kernel_perm
-    else:
-        kernel = _kernel
-        in_specs.append(pl.BlockSpec((nb, block_k), lambda t, o, k: (0, 0)))
-        operands.append(
-            jnp.repeat(jnp.eye(nb, dtype=jnp.bfloat16), Q8_0_BLOCK, axis=1)
-        )
+    operands = [
+        x.astype(jnp.bfloat16),
+        q,
+        s_t,
+        jnp.repeat(jnp.eye(nb, dtype=jnp.bfloat16), Q8_0_BLOCK, axis=1),
+    ]
     return pl.pallas_call(
-        kernel,
+        _kernel,
         out_shape=jax.ShapeDtypeStruct((T, out_features), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -277,28 +211,6 @@ def _q8_matmul_2d(
         ),
         interpret=interpret,
     )(*operands)
-
-
-def _kernel_perm(x_ref, q_ref, st_ref, o_ref, acc_ref):
-    """:func:`_kernel` over the k-permuted layout: the expand matmul becomes
-    a ``pltpu.repeat`` (exact there — see the kperm block comment above)."""
-    @pl.when(pl.program_id(2) == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    s = st_ref[...].T  # [bo, bk // 32]
-    s_full = pltpu.repeat(s, Q8_0_BLOCK, 1)  # [bo, bk] = s[o, j % nb]
-    w = q_ref[...].astype(jnp.bfloat16) * s_full
-    acc_ref[...] += jax.lax.dot_general(
-        x_ref[...],
-        w,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
-    def _flush():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 def _kernel_stacked(idx_ref, x_ref, q_ref, st_ref, expand_ref, o_ref, acc_ref):
@@ -331,39 +243,17 @@ def _kernel_stacked(idx_ref, x_ref, q_ref, st_ref, expand_ref, o_ref, acc_ref):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _kernel_stacked_perm(idx_ref, x_ref, q_ref, st_ref, o_ref, acc_ref):
-    """:func:`_kernel_stacked` over the k-permuted layout (repeat scales)."""
-    @pl.when(pl.program_id(2) == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    s = st_ref[0].T  # [bo, bk // 32]
-    s_full = pltpu.repeat(s, Q8_0_BLOCK, 1)
-    w = q_ref[0].astype(jnp.bfloat16) * s_full
-    acc_ref[...] += jax.lax.dot_general(
-        x_ref[...],
-        w,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
-    def _flush():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
-
-
 @functools.partial(
-    jax.jit, static_argnames=("block_t", "block_o", "block_k", "perm", "interpret")
+    jax.jit, static_argnames=("block_t", "block_o", "block_k", "interpret")
 )
 def _q8_matmul_stacked_2d(
-    x: jax.Array,  # [T, in] bf16 (k-permuted by the caller when perm=True)
+    x: jax.Array,  # [T, in] bf16
     q: jax.Array,  # [L, out, in] int8 — ALL layers, resident in HBM
     s_t: jax.Array,  # [L, in // 32, out] bf16 (pre-transposed at load)
     layer: jax.Array,  # int32 scalar: which layer to multiply against
     block_t: int,
     block_o: int,
     block_k: int,
-    perm: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Layer-indexed Q8 matmul over stacked weights.
@@ -393,16 +283,12 @@ def _q8_matmul_stacked_2d(
         ),
     ]
     operands = [idx, x.astype(jnp.bfloat16), q, s_t]
-    if perm:
-        kernel = _kernel_stacked_perm
-    else:
-        kernel = _kernel_stacked
-        in_specs.append(pl.BlockSpec((nb, block_k), lambda t, o, k, idx: (0, 0)))
-        operands.append(
-            jnp.repeat(jnp.eye(nb, dtype=jnp.bfloat16), Q8_0_BLOCK, axis=1)
-        )
+    in_specs.append(pl.BlockSpec((nb, block_k), lambda t, o, k, idx: (0, 0)))
+    operands.append(
+        jnp.repeat(jnp.eye(nb, dtype=jnp.bfloat16), Q8_0_BLOCK, axis=1)
+    )
     return pl.pallas_call(
-        kernel,
+        _kernel_stacked,
         out_shape=jax.ShapeDtypeStruct((T, out_features), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -480,53 +366,17 @@ def _kernel_stacked_fused(
         o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _kernel_stacked_fused_perm(
-    idx_ref, x_ref, scale_ref, norm_ref, res_ref, q_ref, st_ref,
-    o_ref, acc_ref, *, with_norm: bool, with_residual: bool,
-):
-    """:func:`_kernel_stacked_fused` over the k-permuted layout. The caller
-    permutes x and norm_w identically, so the prologue multiply pairs the
-    same values (bitwise) — only the scale expansion changes."""
-    @pl.when(pl.program_id(2) == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[...]
-    if with_norm:
-        x = (
-            x.astype(jnp.float32) * scale_ref[...] * norm_ref[...]
-        ).astype(jnp.bfloat16)
-    s = st_ref[0].T
-    s_full = pltpu.repeat(s, Q8_0_BLOCK, 1)
-    w = q_ref[0].astype(jnp.bfloat16) * s_full
-    acc_ref[...] += jax.lax.dot_general(
-        x,
-        w,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
-    def _flush():
-        acc = acc_ref[...]
-        if with_residual:
-            acc = (
-                res_ref[...].astype(jnp.bfloat16) + acc.astype(jnp.bfloat16)
-            ).astype(jnp.float32)
-        o_ref[...] = acc.astype(o_ref.dtype)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
         "block_t", "block_o", "block_k", "with_norm", "with_residual",
-        "perm", "interpret",
+        "interpret",
     ),
 )
 def _q8_matmul_stacked_fused_2d(
-    x: jax.Array,  # [T, in] (k-permuted by the caller when perm=True)
+    x: jax.Array,  # [T, in]
     scale: jax.Array,  # [T, 1] f32 — rsqrt(mean(x²)+eps), ones when unused
-    norm_w: jax.Array,  # [1, in] f32, ones when unused (permuted when perm)
+    norm_w: jax.Array,  # [1, in] f32, ones when unused
     residual: jax.Array,  # [T, out] f32, zeros when unused
     q: jax.Array,  # [L, out, in] int8
     s_t: jax.Array,  # [L, in // 32, out] bf16
@@ -536,7 +386,6 @@ def _q8_matmul_stacked_fused_2d(
     block_k: int,
     with_norm: bool,
     with_residual: bool,
-    perm: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     T = x.shape[0]
@@ -559,20 +408,14 @@ def _q8_matmul_stacked_fused_2d(
     operands = [
         idx, x.astype(jnp.bfloat16), scale, norm_w, residual, q, s_t,
     ]
-    if perm:
-        kernel = functools.partial(
-            _kernel_stacked_fused_perm,
-            with_norm=with_norm, with_residual=with_residual,
-        )
-    else:
-        kernel = functools.partial(
-            _kernel_stacked_fused,
-            with_norm=with_norm, with_residual=with_residual,
-        )
-        in_specs.append(pl.BlockSpec((nb, block_k), lambda t, o, k, idx: (0, 0)))
-        operands.append(
-            jnp.repeat(jnp.eye(nb, dtype=jnp.bfloat16), Q8_0_BLOCK, axis=1)
-        )
+    kernel = functools.partial(
+        _kernel_stacked_fused,
+        with_norm=with_norm, with_residual=with_residual,
+    )
+    in_specs.append(pl.BlockSpec((nb, block_k), lambda t, o, k, idx: (0, 0)))
+    operands.append(
+        jnp.repeat(jnp.eye(nb, dtype=jnp.bfloat16), Q8_0_BLOCK, axis=1)
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T, out_features), jnp.float32),
@@ -590,15 +433,6 @@ def _q8_matmul_stacked_fused_2d(
     )(*operands)
 
 
-def _blocks_for(out_features: int, in_features: int, kperm) -> tuple:
-    """(block_o, block_k) honoring a k-permuted layout: the kernel's
-    reduction tile MUST equal the permute granularity; block_o keeps the
-    policy pairing (bo=1024 at bk=2048 fits the scoped-vmem limit)."""
-    if kperm is None:
-        return _tile_policy(out_features, in_features)
-    return (_pick(out_features, 1024 if kperm >= 2048 else 2048), int(kperm))
-
-
 def q8_matmul_pallas_stacked_fused(
     x: jax.Array,  # [T, in] — UNNORMALIZED when norm_w given
     q: jax.Array,
@@ -608,7 +442,6 @@ def q8_matmul_pallas_stacked_fused(
     eps: float = 1e-6,
     residual=None,  # [T, out] → fold the residual add into the flush
     interpret: bool = False,
-    kperm=None,  # int: q is k-permuted at this granularity (see permute_kaxis)
 ) -> jax.Array:
     """Stacked Q8 matmul with folded rms-norm prologue / residual epilogue.
 
@@ -627,23 +460,16 @@ def q8_matmul_pallas_stacked_fused(
             residual = jnp.pad(residual, ((0, pad_t), (0, 0)))
         block_t = _pick(x.shape[0], max(block_t, 8))
     Tp = x.shape[0]
-    block_o, block_k = _blocks_for(out_features, in_features, kperm)
+    block_o, block_k = _tile_policy(out_features, in_features)
 
     with_norm = norm_w is not None
     if with_norm:
-        # The rms scale is computed on the UNPERMUTED x (same reduction
-        # order as the unfused path's XLA norm — keeps fused == unfused
-        # bitwise under kperm too).
         xf = x.astype(jnp.float32)
         scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
         norm2d = norm_w.astype(jnp.float32)[None, :]
     else:
         scale = jnp.ones((Tp, 1), jnp.float32)
         norm2d = jnp.ones((1, in_features), jnp.float32)
-    if kperm is not None:
-        x = permute_kaxis(x, block_k)
-        if with_norm:
-            norm2d = permute_kaxis(norm2d, block_k)
     with_residual = residual is not None
     res = (
         residual.astype(jnp.float32)
@@ -653,8 +479,7 @@ def q8_matmul_pallas_stacked_fused(
 
     y = _q8_matmul_stacked_fused_2d(
         x, scale, norm2d, res, q, s_t, layer,
-        block_t, block_o, block_k, with_norm, with_residual,
-        kperm is not None, interpret,
+        block_t, block_o, block_k, with_norm, with_residual, interpret,
     )
     return y[:T]
 
@@ -665,7 +490,6 @@ def q8_matmul_pallas_stacked(
     s_t: jax.Array,  # [L, in // 32, out] bf16
     layer: jax.Array,
     interpret: bool = False,
-    kperm=None,  # int: q is k-permuted at this granularity (see permute_kaxis)
 ) -> jax.Array:
     """Dispatch wrapper for the stacked kernel (same tiling policy as 2D)."""
     lead_shape = x.shape[:-1]
@@ -680,12 +504,10 @@ def q8_matmul_pallas_stacked(
         x2 = jnp.pad(x2, ((0, pad_t), (0, 0)))
         T = x2.shape[0]
         block_t = _pick(T, max(block_t, 8))
-    block_o, block_k = _blocks_for(out_features, in_features, kperm)
-    if kperm is not None:
-        x2 = permute_kaxis(x2, block_k)
+    block_o, block_k = _tile_policy(out_features, in_features)
 
     y = _q8_matmul_stacked_2d(
-        x2, q, s_t, layer, block_t, block_o, block_k, kperm is not None, interpret
+        x2, q, s_t, layer, block_t, block_o, block_k, interpret
     )
     return y[: _prod(lead_shape)].reshape(*lead_shape, out_features)
 
@@ -695,7 +517,6 @@ def q8_matmul_pallas(
     q: jax.Array,
     s: jax.Array,
     interpret: bool = False,
-    kperm=None,  # int: q is k-permuted at this granularity (see permute_kaxis)
 ) -> jax.Array:
     """Dispatch wrapper: flattens batch dims, picks tile sizes, pads T.
 
@@ -717,13 +538,9 @@ def q8_matmul_pallas(
     # Measured on v5e at decode shapes: larger out-tiles amortize grid
     # overhead (bo=2048 → ~580 GB/s vs ~530 at bo=512); ops.linear only
     # routes shapes with in % 512 == 0 here.
-    block_o, block_k = _blocks_for(out_features, in_features, kperm)
-    if kperm is not None:
-        x2 = permute_kaxis(x2, block_k)
+    block_o, block_k = _tile_policy(out_features, in_features)
 
-    y = _q8_matmul_2d(
-        x2, q, s, block_t, block_o, block_k, kperm is not None, interpret
-    )
+    y = _q8_matmul_2d(x2, q, s, block_t, block_o, block_k, interpret)
     return y[: _prod(lead_shape)].reshape(*lead_shape, out_features)
 
 

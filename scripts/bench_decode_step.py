@@ -166,25 +166,11 @@ def main() -> None:
     timeit("unrolled", lambda: matmuls_unrolled(layer_list, steps))
 
     # --- matmuls via layer-indexed stacked kernel in a scan ----------------
-    from light_whisper_tpu.ops.q8_matmul import (
-        kperm_block,
-        q8_matmul_pallas_stacked,
-        unpermute_kaxis,
-    )
-
-    def _natural_q(p):
-        # prepare_stacked_scales may have re-stored the weights k-permuted
-        # ("qp"); the tiling-sweep variants below change bk, which only has
-        # natural-layout semantics — un-permute for them.
-        if "qp" in p:
-            return unpermute_kaxis(
-                p["qp"], kperm_block(p["qp"].shape[-2], p["qp"].shape[-1])
-            )
-        return p["q"]
+    from light_whisper_tpu.ops.q8_matmul import q8_matmul_pallas_stacked
 
     stacked = {
         name: {
-            "q": _natural_q(params["layers"][name]),
+            "q": params["layers"][name]["q"],
             "s_t": params["layers"][name]["s"].astype(jnp.bfloat16).transpose(0, 2, 1),
         }
         for name in ("qkv", "o", "gateup", "down")
@@ -223,82 +209,11 @@ def main() -> None:
 
     timeit("stacked", lambda: matmuls_stacked(stacked, steps))
 
-    # --- stacked over the k-permuted layout (repeat-scales kernels) --------
-    from light_whisper_tpu.ops.q8_matmul import permute_kaxis
-
-    stacked_perm = jax.device_put({
-        name: {
-            "qp": permute_kaxis(
-                stacked[name]["q"],
-                kperm_block(stacked[name]["q"].shape[-2], stacked[name]["q"].shape[-1]),
-            ),
-            "s_t": stacked[name]["s_t"],
-        }
-        for name in ("qkv", "o", "gateup", "down")
-    })
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def matmuls_stacked_kperm(sp, n):
-        qdim = d.head_count * d.key_length
-
-        def mm(x, p, idx):
-            kp = kperm_block(p["qp"].shape[-2], p["qp"].shape[-1])
-            return q8_matmul_pallas_stacked(x, p["qp"], p["s_t"], idx, kperm=kp)
-
-        def layer_body(x, idx):
-            qkv = mm(x, sp["qkv"], idx)
-            x = mm(qkv[:, :qdim].astype(jnp.bfloat16), sp["o"], idx).astype(jnp.bfloat16)
-            gu = mm(x, sp["gateup"], idx)
-            g, u = jnp.split(gu, 2, axis=-1)
-            x = mm((g * u).astype(jnp.bfloat16), sp["down"], idx).astype(jnp.bfloat16)
-            return x, None
-
-        def step(x, _):
-            x, _ = jax.lax.scan(layer_body, x, jnp.arange(d.block_count))
-            return x, None
-
-        x0 = jnp.zeros((1, d.embedding_length), jnp.bfloat16)
-        x, _ = jax.lax.scan(step, x0, None, length=n)
-        return x
-
-    timeit("stacked kperm", lambda: matmuls_stacked_kperm(stacked_perm, steps))
-
-    # --- kperm WITHOUT the activation permutes (persistent-permuted-space
-    # cost model: wrong math, true cost — what the layout buys if the
-    # residual stream lives permuted and no per-call transposes exist) ----
-    from light_whisper_tpu.ops import q8_matmul as q8mod
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def matmuls_stacked_kperm_nox(sp, n):
-        qdim = d.head_count * d.key_length
-
-        def mm(x, p, idx):
-            out_f, in_f = p["qp"].shape[-2], p["qp"].shape[-1]
-            kp = kperm_block(out_f, in_f)
-            bo = 1024 if kp >= 2048 else 2048
-            while out_f % bo:
-                bo //= 2
-            return q8mod._q8_matmul_stacked_2d(
-                x, p["qp"], p["s_t"], idx, 8, bo, kp, True
-            )
-
-        def layer_body(x, idx):
-            qkv = mm(x, sp["qkv"], idx)
-            x = mm(qkv[:, :qdim].astype(jnp.bfloat16), sp["o"], idx).astype(jnp.bfloat16)
-            gu = mm(x, sp["gateup"], idx)
-            g, u = jnp.split(gu, 2, axis=-1)
-            x = mm((g * u).astype(jnp.bfloat16), sp["down"], idx).astype(jnp.bfloat16)
-            return x, None
-
-        def step(x, _):
-            x, _ = jax.lax.scan(layer_body, x, jnp.arange(d.block_count))
-            return x, None
-
-        x0 = jnp.zeros((8, d.embedding_length), jnp.bfloat16)
-        x, _ = jax.lax.scan(step, x0, None, length=n)
-        return x
-
-    timeit("kperm nox", lambda: matmuls_stacked_kperm_nox(stacked_perm, steps))
+    # The k-permuted layout ("kperm") chain A/Bs that used to live here were
+    # RETIRED with the layout itself (round 5): the decisive measurements —
+    # "stacked kperm" 4.235 vs 4.19 ms/step, "kperm nox" 3.290 vs 3.374 —
+    # are recorded in docs/SERVING.md; the probe survives self-contained in
+    # scripts/exp_q8_kperm_probe.py (--bench reruns the alternating chain).
 
     # --- stacked with bk=1024/2048 (fewer reduction steps, bigger DMAs) ----
     from light_whisper_tpu.ops import q8_matmul as q8mod

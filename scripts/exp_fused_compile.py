@@ -51,27 +51,20 @@ def log(msg):
     print(f"[exp {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def e1(kperm: bool = False):
-    from light_whisper_tpu.ops.q8_matmul import kperm_block
-
+def e1():
     for name, (O, K, mode) in SITES.items():
         q = jnp.zeros((L, O, K), jnp.int8)
         s_t = jnp.zeros((L, K // 32, O), jnp.bfloat16)
         norm = jnp.ones((K,), jnp.float32)
         res = jnp.zeros((1, O), jnp.float32)
-        kp = kperm_block(O, K) if kperm else None
 
         @jax.jit
         def f(x, q, s_t, aux):
             def step(c, i):
                 if mode == "norm":
-                    y = q8_matmul_pallas_stacked_fused(
-                        c, q, s_t, i, norm_w=aux, kperm=kp
-                    )
+                    y = q8_matmul_pallas_stacked_fused(c, q, s_t, i, norm_w=aux)
                 else:
-                    y = q8_matmul_pallas_stacked_fused(
-                        c, q, s_t, i, residual=aux, kperm=kp
-                    )
+                    y = q8_matmul_pallas_stacked_fused(c, q, s_t, i, residual=aux)
                 return c, y[:, :1]
             _, ys = jax.lax.scan(step, x, jnp.arange(4))
             return ys
@@ -83,7 +76,7 @@ def e1(kperm: bool = False):
         t1 = time.time()
         jax.device_get(f(x, q, s_t, aux))
         log(
-            f"E1 {name} ({mode}, O={O}, K={K}, kperm={kp}): first {t1 - t0:.1f}s, "
+            f"E1 {name} ({mode}, O={O}, K={K}): first {t1 - t0:.1f}s, "
             f"steady {time.time() - t1:.3f}s"
         )
 
@@ -295,8 +288,6 @@ if __name__ == "__main__":
     log(f"devices: {jax.devices()}")
     if which in ("all", "e1"):
         e1()
-    if which in ("all", "e1perm", "kperm"):
-        e1(kperm=True)
     if which in ("all", "e2"):
         e2()
     if which == "e3":
