@@ -1,52 +1,91 @@
-"""bench._init_to_ready_probe: self-seeding retry on a cold cache.
+"""bench fail-proof structure (VERDICT r4 #1).
 
-``.jax_cache`` is a working-tree artifact; when it has been wiped the first
-fresh-process probe measures packaging-time compile cost, not the install
-experience (the archive ships the cache). The probe must then re-run once
-and report the shipped-cache number, keeping the cold run visible.
+Round 4's driver bench produced rc=124 with an EMPTY tail: the init probe
+ran first in a capture_output black hole and could re-run on a cold cache,
+while the headline JSON printed last. The round-5 contract, pinned here:
+
+- ``_init_to_ready_probe`` runs ONCE (no silent cold-cache re-run — ADVICE
+  r4 #4), streams output, and degrades to an error field, never a raise;
+- an over-budget result is labeled (``init_to_ready_cache_was_cold``)
+  instead of being re-measured;
+- the bench process emits a parseable headline JSON line under a deadline
+  hit even before any phase completes.
 """
 
 import json
+import os
+import subprocess
 import sys
 
+import bench
 
-def _probe_with(monkeypatch, lines):
-    import bench
 
+class _FakeProc:
+    def __init__(self, lines, rc=0):
+        import io
+
+        self.stdout = io.StringIO("".join(line + "\n" for line in lines))
+        self.returncode = rc
+
+    def wait(self, timeout=None):
+        return self.returncode
+
+    def kill(self):
+        pass
+
+
+def _probe_with(monkeypatch, lines, rc=0):
     calls = []
 
-    class _Proc:
-        def __init__(self, line):
-            self.stdout = line + "\n"
-            self.stderr = ""
-
-    def fake_run(cmd, **kw):
+    def fake_popen(cmd, **kw):
         calls.append(cmd)
-        return _Proc(lines[min(len(calls) - 1, len(lines) - 1)])
+        return _FakeProc(lines, rc)
 
-    monkeypatch.setattr("subprocess.run", fake_run)
-    out = bench._init_to_ready_probe("1.7b")
-    return out, calls
+    monkeypatch.setattr("subprocess.Popen", fake_popen)
+    emitter = bench._Emitter("1.7b")
+    bench._init_to_ready_probe(emitter, "1.7b")
+    return emitter.details, calls
 
 
-def test_cold_cache_triggers_one_reseeded_rerun(monkeypatch):
-    cold = json.dumps({"init_to_ready_s": 770.1, "budget_s": 120})
+def test_warm_cache_single_run_records_fields(monkeypatch):
     warm = json.dumps({"init_to_ready_s": 90.7, "budget_s": 120})
-    out, calls = _probe_with(monkeypatch, [cold, warm])
-    assert len(calls) == 2
-    assert out["init_to_ready_s"] == 90.7
-    assert out["first_ever_compile_s"] == 770.1
-    assert out["cold_cache_probe"]["init_to_ready_s"] == 770.1
-
-
-def test_warm_cache_runs_once(monkeypatch):
-    warm = json.dumps({"init_to_ready_s": 90.7, "budget_s": 120})
-    out, calls = _probe_with(monkeypatch, [warm])
+    details, calls = _probe_with(monkeypatch, ["noise line", warm])
     assert len(calls) == 1
-    assert out["init_to_ready_s"] == 90.7
-    assert "first_ever_compile_s" not in out
+    assert details["init_to_ready_s"] == 90.7
+    assert details["init_to_ready_budget_s"] == 120
+    assert "init_to_ready_cache_was_cold" not in details
 
 
-def test_probe_failure_returns_empty(monkeypatch):
-    out, calls = _probe_with(monkeypatch, ["not json"])
-    assert out == {}
+def test_cold_cache_runs_once_and_is_labeled(monkeypatch):
+    cold = json.dumps({"init_to_ready_s": 770.1, "budget_s": 120})
+    details, calls = _probe_with(monkeypatch, [cold])
+    assert len(calls) == 1  # ONE run only — no silent re-measure
+    assert details["init_to_ready_s"] == 770.1
+    assert details["init_to_ready_cache_was_cold"] is True
+
+
+def test_probe_failure_degrades_to_error_field(monkeypatch):
+    details, calls = _probe_with(monkeypatch, ["not json"], rc=1)
+    assert "init_to_ready_s" not in details
+    assert "probe" in details["init_to_ready_error"]
+
+
+def test_deadline_emits_parseable_headline_and_exits_zero():
+    """A deadline hit before ANY phase still leaves a parseable JSON line —
+    the exact failure mode of BENCH_r04.json (rc=124, tail empty)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, BENCH_DEADLINE_S="3", JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=repo,
+        env=env,
+    )
+    assert proc.returncode == 0
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, proc.stdout
+    doc = json.loads(lines[-1])
+    assert doc["metric"] == "rtf"
+    assert doc["details"]["aborted"] == "deadline"
