@@ -238,9 +238,20 @@ class IncrementalTranscriber:
     def _ensure_cache(self, needed: int) -> None:
         capacity = cache_capacity_for(needed)
         if self._cache is None or self._cache_capacity < capacity:
-            self._cache = dec.init_cache(
+            cache = dec.init_cache(
                 self.model.config.decoder, capacity, self.model.cache_dtype
             )
+            # tp-sharded models shard the KV-head axis (Qwen3ASRModel sets
+            # _cache_sharding); the streaming session's persistent cache must
+            # live in that layout too, or every tick pays a GSPMD reshard.
+            sharding = getattr(self.model, "_cache_sharding", None)
+            if sharding is not None:
+                cache = dec.KVCache(
+                    k=jax.device_put(cache.k, sharding),
+                    v=jax.device_put(cache.v, sharding),
+                    pos=cache.pos,
+                )
+            self._cache = cache
             self._cache_capacity = capacity
             self._stable_tokens = -1  # force full prefill
 
