@@ -251,6 +251,7 @@ class Qwen3ASRModel:
         weights = Qwen3ASRWeights(gguf_path, precise=precise)
         if precise:
             cache_dtype = jnp.float32
+        self.load_timings = dict(getattr(weights, "load_timings", {}))
         self.config: Qwen3ASRConfig = weights.config
         self.tokenizer = weights.tokenizer
         self.decoder_params = weights.decoder_params

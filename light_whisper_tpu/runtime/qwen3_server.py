@@ -225,7 +225,15 @@ class Qwen3EngineServer:
         started = time.perf_counter()
         try:
             self.log.info("loading Qwen3-ASR: %s", model_path)
+            t_load = time.perf_counter()
             self.model = self._model_factory(model_path)
+            self._init_timings["model_load_s"] = round(
+                time.perf_counter() - t_load, 3
+            )
+            # GGUF load attribution (parse / host dequant-prep / HBM
+            # upload) from the loader, when the factory exposes it.
+            for tag, value in getattr(self.model, "load_timings", {}).items():
+                self._init_timings[f"model_load_{tag}"] = value
             self.vad = self._vad_factory()
             self._warmup()
             self.backend = _detect_backend()
@@ -961,6 +969,11 @@ class Qwen3EngineServer:
                 "vad": self.vad is not None,
                 "punc": True,
             },
+            # Cold-start attribution: GGUF load phases (parse / host
+            # dequant-prep / HBM upload) + warmup phase walls — observable
+            # over the wire so install rehearsals don't need in-process
+            # access (scripts/rehearse_real_artifact.py).
+            "init_phases": dict(self._init_timings),
         }
         stats.update(self._retained_audio_bytes())
         pool = self._session_pool

@@ -41,6 +41,11 @@ def _documented_stats_keys():
         "asr", "vad", "punc",  # models_loaded
         "hits", "resets",  # session_streams entries
         "count", "p50_ms", "p95_ms", "batches", "batched_jobs",  # scheduler
+        # init_phases entries (tags are dynamic: loader attribution +
+        # whichever warmup phases ran)
+        "model_load_s", "model_load_parse_s", "model_load_host_prep_s",
+        "model_load_device_upload_s", "vad_warmup_s", "model_warmup_s",
+        "ladder_sync_s", "warmup_total_s",
     }
     return keys - nested_internals
 
