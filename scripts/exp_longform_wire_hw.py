@@ -94,11 +94,45 @@ def main() -> None:
     n = int(SECONDS * SR)
     audio = np.tile(tile, -(-n // tile.size))[:n]
     pcm = np.clip(audio * 32767, -32768, 32767).astype("<i2")
-    payload = base64.b64encode(pcm.tobytes()).decode()
-    log(
-        f"payload: {SECONDS:.0f}s audio, {len(payload) / 1e6:.1f} MB base64 "
-        f"(reference IPC cap: 64 MB)"
-    )
+
+    # The reference's IPC cap is 64 MB per message (commands/funasr.rs:17-25);
+    # recordings whose base64 would blow it (a 30-min product-cap capture =
+    # 76.8 MB) go through the client's WAV tempfile fallback instead
+    # (qwen3_asr_server.py:245-267 contract) — same route here, so the soak
+    # exercises exactly what the product does at capture.rs:18's cap.
+    IPC_CAP_BYTES = 64 * 1024 * 1024
+    b64_bytes = -(-pcm.nbytes // 3) * 4
+    wav_path = None
+    if b64_bytes > IPC_CAP_BYTES:
+        import tempfile
+
+        from light_whisper_tpu.audio.pcm import encode_wav_mono_pcm16
+
+        wav_path = os.path.join(
+            tempfile.gettempdir(), f"lwt_soak_{int(SECONDS)}s.wav"
+        )
+        t_wav = time.perf_counter()
+        with open(wav_path, "wb") as f:
+            f.write(encode_wav_mono_pcm16(pcm, SR))
+        log(
+            f"payload: {SECONDS:.0f}s audio, base64 would be "
+            f"{b64_bytes / 1e6:.1f} MB > 64 MB IPC cap → WAV path fallback "
+            f"({os.path.getsize(wav_path) / 1e6:.1f} MB file, "
+            f"written in {time.perf_counter() - t_wav:.1f}s)"
+        )
+        request_audio = {"audio_path": wav_path, "audio_format": "wav"}
+        payload = ""
+    else:
+        payload = base64.b64encode(pcm.tobytes()).decode()
+        log(
+            f"payload: {SECONDS:.0f}s audio, {len(payload) / 1e6:.1f} MB "
+            f"base64 (reference IPC cap: 64 MB)"
+        )
+        request_audio = {
+            "audio_base64": payload,
+            "audio_format": "pcm_s16le",
+            "sample_rate": SR,
+        }
 
     results = []
     for trial in range(2):
@@ -108,9 +142,7 @@ def main() -> None:
                 {
                     "action": "transcribe",
                     "request_id": trial + 1,
-                    "audio_base64": payload,
-                    "audio_format": "pcm_s16le",
-                    "sample_rate": SR,
+                    **request_audio,
                 }
             )
             + "\n"
@@ -137,6 +169,48 @@ def main() -> None:
         )
         log(json.dumps(results[-1]))
 
+    # ---- post-soak health: the no-degradation-cliff witness ------------
+    # After the cap-scale request(s), steady-state dictation ticks must
+    # cost what they always cost, and host retention must stay byte-
+    # bounded (VERDICT r4 #8). Five 12 s interim-style requests + stats.
+    post = []
+    short = np.clip(
+        np.tile(tile[: 12 * SR], 1) * 32767, -32768, 32767
+    ).astype("<i2")
+    short_payload = base64.b64encode(short.tobytes()).decode()
+    for i in range(5):
+        t0 = time.perf_counter()
+        to_server.write(
+            json.dumps(
+                {
+                    "action": "transcribe",
+                    "request_id": 50 + i,
+                    "audio_base64": short_payload,
+                    "audio_format": "pcm_s16le",
+                    "sample_rate": SR,
+                    "options": {"stream": "postsoak"},
+                }
+            )
+            + "\n"
+        )
+        to_server.flush()
+        resp = json.loads(from_server.readline())
+        assert resp.get("success"), resp
+        post.append(round((time.perf_counter() - t0) * 1000, 1))
+    to_server.write(json.dumps({"action": "stats", "request_id": 98}) + "\n")
+    to_server.flush()
+    stats = json.loads(from_server.readline()).get("stats", {})
+    retained = {
+        k: stats.get(k)
+        for k in (
+            "trim_pin_retained_bytes",
+            "vad_session_retained_bytes",
+            "session_parked_audio_bytes",
+        )
+    }
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    log(f"post-soak 12s ticks: {post} ms; retained: {retained}")
+
     to_server.write(json.dumps({"action": "exit", "request_id": 99}) + "\n")
     to_server.flush()
     thread.join(timeout=15)
@@ -148,13 +222,24 @@ def main() -> None:
                 "experiment": "wire_longform",
                 "model": size,
                 "audio_seconds": SECONDS,
-                "payload_mb_base64": round(len(payload) / 1e6, 1),
+                "payload_mb_base64": round(len(payload) / 1e6, 1) if payload else None,
+                "wav_path_mb": (
+                    round(os.path.getsize(wav_path) / 1e6, 1) if wav_path else None
+                ),
                 "trials": results,
                 "best_rtf": best["rtf"],
                 "best_x_realtime": best["x_realtime"],
+                "post_soak_12s_ms": post,
+                "retained_bytes": retained,
+                "peak_rss_mb": round(peak_mb, 0),
             }
         )
     )
+    if wav_path:
+        try:
+            os.remove(wav_path)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":
