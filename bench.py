@@ -33,6 +33,11 @@ Fail-proof structure (VERDICT r4 #1 — BENCH_r04.json was rc=124/parsed=null):
   init-to-ready probe runs LAST, once, with its subprocess output streamed
   line-by-line (no capture_output black hole) and a timeout computed from
   the remaining wall clock (VERDICT r4 weak #1/#6, ADVICE r4 #4).
+- Two processes: the device phases run in a CHILD (BENCH_DEVICE_CHILD=1)
+  whose JSON lines pass straight through this orchestrator's stdout; the
+  probe runs after the child exits, because a fresh process warming up
+  while another PJRT client is resident gets starved by the relay
+  (712 s observed for a ~90 s solo warmup).
 """
 
 from __future__ import annotations
@@ -436,7 +441,123 @@ def _init_to_ready_probe(emitter: _Emitter, model_size: str) -> None:
         emitter.details["init_to_ready_cache_was_cold"] = True
 
 
+# Wall-clock reserved for the init-to-ready probe after the device phases.
+# The probe MUST own the chip alone: a fresh process doing its warmup while
+# this process's PJRT client is still resident gets starved by the relay
+# (measured 712 s for a ~90 s solo warmup — the server-side executable
+# loads serialize behind the live client). So bench runs as a thin
+# orchestrator: device phases in a child that EXITS, then the probe.
+INIT_PROBE_RESERVE_S = float(os.environ.get("BENCH_INIT_PROBE_RESERVE_S", "260"))
+
+
 def main() -> None:
+    if os.environ.get("BENCH_DEVICE_CHILD"):
+        _device_main()
+        return
+    _orchestrate()
+
+
+def _orchestrate() -> None:
+    """Parent: no jax. Device phases run in a child process whose evolving
+    JSON lines pass straight through to stdout (the driver's tail always
+    parses); when the child exits — releasing the relay — the init-to-ready
+    probe runs alone, and the final line merges both."""
+    import subprocess
+
+    model_size = os.environ.get("BENCH_MODEL", "1.7b")
+    emitter = _Emitter(model_size)
+    state = {"proc": None}
+
+    def _forward_and_exit(reason: str) -> None:
+        proc = state["proc"]
+        if proc is not None and proc.poll() is None:
+            try:
+                proc.terminate()  # child emits its own final line on SIGTERM
+                for line in proc.stdout:
+                    line = line.rstrip("\n")
+                    print(line, flush=True)
+                    if line.startswith("{"):
+                        try:
+                            _absorb(emitter, json.loads(line))
+                        except ValueError:
+                            pass
+                proc.wait(timeout=15)
+            except Exception:
+                pass
+        emitter.final_emit_and_exit(reason)
+
+    signal.signal(signal.SIGTERM, lambda _s, _f: _forward_and_exit("SIGTERM (driver budget)"))
+
+    def _watchdog():
+        while True:
+            left = _remaining()
+            if left <= 0:
+                break
+            time.sleep(min(left, 5.0))
+        _forward_and_exit("deadline")
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    emitter.emit()  # evidence exists from second zero
+
+    child_deadline = max(120.0, DEADLINE_S - INIT_PROBE_RESERVE_S)
+    env = dict(
+        os.environ,
+        BENCH_DEVICE_CHILD="1",
+        BENCH_DEADLINE_S=str(child_deadline),
+    )
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        stdout=subprocess.PIPE,
+        text=True,
+        env=env,
+    )
+    state["proc"] = proc
+    for line in proc.stdout:
+        line = line.rstrip("\n")
+        print(line, flush=True)  # pass-through: headline lands early
+        if line.startswith("{"):
+            try:
+                _absorb(emitter, json.loads(line))
+            except ValueError:
+                pass
+    rc = proc.wait()
+    state["proc"] = None
+    if rc != 0:
+        emitter.details["device_child_rc"] = rc
+        emitter.emit()
+
+    # ---- init-to-ready probe (device now free — VERDICT r4 #1b) ----------
+    _run_phase(
+        emitter,
+        "init_to_ready",
+        150,
+        lambda: _init_to_ready_probe(emitter, os.environ.get("BENCH_MODEL", "1.7b")),
+    )
+    emitter.details["bench_wall_s"] = round(time.monotonic() - T_START, 1)
+    emitter.emit()
+
+
+def _absorb(emitter: _Emitter, doc: dict) -> None:
+    """Merge a child JSON line into the parent's evolving headline."""
+    if not isinstance(doc, dict) or doc.get("metric") != "rtf":
+        return
+    if doc.get("value") is not None:
+        emitter.value = doc["value"]
+    details = doc.get("details")
+    if isinstance(details, dict):
+        # keep parent-owned fields (probe results land after the child dies)
+        own = {
+            k: emitter.details[k]
+            for k in ("deadline_s",)
+            if k in emitter.details
+        }
+        emitter.details.update(details)
+        emitter.details.update(own)
+        emitter.details.setdefault("phase_errors", {})
+        emitter.details.setdefault("skipped_phases", {})
+
+
+def _device_main() -> None:
     model_size = os.environ.get("BENCH_MODEL", "1.7b")
     emitter = _Emitter(model_size)
 
@@ -451,7 +572,7 @@ def main() -> None:
             if left <= 0:
                 break
             time.sleep(min(left, 5.0))
-        emitter.final_emit_and_exit("deadline")
+        emitter.final_emit_and_exit("device-phase deadline")
 
     threading.Thread(target=_watchdog, daemon=True).start()
     emitter.emit()  # evidence exists from second zero
@@ -548,9 +669,11 @@ def main() -> None:
             prefix_len,
         )
 
-    def run_once() -> int:
+    def run_once_async():
         # Mirrors Qwen3ASRModel.transcribe: one fused pre-decode dispatch
         # (mel → encoder → splice → prefill) + one on-device greedy loop.
+        # Returns the on-device count WITHOUT syncing, so callers choose
+        # latency (fetch each) or pipelined throughput (fetch at the end).
         capacity = 1024
         while capacity < true_len + DECODE_TOKENS:
             capacity *= 2
@@ -560,7 +683,10 @@ def main() -> None:
         tokens, count, _cache = dec.decode_greedy(
             cfg.decoder, decoder_params, first, cache, -2, DECODE_TOKENS
         )
-        return int(jax.device_get(count))
+        return count
+
+    def run_once() -> int:
+        return int(jax.device_get(run_once_async()))
 
     # ---- phase: headline RTF (FIRST — VERDICT r4 #1a) --------------------
     headline_state = {}
@@ -606,6 +732,35 @@ def main() -> None:
         headline_state["done"] = True
 
     _run_phase(emitter, "headline_rtf", 60, _phase_headline)
+
+    # ---- phase: pipelined steady-state RTF (VERDICT r4 #7) ----------------
+    def _phase_headline_pipelined():
+        # Back-to-back utterances with NO host sync between them: JAX's
+        # async dispatch overlaps utterance N+1's host→device audio
+        # transfer + predecode enqueue with utterance N's decode, exactly
+        # what a continuously-fed server does (long-form windows, queued
+        # dictations). The per-utterance relay RTT and transfer amortize
+        # into the pipeline; the single-utterance headline above keeps the
+        # honest cold-request latency.
+        M = 6
+        counts = [run_once_async() for _ in range(2)]  # warm the overlap
+        for c in counts:
+            jax.device_get(c)
+        t0 = time.perf_counter()
+        counts = [run_once_async() for _ in range(M)]
+        for c in counts:
+            jax.device_get(c)
+        wall = time.perf_counter() - t0
+        emitter.details["rtf_pipelined"] = round(wall / (M * AUDIO_SECONDS), 5)
+        emitter.details["xrt_pipelined"] = round(M * AUDIO_SECONDS / wall, 1)
+        emitter.details["pipelined_utterances"] = M
+        _log(
+            f"pipelined {M} utterances: {wall:.2f}s → "
+            f"rtf {wall / (M * AUDIO_SECONDS):.5f} "
+            f"({M * AUDIO_SECONDS / wall:.0f}× realtime)"
+        )
+
+    _run_phase(emitter, "headline_pipelined", 30, _phase_headline_pipelined)
 
     # ---- phase: model-path end-of-speech → text --------------------------
     from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
@@ -1060,15 +1215,9 @@ def main() -> None:
 
     _run_phase(emitter, "longform_prefill_attn", 60, _phase_longform_attn)
 
-    # ---- phase: init-to-ready probe (LAST — VERDICT r4 #1b) ---------------
-    _run_phase(
-        emitter,
-        "init_to_ready",
-        150,
-        lambda: _init_to_ready_probe(emitter, model_size),
-    )
-
-    emitter.details["bench_wall_s"] = round(time.monotonic() - T_START, 1)
+    # (init-to-ready probe runs in the ORCHESTRATOR after this process
+    # exits and frees the relay — see _orchestrate)
+    emitter.details["device_phases_wall_s"] = round(time.monotonic() - T_START, 1)
     emitter.emit()
 
 

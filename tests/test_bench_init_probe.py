@@ -89,3 +89,25 @@ def test_deadline_emits_parseable_headline_and_exits_zero():
     doc = json.loads(lines[-1])
     assert doc["metric"] == "rtf"
     assert doc["details"]["aborted"] == "deadline"
+
+
+def test_absorb_merges_child_lines_and_keeps_parent_deadline():
+    """The orchestrator's merge: child JSON lines update value/details but
+    the parent's own deadline field survives (the child runs under a
+    REDUCED deadline; the artifact must report the global one)."""
+    emitter = bench._Emitter("1.7b")
+    parent_deadline = emitter.details["deadline_s"]
+    bench._absorb(
+        emitter,
+        {
+            "metric": "rtf",
+            "value": 0.0188,
+            "details": {"deadline_s": 1120.0, "xrt": 53.2},
+        },
+    )
+    assert emitter.value == 0.0188
+    assert emitter.details["xrt"] == 53.2
+    assert emitter.details["deadline_s"] == parent_deadline
+    # a non-rtf or malformed line is ignored
+    bench._absorb(emitter, {"metric": "other", "value": 1})
+    assert emitter.value == 0.0188
