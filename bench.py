@@ -551,6 +551,12 @@ def _absorb(emitter: _Emitter, doc: dict) -> None:
             for k in ("deadline_s",)
             if k in emitter.details
         }
+        details = dict(details)
+        # the child's abort is a phase outcome, not the artifact's: the
+        # orchestrator survived it and may still land the probe
+        for k in ("aborted", "wall_s_at_abort"):
+            if k in details:
+                details[f"device_phases_{k}"] = details.pop(k)
         emitter.details.update(details)
         emitter.details.update(own)
         emitter.details.setdefault("phase_errors", {})
