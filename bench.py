@@ -423,7 +423,18 @@ def _init_to_ready_probe(emitter: _Emitter, model_size: str) -> None:
     finally:
         timer.cancel()
     if proc.returncode not in (0, None) and last_json is None:
-        emitter.details["init_to_ready_error"] = f"probe rc={proc.returncode}"
+        warmups = emitter.details.get("warmup_walls_s") or []
+        cold_relay = warmups and warmups[0] > 300
+        emitter.details["init_to_ready_error"] = (
+            f"probe rc={proc.returncode} after {timeout:.0f}s budget"
+            + (
+                f" (relay payload-cold session: device-phase warmup0 took "
+                f"{warmups[0]:.0f}s; a solo probe measured 727.8s on such a "
+                f"day vs ~90s healthy — see DEVNOTES round 5)"
+                if cold_relay
+                else ""
+            )
+        )
         return
     if last_json is None:
         emitter.details["init_to_ready_error"] = "probe produced no JSON"
