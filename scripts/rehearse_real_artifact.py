@@ -229,11 +229,18 @@ def serve_and_drive(installed: str, workdir: str, engine: str, hf_root: str) -> 
     from light_whisper_tpu.eval.speechlike import speechlike
     from light_whisper_tpu.runtime.client import INIT_TIMEOUT_SECONDS
 
+    # PREPEND the installed tree (replacing PYTHONPATH would drop the
+    # host's entries — e.g. the axon relay registers its PJRT plugin via a
+    # sitecustomize directory on PYTHONPATH, and losing it kills the TPU
+    # backend with "Unable to initialize backend 'axon'").
+    pythonpath = installed + (
+        os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+    )
     env = dict(
         os.environ,
         HF_HUB_CACHE=hf_root,
         LIGHT_WHISPER_DATA_DIR=os.path.join(workdir, "data"),
-        PYTHONPATH=installed,
+        PYTHONPATH=pythonpath,
     )
     env.pop("LIGHT_WHISPER_MODEL_PATH", None)  # HF cache resolution only
     t_spawn = time.perf_counter()
@@ -329,6 +336,11 @@ def main() -> None:
     parser.add_argument(
         "--keep", action="store_true", help="keep the workdir afterwards"
     )
+    parser.add_argument(
+        "--build-only", action="store_true",
+        help="build + snapshot + package/install, skip the serve drive "
+        "(lets the CPU-heavy build run while the chip is busy)",
+    )
     args = parser.parse_args()
 
     engine = f"qwen3-asr-{args.model}"
@@ -343,11 +355,12 @@ def main() -> None:
     else:
         os.environ["HF_HUB_CACHE"] = hf_root
     report.update(package_and_install(args.workdir))
-    report.update(
-        serve_and_drive(report["installed_path"], args.workdir, engine, hf_root)
-    )
+    if not args.build_only:
+        report.update(
+            serve_and_drive(report["installed_path"], args.workdir, engine, hf_root)
+        )
     print(json.dumps(report), flush=True)
-    if not args.keep and not args.skip_build:
+    if not args.keep and not args.skip_build and not args.build_only:
         shutil.rmtree(args.workdir, ignore_errors=True)
 
 
