@@ -853,6 +853,10 @@ def _device_main() -> None:
                 "wire_min_end_of_speech_to_text_ms": round(wire["min_ms"], 1),
                 "wire_first_tick_p50_ms": round(wire["first_tick_p50_ms"], 1),
                 "wire_first_tick_budget_ms": 300,
+                # floor: fresh-session tick = full prefill (~21 ms) +
+                # full-window decode (~40 tok × decode_ms_per_step) + vad +
+                # wire; an over-budget p50 is a regression, not weather
+                "wire_first_tick_over_budget": wire["first_tick_p50_ms"] > 300,
                 "wire_first_tick_samples_ms": wire["first_tick_samples"],
                 # Attribution (VERDICT r4 #4): wall = vad + inference + wire
                 # residue. The inference term is the fresh-session full
