@@ -106,15 +106,22 @@ class _Emitter:
                 if not doc["details"][key]:
                     doc["details"].pop(key)
             line = json.dumps(doc)
-        print(line, flush=True)
-        try:
-            with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_partial.json"),
-                "w",
-            ) as f:
-                f.write(line + "\n")
-        except OSError:
-            pass
+            # Write while still holding the lock: a watchdog-thread abort
+            # emit racing a main-thread phase emit must not interleave
+            # bytes inside the tail line the driver parses.
+            sys.stdout.write(line + "\n")
+            sys.stdout.flush()
+            try:
+                with open(
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_partial.json",
+                    ),
+                    "w",
+                ) as f:
+                    f.write(line + "\n")
+            except OSError:
+                pass
 
     def final_emit_and_exit(self, reason: str) -> None:
         self.details["aborted"] = reason
@@ -380,13 +387,15 @@ def _wire_eos_bench(model, model_size: str, trials: int = 5) -> dict:
     }
 
 
-def _init_to_ready_probe(emitter: _Emitter, model_size: str) -> None:
+def _init_to_ready_probe(emitter: _Emitter, model_size: str, register=None) -> None:
     """Fresh-process install→ready time with the persistent cache in place.
 
     Runs LAST (VERDICT r4 #1b): one run only, output streamed line-by-line
     to stderr as it happens, subprocess timeout computed from the remaining
     global budget. The probe's own compiles land in .jax_cache, so a
-    first-ever run both seeds and honestly reports the cold cost."""
+    first-ever run both seeds and honestly reports the cold cost.
+    ``register`` exposes the subprocess to the caller's abort handler so a
+    SIGTERM mid-probe never orphans a fresh PJRT client on the chip."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -406,6 +415,8 @@ def _init_to_ready_probe(emitter: _Emitter, model_size: str) -> None:
         text=True,
         cwd=here,
     )
+    if register is not None:
+        register(proc)
     last_json = None
     timer = threading.Timer(timeout, proc.kill)
     timer.daemon = True
@@ -477,27 +488,33 @@ def _orchestrate() -> None:
 
     model_size = os.environ.get("BENCH_MODEL", "1.7b")
     emitter = _Emitter(model_size)
-    state = {"proc": None}
+    state = {"proc": None, "probe": None, "abort": None}
 
-    def _forward_and_exit(reason: str) -> None:
-        proc = state["proc"]
-        if proc is not None and proc.poll() is None:
-            try:
-                proc.terminate()  # child emits its own final line on SIGTERM
-                for line in proc.stdout:
-                    line = line.rstrip("\n")
-                    print(line, flush=True)
-                    if line.startswith("{"):
-                        try:
-                            _absorb(emitter, json.loads(line))
-                        except ValueError:
-                            pass
-                proc.wait(timeout=15)
-            except Exception:
-                pass
-        emitter.final_emit_and_exit(reason)
+    def _graceful_abort(reason: str) -> None:
+        """Signal/watchdog path. Must NOT touch the child's stdout — the
+        main thread may be blocked inside `for line in proc.stdout`, and a
+        re-entrant read on the same TextIOWrapper raises (silently losing
+        the child's final SIGTERM emission). Terminate the children, let
+        the main flow see EOF and finish the merge; a timer backstops the
+        case where the main thread is blocked somewhere that never sees
+        EOF."""
+        state["abort"] = reason
+        for key in ("proc", "probe"):
+            p = state.get(key)
+            if p is not None and p.poll() is None:
+                try:
+                    p.terminate()  # the device child emits its final line
+                except Exception:
+                    pass
+        timer = threading.Timer(
+            15.0, lambda: emitter.final_emit_and_exit(reason)
+        )
+        timer.daemon = True
+        timer.start()
 
-    signal.signal(signal.SIGTERM, lambda _s, _f: _forward_and_exit("SIGTERM (driver budget)"))
+    signal.signal(
+        signal.SIGTERM, lambda _s, _f: _graceful_abort("SIGTERM (driver budget)")
+    )
 
     def _watchdog():
         while True:
@@ -505,7 +522,7 @@ def _orchestrate() -> None:
             if left <= 0:
                 break
             time.sleep(min(left, 5.0))
-        _forward_and_exit("deadline")
+        _graceful_abort("deadline")
 
     threading.Thread(target=_watchdog, daemon=True).start()
     emitter.emit()  # evidence exists from second zero
@@ -533,6 +550,8 @@ def _orchestrate() -> None:
                 pass
     rc = proc.wait()
     state["proc"] = None
+    if state["abort"]:
+        emitter.final_emit_and_exit(state["abort"])
     if rc != 0:
         emitter.details["device_child_rc"] = rc
         emitter.emit()
@@ -542,8 +561,15 @@ def _orchestrate() -> None:
         emitter,
         "init_to_ready",
         150,
-        lambda: _init_to_ready_probe(emitter, os.environ.get("BENCH_MODEL", "1.7b")),
+        lambda: _init_to_ready_probe(
+            emitter,
+            os.environ.get("BENCH_MODEL", "1.7b"),
+            register=lambda p: state.__setitem__("probe", p),
+        ),
     )
+    state["probe"] = None
+    if state["abort"]:
+        emitter.final_emit_and_exit(state["abort"])
     emitter.details["bench_wall_s"] = round(time.monotonic() - T_START, 1)
     emitter.emit()
 
@@ -706,7 +732,6 @@ def _device_main() -> None:
         return int(jax.device_get(run_once_async()))
 
     # ---- phase: headline RTF (FIRST — VERDICT r4 #1a) --------------------
-    headline_state = {}
 
     def _phase_headline():
         for i in range(WARMUP_ITERS):
@@ -746,7 +771,6 @@ def _device_main() -> None:
                 "xrt": round(AUDIO_SECONDS / elapsed, 1),
             }
         )
-        headline_state["done"] = True
 
     _run_phase(emitter, "headline_rtf", 60, _phase_headline)
 

@@ -140,21 +140,30 @@ class Qwen3ASRWeights:
         # splits Q8 blocks into int8 quants + bf16 scales, fuses/stacks
         # layers; the device pass is one transfer per leaf, synced so the
         # upload cost is attributed here rather than to the first dispatch.
+        # Per-tree prep→upload ordering frees each host tree before the
+        # next is built — both trees resident at once would add the whole
+        # decoder's host copy (~2 GB at flagship scale) to peak RSS.
+        ta = _time.perf_counter()
         dec_host = self._load_decoder()
-        enc_host = self._load_encoder()
-        t2 = _time.perf_counter()
+        tb = _time.perf_counter()
         self.decoder_params = _to_device(dec_host)
+        jax.block_until_ready(self.decoder_params)
+        tc = _time.perf_counter()
+        del dec_host
+        enc_host = self._load_encoder()
+        td = _time.perf_counter()
         self.encoder_params = _to_device(enc_host)
-        jax.block_until_ready((self.decoder_params, self.encoder_params))
-        t3 = _time.perf_counter()
+        jax.block_until_ready(self.encoder_params)
+        te = _time.perf_counter()
+        del enc_host
         # Load-time attribution (parse ≈ header+tokenizer+mmap, host_prep ≈
         # read+dequant-split+stack, upload ≈ host→HBM transfer) — surfaced
         # through the server init and the artifact-rehearsal evidence
         # (qwen3_asr_server.py:175-228 measures only the total).
         self.load_timings = {
             "parse_s": round(t1 - t0, 3),
-            "host_prep_s": round(t2 - t1, 3),
-            "device_upload_s": round(t3 - t2, 3),
+            "host_prep_s": round((tb - ta) + (td - tc), 3),
+            "device_upload_s": round((tc - tb) + (te - td), 3),
         }
         self._tensors = None
         f.close()

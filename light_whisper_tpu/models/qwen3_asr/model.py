@@ -305,13 +305,19 @@ class Qwen3ASRModel:
             )
         # Buffers are donated into prefill/decode, so always start fresh.
         cache = dec.init_cache(self.config.decoder, capacity, self.cache_dtype)
-        if self._cache_sharding is not None:
-            cache = dec.KVCache(
-                k=jax.device_put(cache.k, self._cache_sharding),
-                v=jax.device_put(cache.v, self._cache_sharding),
-                pos=cache.pos,
-            )
-        return cache
+        return self.place_cache(cache)
+
+    def place_cache(self, cache: dec.KVCache) -> dec.KVCache:
+        """Lay a fresh KV cache out in the model's sharding (tp shards the
+        KV-head axis; no-op single-chip). The one sharding site for every
+        cache owner — serving sessions included (incremental._ensure_cache)."""
+        if self._cache_sharding is None:
+            return cache
+        return dec.KVCache(
+            k=jax.device_put(cache.k, self._cache_sharding),
+            v=jax.device_put(cache.v, self._cache_sharding),
+            pos=cache.pos,
+        )
 
     def transcribe(self, audio: np.ndarray) -> TranscriptionResult:
         """Greedy transcription of mono 16 kHz audio (float32 or int16)."""

@@ -241,17 +241,12 @@ class IncrementalTranscriber:
             cache = dec.init_cache(
                 self.model.config.decoder, capacity, self.model.cache_dtype
             )
-            # tp-sharded models shard the KV-head axis (Qwen3ASRModel sets
-            # _cache_sharding); the streaming session's persistent cache must
-            # live in that layout too, or every tick pays a GSPMD reshard.
-            sharding = getattr(self.model, "_cache_sharding", None)
-            if sharding is not None:
-                cache = dec.KVCache(
-                    k=jax.device_put(cache.k, sharding),
-                    v=jax.device_put(cache.v, sharding),
-                    pos=cache.pos,
-                )
-            self._cache = cache
+            # tp-sharded models shard the KV-head axis; the streaming
+            # session's persistent cache must live in that layout too, or
+            # every tick pays a GSPMD reshard (model.place_cache is the one
+            # sharding site; no-op single-chip or on injected fakes).
+            place = getattr(self.model, "place_cache", None)
+            self._cache = place(cache) if place is not None else cache
             self._cache_capacity = capacity
             self._stable_tokens = -1  # force full prefill
 
