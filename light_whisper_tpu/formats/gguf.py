@@ -150,6 +150,39 @@ def _q4_0_from_bytes(raw: np.ndarray, shape: Tuple[int, ...]) -> Tuple[np.ndarra
     return q.reshape(shape), d
 
 
+def _q8_0_split_into(
+    raw: np.ndarray, shape: Tuple[int, ...], q_out: np.ndarray, s_out: np.ndarray
+) -> None:
+    """Deinterleave block_q8_0 straight into caller-owned buffers.
+
+    ``q_out`` must be a contiguous int8 array of ``shape``; ``s_out`` a
+    contiguous float array (any dtype — the f16 scales cast on assignment)
+    of ``(*shape[:-1], shape[-1] // 32)``. Loading a flagship artifact moves
+    ~2 GB of quants; writing the split directly into its final (fused,
+    layer-stacked, padded) destination removes the temp-allocate → concat →
+    stack passes that dominate host prep time (loader.py load_timings).
+    """
+    n_elems = int(np.prod(shape)) if shape else 1
+    nblocks = n_elems // Q8_0_BLOCK
+    rec = raw[: nblocks * Q8_0_BLOCK_BYTES].reshape(nblocks, Q8_0_BLOCK_BYTES)
+    q_out.reshape(nblocks, Q8_0_BLOCK)[...] = rec[:, 2:].view(np.int8)
+    s_out.reshape(nblocks)[...] = rec[:, :2].copy().view("<f2").reshape(nblocks)
+
+
+def _q4_0_split_into(
+    raw: np.ndarray, shape: Tuple[int, ...], q_out: np.ndarray, s_out: np.ndarray
+) -> None:
+    """Q4_0 counterpart of :func:`_q8_0_split_into` (int8-expanded quants)."""
+    n_elems = int(np.prod(shape)) if shape else 1
+    nblocks = n_elems // Q4_0_BLOCK
+    rec = raw[: nblocks * Q4_0_BLOCK_BYTES].reshape(nblocks, Q4_0_BLOCK_BYTES)
+    packed = rec[:, 2:]  # [nblocks, 16]
+    qv = q_out.reshape(nblocks, Q4_0_BLOCK)
+    qv[:, :16] = (packed & 0x0F).astype(np.int8) - 8
+    qv[:, 16:] = (packed >> 4).astype(np.int8) - 8
+    s_out.reshape(nblocks)[...] = rec[:, :2].copy().view("<f2").reshape(nblocks)
+
+
 def quantize_q4_0(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Quantize along the last axis into packed Q4_0 (writer/test support).
 
@@ -233,6 +266,25 @@ class GGUFTensor:
             return _q4_0_from_bytes(self.raw(), self.shape)
         raise ValueError(f"{self.name} is not a supported quantized type")
 
+    def q8_0_parts_into(self, q_out: np.ndarray, s_out: np.ndarray) -> None:
+        """Split quants/scales directly into caller-owned buffers.
+
+        Same semantics as :meth:`q8_0_parts`, but the outputs land in
+        ``q_out`` (int8, this tensor's shape) and ``s_out`` (float, blocks
+        along the last axis) — typically views into a preallocated fused /
+        layer-stacked destination, skipping the intermediate copies.
+        """
+        if q_out.shape != self.shape:
+            raise ValueError(
+                f"{self.name}: q_out shape {q_out.shape} != tensor {self.shape}"
+            )
+        if self.ggml_type == GGML_Q8_0:
+            _q8_0_split_into(self.raw(), self.shape, q_out, s_out)
+        elif self.ggml_type == GGML_Q4_0:
+            _q4_0_split_into(self.raw(), self.shape, q_out, s_out)
+        else:
+            raise ValueError(f"{self.name} is not a supported quantized type")
+
 
 class GGUFFile:
     def __init__(self, path: str):
@@ -279,6 +331,22 @@ class GGUFFile:
                     arr = np.frombuffer(buf, dtype=np.dtype(fmt[1:]).newbyteorder("<"), count=count, offset=pos)
                     pos += size * count
                     return arr.tolist() if count < 1 << 20 else arr
+                if elem_type == _MV_STRING:
+                    # Specialized walk: the tokenizer vocab is ~152k strings
+                    # and per-element take_string() (struct + numpy-slice +
+                    # bytes()) costs ~14 µs each — seconds of load time on
+                    # one array. A memoryview + local unpack is ~5× faster.
+                    mv = memoryview(buf)
+                    unpack_len = struct.Struct("<Q").unpack_from
+                    out = []
+                    p = pos
+                    for _ in range(count):
+                        (n,) = unpack_len(mv, p)
+                        p += 8
+                        out.append(str(mv[p : p + n], "utf-8"))
+                        p += n
+                    pos = p
+                    return out
                 return [take_value(elem_type) for _ in range(count)]
             raise ValueError(f"unknown metadata value type {vtype}")
 

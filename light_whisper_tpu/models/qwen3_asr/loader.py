@@ -29,7 +29,7 @@ from light_whisper_tpu.models.qwen3_asr.config import (
 )
 from light_whisper_tpu.models.qwen3_asr.encoder import sinusoid_positions
 from light_whisper_tpu.models.qwen3_asr.tokenizer import BPETokenizer, tokenizer_from_metadata
-from light_whisper_tpu.utils.numerics import host_bf16, host_f32
+from light_whisper_tpu.utils.numerics import NP_BF16, host_bf16, host_f32
 
 
 def _linear_np(t: gguf.GGUFTensor, bias: Optional[gguf.GGUFTensor] = None) -> Dict:
@@ -178,6 +178,76 @@ class Qwen3ASRWeights:
             return p
         return _linear_np(t, bias)
 
+    # -- direct-fill fast path ----------------------------------------------
+    #
+    # Loading a flagship artifact moves ~2 GB of quants through host memory,
+    # and this host's effective bandwidth on fresh pages is low (~0.2 GB/s
+    # first-touch). The legacy path allocates each tensor's split, then the
+    # fused concat, then the layer stack — three generations of fresh pages
+    # plus two extra read passes. The fast path preallocates the FINAL
+    # stacked/fused/padded arrays once and deinterleaves every tensor's
+    # mmap bytes straight into its destination slice
+    # (``GGUFTensor.q8_0_parts_into``), touching each output byte exactly
+    # once. Results are bit-identical to the legacy path (pinned by
+    # tests/test_loader_fastpath.py); dense/precise artifacts fall back.
+
+    def _all_quantized(self, names) -> bool:
+        for n in names:
+            ten = self._tensors.get(n)
+            if ten is None or ten.ggml_type not in (
+                gguf.GGML_Q8_0,
+                gguf.GGML_Q4_0,
+            ):
+                return False
+        return True
+
+    def _fill_stacked(self, name_fmts: List[str], count: int, perms=None) -> Dict:
+        """Layer-stacked fused linear ``{q, s}`` filled straight from the mmap.
+
+        ``name_fmts`` are tensor-name format strings with ``{i}`` for the
+        layer index; members fuse along out-features (axis 1 of the stack),
+        exactly like ``_fuse_linears_np`` + ``_stack_layers`` would. A
+        per-member row permutation (llama RoPE unpermute) is applied on the
+        way in via a small per-tensor temp.
+        """
+        t = self._tensors
+        shapes = [t[fmt.format(i=0)].shape for fmt in name_fmts]
+        if any(len(s) != 2 for s in shapes):
+            raise ValueError("stacked fill expects 2-D projection weights")
+        kin = shapes[0][1]
+        out_total = sum(s[0] for s in shapes)
+        q = np.empty((count, out_total, kin), np.int8)
+        s = np.empty((count, out_total, kin // gguf.Q8_0_BLOCK), NP_BF16)
+        perms = perms if perms is not None else [None] * len(name_fmts)
+        for i in range(count):
+            r0 = 0
+            for fmt, shp, perm in zip(name_fmts, shapes, perms):
+                ten = t[fmt.format(i=i)]
+                if ten.shape != shp:
+                    raise ValueError(
+                        f"{ten.name}: shape {ten.shape} breaks the layer-stack"
+                        f" contract (layer 0 has {shp})"
+                    )
+                qv = q[i, r0 : r0 + shp[0]]
+                sv = s[i, r0 : r0 + shp[0]]
+                if perm is None:
+                    ten.q8_0_parts_into(qv, sv)
+                else:
+                    tq, ts = ten.q8_0_parts()
+                    qv[...] = tq[perm]
+                    sv[...] = ts[perm]
+                r0 += shp[0]
+        return {"q": q, "s": s}
+
+    def _embedding_fast(self, ten: gguf.GGUFTensor) -> Dict:
+        """Embedding split directly into its zero-padded destination."""
+        rows, dim = ten.shape
+        padded = -(-rows // VOCAB_PAD_MULTIPLE) * VOCAB_PAD_MULTIPLE
+        q = np.zeros((padded, dim), np.int8)
+        s = np.zeros((padded, dim // gguf.Q8_0_BLOCK), NP_BF16)
+        ten.q8_0_parts_into(q[:rows], s[:rows])
+        return {"q": q, "s": s}
+
     def _load_decoder(self) -> Dict:
         from light_whisper_tpu.models.qwen3_asr import names as _names
 
@@ -197,38 +267,91 @@ class Qwen3ASRWeights:
             fix_norm = lambda v: v[unperm_hd]
         else:
             fix_q = fix_k = fix_norm = lambda x: x
+            unperm_q = unperm_k = None
 
-        layers = []
-        for i in range(cfg.block_count):
-            p = f"blk.{i}."
-            layers.append(
-                {
-                    "attn_norm": _vec(t[p + "attn_norm.weight"]),
-                    "qkv": _fuse_linears_np(
-                        [
-                            fix_q(self._linear(t[p + "attn_q.weight"])),
-                            fix_k(self._linear(t[p + "attn_k.weight"])),
-                            self._linear(t[p + "attn_v.weight"]),
-                        ]
-                    ),
-                    "o": self._linear(t[p + "attn_output.weight"]),
-                    "q_norm": fix_norm(_vec(t[p + "attn_q_norm.weight"])),
-                    "k_norm": fix_norm(_vec(t[p + "attn_k_norm.weight"])),
-                    "ffn_norm": _vec(t[p + "ffn_norm.weight"]),
-                    "gateup": _fuse_linears_np(
-                        [
-                            self._linear(t[p + "ffn_gate.weight"]),
-                            self._linear(t[p + "ffn_up.weight"]),
-                        ]
-                    ),
-                    "down": self._linear(t[p + "ffn_down.weight"]),
-                }
+        proj_names = (
+            "attn_q.weight",
+            "attn_k.weight",
+            "attn_v.weight",
+            "attn_output.weight",
+            "ffn_gate.weight",
+            "ffn_up.weight",
+            "ffn_down.weight",
+        )
+        fast = not self.precise and self._all_quantized(
+            ["token_embd.weight"]
+            + [f"blk.{i}.{n}" for i in range(cfg.block_count) for n in proj_names]
+        )
+
+        if fast:
+            small = []
+            for i in range(cfg.block_count):
+                p = f"blk.{i}."
+                small.append(
+                    {
+                        "attn_norm": _vec(t[p + "attn_norm.weight"]),
+                        "q_norm": fix_norm(_vec(t[p + "attn_q_norm.weight"])),
+                        "k_norm": fix_norm(_vec(t[p + "attn_k_norm.weight"])),
+                        "ffn_norm": _vec(t[p + "ffn_norm.weight"]),
+                    }
+                )
+            layers = _stack_layers(small)
+            layers["qkv"] = self._fill_stacked(
+                [
+                    "blk.{i}.attn_q.weight",
+                    "blk.{i}.attn_k.weight",
+                    "blk.{i}.attn_v.weight",
+                ],
+                cfg.block_count,
+                perms=[unperm_q, unperm_k, None],
             )
-        params = {
-            "embed": self._embedding(t["token_embd.weight"]),
-            "layers": _stack_layers(layers),
-            "final_norm": _vec(t["output_norm.weight"]),
-        }
+            layers["o"] = self._fill_stacked(
+                ["blk.{i}.attn_output.weight"], cfg.block_count
+            )
+            layers["gateup"] = self._fill_stacked(
+                ["blk.{i}.ffn_gate.weight", "blk.{i}.ffn_up.weight"],
+                cfg.block_count,
+            )
+            layers["down"] = self._fill_stacked(
+                ["blk.{i}.ffn_down.weight"], cfg.block_count
+            )
+            params = {
+                "embed": self._embedding_fast(t["token_embd.weight"]),
+                "layers": layers,
+                "final_norm": _vec(t["output_norm.weight"]),
+            }
+        else:
+            layers = []
+            for i in range(cfg.block_count):
+                p = f"blk.{i}."
+                layers.append(
+                    {
+                        "attn_norm": _vec(t[p + "attn_norm.weight"]),
+                        "qkv": _fuse_linears_np(
+                            [
+                                fix_q(self._linear(t[p + "attn_q.weight"])),
+                                fix_k(self._linear(t[p + "attn_k.weight"])),
+                                self._linear(t[p + "attn_v.weight"]),
+                            ]
+                        ),
+                        "o": self._linear(t[p + "attn_output.weight"]),
+                        "q_norm": fix_norm(_vec(t[p + "attn_q_norm.weight"])),
+                        "k_norm": fix_norm(_vec(t[p + "attn_k_norm.weight"])),
+                        "ffn_norm": _vec(t[p + "ffn_norm.weight"]),
+                        "gateup": _fuse_linears_np(
+                            [
+                                self._linear(t[p + "ffn_gate.weight"]),
+                                self._linear(t[p + "ffn_up.weight"]),
+                            ]
+                        ),
+                        "down": self._linear(t[p + "ffn_down.weight"]),
+                    }
+                )
+            params = {
+                "embed": self._embedding(t["token_embd.weight"]),
+                "layers": _stack_layers(layers),
+                "final_norm": _vec(t["output_norm.weight"]),
+            }
         if "output.weight" in t and not cfg.tie_word_embeddings:
             params["lm_head"] = self._linear(t["output.weight"])
         return params
@@ -260,27 +383,65 @@ class Qwen3ASRWeights:
                 "b": _vec(t[f"aenc.{name}.bias"]),
             }
 
-        layers = []
-        for i in range(cfg.block_count):
-            p = f"blk.{i}."
-            layers.append(
-                {
-                    "attn_norm": norm(p + "attn_norm"),
-                    "q": linear(p + "attn_q"),
-                    "k": linear(p + "attn_k"),
-                    "v": linear(p + "attn_v"),
-                    "o": linear(p + "attn_output"),
-                    "ffn_norm": norm(p + "ffn_norm"),
-                    "fc1": linear(p + "ffn_up"),
-                    "fc2": linear(p + "ffn_down"),
-                }
-            )
+        enc_linears = {
+            "q": "attn_q",
+            "k": "attn_k",
+            "v": "attn_v",
+            "o": "attn_output",
+            "fc1": "ffn_up",
+            "fc2": "ffn_down",
+        }
+        fast = not self.precise and self._all_quantized(
+            [
+                f"aenc.blk.{i}.{n}.weight"
+                for i in range(cfg.block_count)
+                for n in enc_linears.values()
+            ]
+        )
+
+        if fast:
+            small = []
+            for i in range(cfg.block_count):
+                p = f"blk.{i}."
+                small.append(
+                    {"attn_norm": norm(p + "attn_norm"), "ffn_norm": norm(p + "ffn_norm")}
+                )
+            layers = _stack_layers(small)
+            for key, gname in enc_linears.items():
+                d = self._fill_stacked(
+                    [f"aenc.blk.{{i}}.{gname}.weight"], cfg.block_count
+                )
+                if t.get(f"aenc.blk.0.{gname}.bias") is not None:
+                    d["b"] = np.stack(
+                        [
+                            host_f32(t[f"aenc.blk.{i}.{gname}.bias"].array())
+                            for i in range(cfg.block_count)
+                        ]
+                    )
+                layers[key] = d
+        else:
+            per_layer = []
+            for i in range(cfg.block_count):
+                p = f"blk.{i}."
+                per_layer.append(
+                    {
+                        "attn_norm": norm(p + "attn_norm"),
+                        "q": linear(p + "attn_q"),
+                        "k": linear(p + "attn_k"),
+                        "v": linear(p + "attn_v"),
+                        "o": linear(p + "attn_output"),
+                        "ffn_norm": norm(p + "ffn_norm"),
+                        "fc1": linear(p + "ffn_up"),
+                        "fc2": linear(p + "ffn_down"),
+                    }
+                )
+            layers = _stack_layers(per_layer)
         return {
             "conv1": conv("conv1"),
             "conv2": conv("conv2"),
             "conv3": conv("conv3"),
             "conv_out": linear("conv_out", bias=False),
-            "layers": _stack_layers(layers),
+            "layers": layers,
             "ln_post": norm("ln_post"),
             "proj1": linear("proj1"),
             "proj2": linear("proj2"),
