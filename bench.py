@@ -594,6 +594,11 @@ def _absorb(emitter: _Emitter, doc: dict) -> None:
         for k in ("aborted", "wall_s_at_abort"):
             if k in details:
                 details[f"device_phases_{k}"] = details.pop(k)
+        # Transient child flags are authoritative per-line: a key the child
+        # POPPED (provisional headline superseded by the median) must not
+        # survive the dict.update merge from an earlier absorbed line.
+        if "headline_provisional" not in details:
+            emitter.details.pop("headline_provisional", None)
         emitter.details.update(details)
         emitter.details.update(own)
         emitter.details.setdefault("phase_errors", {})

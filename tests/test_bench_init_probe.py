@@ -111,3 +111,29 @@ def test_absorb_merges_child_lines_and_keeps_parent_deadline():
     # a non-rtf or malformed line is ignored
     bench._absorb(emitter, {"metric": "other", "value": 1})
     assert emitter.value == 0.0188
+
+
+def test_absorb_drops_stale_provisional_flag():
+    """A key the child pops between emissions (provisional headline
+    superseded by the median) must not survive the merge of an earlier
+    absorbed line — BENCH artifacts flagged a final median as provisional."""
+    emitter = bench._Emitter("1.7b")
+    bench._absorb(
+        emitter,
+        {
+            "metric": "rtf",
+            "value": 0.0191,
+            "details": {"headline_provisional": True},
+        },
+    )
+    assert emitter.details["headline_provisional"] is True
+    bench._absorb(
+        emitter,
+        {
+            "metric": "rtf",
+            "value": 0.0184,
+            "details": {"wall_seconds_median": 0.221},
+        },
+    )
+    assert "headline_provisional" not in emitter.details
+    assert emitter.value == 0.0184
