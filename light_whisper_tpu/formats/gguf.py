@@ -162,6 +162,10 @@ def _q8_0_split_into(
     layer-stacked, padded) destination removes the temp-allocate → concat →
     stack passes that dominate host prep time (loader.py load_timings).
     """
+    if not (q_out.flags.c_contiguous and s_out.flags.c_contiguous):
+        # reshape of a non-contiguous array copies; the writes below would
+        # land in the copy and be silently lost.
+        raise ValueError("split_into requires C-contiguous output buffers")
     n_elems = int(np.prod(shape)) if shape else 1
     nblocks = n_elems // Q8_0_BLOCK
     rec = raw[: nblocks * Q8_0_BLOCK_BYTES].reshape(nblocks, Q8_0_BLOCK_BYTES)
@@ -173,6 +177,8 @@ def _q4_0_split_into(
     raw: np.ndarray, shape: Tuple[int, ...], q_out: np.ndarray, s_out: np.ndarray
 ) -> None:
     """Q4_0 counterpart of :func:`_q8_0_split_into` (int8-expanded quants)."""
+    if not (q_out.flags.c_contiguous and s_out.flags.c_contiguous):
+        raise ValueError("split_into requires C-contiguous output buffers")
     n_elems = int(np.prod(shape)) if shape else 1
     nblocks = n_elems // Q4_0_BLOCK
     rec = raw[: nblocks * Q4_0_BLOCK_BYTES].reshape(nblocks, Q4_0_BLOCK_BYTES)

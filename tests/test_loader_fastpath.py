@@ -105,6 +105,11 @@ def test_split_into_rejects_shape_mismatch(tmp_path):
     s = np.empty((ten.shape[0] + 1, ten.shape[-1] // 32), NP_BF16)
     with pytest.raises(ValueError, match="q_out shape"):
         ten.q8_0_parts_into(bad, s)
+    # non-contiguous destination: reshape would copy and writes vanish
+    wide = np.empty((ten.shape[0], ten.shape[1] * 2), np.int8)
+    s_ok = np.empty((ten.shape[0], ten.shape[-1] // 32), NP_BF16)
+    with pytest.raises(ValueError, match="contiguous"):
+        ten.q8_0_parts_into(wide[:, :: 2], s_ok)
     f.close()
 
 
