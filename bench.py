@@ -594,11 +594,14 @@ def _absorb(emitter: _Emitter, doc: dict) -> None:
         for k in ("aborted", "wall_s_at_abort"):
             if k in details:
                 details[f"device_phases_{k}"] = details.pop(k)
-        # Transient child flags are authoritative per-line: a key the child
-        # POPPED (provisional headline superseded by the median) must not
-        # survive the dict.update merge from an earlier absorbed line.
-        if "headline_provisional" not in details:
-            emitter.details.pop("headline_provisional", None)
+        # Each child line is a full snapshot: a key the child POPPED between
+        # emissions (e.g. the provisional-headline flag superseded by the
+        # median) must not survive the dict.update merge from an earlier
+        # absorbed line. Track child-origin keys and drop the vanished ones.
+        prev_child_keys = getattr(emitter, "_child_keys", set())
+        for k in prev_child_keys - set(details):
+            emitter.details.pop(k, None)
+        emitter._child_keys = set(details)
         emitter.details.update(details)
         emitter.details.update(own)
         emitter.details.setdefault("phase_errors", {})

@@ -284,6 +284,17 @@ class GGUFTensor:
             raise ValueError(
                 f"{self.name}: q_out shape {q_out.shape} != tensor {self.shape}"
             )
+        s_shape = (*self.shape[:-1], self.shape[-1] // Q8_0_BLOCK)
+        if s_out.shape != s_shape:
+            # the flat reshape(nblocks) below only checks total size — a
+            # transposed same-size buffer would accept scrambled scales
+            raise ValueError(
+                f"{self.name}: s_out shape {s_out.shape} != blocks {s_shape}"
+            )
+        if s_out.dtype.kind in "iub":
+            # int assignment truncates scales toward zero silently
+            # (bf16 registers as kind 'V', so test for the bad kinds)
+            raise ValueError(f"{self.name}: s_out must be a float buffer")
         if self.ggml_type == GGML_Q8_0:
             _q8_0_split_into(self.raw(), self.shape, q_out, s_out)
         elif self.ggml_type == GGML_Q4_0:

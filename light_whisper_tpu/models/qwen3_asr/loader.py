@@ -219,6 +219,12 @@ class Qwen3ASRWeights:
         q = np.empty((count, out_total, kin), np.int8)
         s = np.empty((count, out_total, kin // gguf.Q8_0_BLOCK), NP_BF16)
         perms = perms if perms is not None else [None] * len(name_fmts)
+        if len(perms) != len(name_fmts):
+            # zip would silently drop trailing members, leaving np.empty
+            # garbage in the stacked weights
+            raise ValueError(
+                f"perms has {len(perms)} entries for {len(name_fmts)} members"
+            )
         for i in range(count):
             r0 = 0
             for fmt, shp, perm in zip(name_fmts, shapes, perms):

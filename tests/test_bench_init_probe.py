@@ -137,3 +137,12 @@ def test_absorb_drops_stale_provisional_flag():
     )
     assert "headline_provisional" not in emitter.details
     assert emitter.value == 0.0184
+    # the semantics are general (any popped child key), not a one-off:
+    # wall_seconds_median vanished from the next snapshot too
+    bench._absorb(
+        emitter,
+        {"metric": "rtf", "value": 0.0185, "details": {"xrt": 54.0}},
+    )
+    assert "wall_seconds_median" not in emitter.details
+    # parent-owned fields survive child-line turnover
+    assert "deadline_s" in emitter.details
