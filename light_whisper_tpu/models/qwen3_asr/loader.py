@@ -93,6 +93,28 @@ def _to_device(tree):
     return jax.tree.map(jnp.asarray, tree)
 
 
+# Per-layer projection tensors (decoder) and logical-name → GGUF-name map
+# (encoder): the fast-path eligibility sets, shared with device_tree_shapes
+# so the shape mirror can never drift from the load paths' coverage.
+DECODER_PROJ_NAMES = (
+    "attn_q.weight",
+    "attn_k.weight",
+    "attn_v.weight",
+    "attn_output.weight",
+    "ffn_gate.weight",
+    "ffn_up.weight",
+    "ffn_down.weight",
+)
+ENCODER_LINEARS = {
+    "q": "attn_q",
+    "k": "attn_k",
+    "v": "attn_v",
+    "o": "attn_output",
+    "fc1": "ffn_up",
+    "fc2": "ffn_down",
+}
+
+
 def _permute_out_rows(p: Dict, perm: np.ndarray) -> Dict:
     """Reorder a linear param dict's out-features rows by ``perm``.
 
@@ -114,7 +136,7 @@ class Qwen3ASRWeights:
     CPU path.
     """
 
-    def __init__(self, path: str, precise: bool = False):
+    def __init__(self, path: str, precise: bool = False, on_parsed=None):
         import time as _time
 
         from light_whisper_tpu.models.qwen3_asr import names as _names
@@ -136,6 +158,19 @@ class Qwen3ASRWeights:
                 f"unknown rope_permutation {self._rope_permutation!r}"
             )
         t1 = _time.perf_counter()
+        if on_parsed is not None:
+            # Config, tokenizer, and every tensor's shape are known from
+            # the header alone — callers use this to overlap work that
+            # depends only on shapes (warmup compiles) with the heavy
+            # prep/upload below. A broken callback must not block serving.
+            try:
+                on_parsed(self)
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "on_parsed callback failed", exc_info=True
+                )
         # Host prep pulls tensor data out of the mmap (first-touch IO),
         # splits Q8 blocks into int8 quants + bf16 scales, fuses/stacks
         # layers; the device pass is one transfer per leaf, synced so the
@@ -254,6 +289,151 @@ class Qwen3ASRWeights:
         ten.q8_0_parts_into(q[:rows], s[:rows])
         return {"q": q, "s": s}
 
+    # -- shape mirror (load-overlapped warmup) ------------------------------
+
+    def device_tree_shapes(self):
+        """``(encoder_shapes, decoder_shapes)`` as ShapeDtypeStruct pytrees.
+
+        Exactly the trees :meth:`_load_encoder` / :meth:`_load_decoder`
+        will produce, computed from header metadata alone (no tensor bytes
+        read) — the hook for starting warmup compiles while the multi-GB
+        prep/upload still runs (compiled programs key on shapes, not
+        values). Returns ``None`` when the artifact would take the legacy
+        (dense/precise) path; only valid while ``self._tensors`` is live,
+        i.e. from an ``on_parsed`` callback. Structural parity with the
+        real load is pinned by tests/test_loader_fastpath.py.
+        """
+        import jax
+
+        SDS = jax.ShapeDtypeStruct
+        t = self._tensors
+        if self.precise or t is None:
+            return None
+        dcfg = self.config.decoder
+        acfg = self.config.audio
+        L_dec, L_enc = dcfg.block_count, acfg.block_count
+        dec_ok = self._all_quantized(
+            ["token_embd.weight"]
+            + [
+                f"blk.{i}.{n}"
+                for i in range(L_dec)
+                for n in DECODER_PROJ_NAMES
+            ]
+        )
+        enc_ok = self._all_quantized(
+            [
+                f"aenc.blk.{i}.{n}.weight"
+                for i in range(L_enc)
+                for n in ENCODER_LINEARS.values()
+            ]
+        )
+        if not (dec_ok and enc_ok):
+            return None
+
+        def linear_sds(ten: gguf.GGUFTensor, bias: Optional[gguf.GGUFTensor] = None) -> Dict:
+            out_f, in_f = ten.shape
+            if ten.ggml_type in (gguf.GGML_Q8_0, gguf.GGML_Q4_0):
+                p = {
+                    "q": SDS((out_f, in_f), np.int8),
+                    "s": SDS((out_f, in_f // gguf.Q8_0_BLOCK), NP_BF16),
+                }
+            else:
+                p = {"w": SDS((in_f, out_f), NP_BF16)}
+            if bias is not None:
+                p["b"] = SDS(bias.shape, np.float32)
+            return p
+
+        def group_sds(name_fmts: List[str], count: int) -> Dict:
+            shapes = [t[fmt.format(i=0)].shape for fmt in name_fmts]
+            kin = shapes[0][1]
+            out_total = sum(s[0] for s in shapes)
+            return {
+                "q": SDS((count, out_total, kin), np.int8),
+                "s": SDS((count, out_total, kin // gguf.Q8_0_BLOCK), NP_BF16),
+            }
+
+        def vec_sds(name: str, count: int) -> SDS:
+            return SDS((count, *t[name].shape), np.float32)
+
+        dec_layers = {
+            "attn_norm": vec_sds("blk.0.attn_norm.weight", L_dec),
+            "q_norm": vec_sds("blk.0.attn_q_norm.weight", L_dec),
+            "k_norm": vec_sds("blk.0.attn_k_norm.weight", L_dec),
+            "ffn_norm": vec_sds("blk.0.ffn_norm.weight", L_dec),
+            "qkv": group_sds(
+                [
+                    "blk.{i}.attn_q.weight",
+                    "blk.{i}.attn_k.weight",
+                    "blk.{i}.attn_v.weight",
+                ],
+                L_dec,
+            ),
+            "o": group_sds(["blk.{i}.attn_output.weight"], L_dec),
+            "gateup": group_sds(
+                ["blk.{i}.ffn_gate.weight", "blk.{i}.ffn_up.weight"], L_dec
+            ),
+            "down": group_sds(["blk.{i}.ffn_down.weight"], L_dec),
+        }
+        rows, dim = t["token_embd.weight"].shape
+        padded = -(-rows // VOCAB_PAD_MULTIPLE) * VOCAB_PAD_MULTIPLE
+        dec_shapes = {
+            "embed": {
+                "q": SDS((padded, dim), np.int8),
+                "s": SDS((padded, dim // gguf.Q8_0_BLOCK), NP_BF16),
+            },
+            "layers": dec_layers,
+            "final_norm": SDS(t["output_norm.weight"].shape, np.float32),
+        }
+        if "output.weight" in t and not dcfg.tie_word_embeddings:
+            dec_shapes["lm_head"] = linear_sds(t["output.weight"])
+
+        def norm_sds(name: str) -> Dict:
+            return {
+                "w": SDS(t[f"aenc.{name}.weight"].shape, np.float32),
+                "b": SDS(t[f"aenc.{name}.bias"].shape, np.float32),
+            }
+
+        def conv_sds(name: str) -> Dict:
+            return {
+                "w": SDS(t[f"aenc.{name}.weight"].shape, np.float32),
+                "b": SDS(t[f"aenc.{name}.bias"].shape, np.float32),
+            }
+
+        enc_layers = {
+            "attn_norm": {
+                "w": vec_sds("aenc.blk.0.attn_norm.weight", L_enc),
+                "b": vec_sds("aenc.blk.0.attn_norm.bias", L_enc),
+            },
+            "ffn_norm": {
+                "w": vec_sds("aenc.blk.0.ffn_norm.weight", L_enc),
+                "b": vec_sds("aenc.blk.0.ffn_norm.bias", L_enc),
+            },
+        }
+        for key, gname in ENCODER_LINEARS.items():
+            d = group_sds([f"aenc.blk.{{i}}.{gname}.weight"], L_enc)
+            bias0 = t.get(f"aenc.blk.0.{gname}.bias")
+            if bias0 is not None:
+                d["b"] = SDS((L_enc, *bias0.shape), np.float32)
+            enc_layers[key] = d
+        enc_shapes = {
+            "conv1": conv_sds("conv1"),
+            "conv2": conv_sds("conv2"),
+            "conv3": conv_sds("conv3"),
+            "conv_out": linear_sds(t["aenc.conv_out.weight"]),
+            "layers": enc_layers,
+            "ln_post": norm_sds("ln_post"),
+            "proj1": linear_sds(
+                t["aenc.proj1.weight"], t.get("aenc.proj1.bias")
+            ),
+            "proj2": linear_sds(
+                t["aenc.proj2.weight"], t.get("aenc.proj2.bias")
+            ),
+            "pos_embd": SDS(
+                (acfg.max_source_positions, acfg.d_model), np.float32
+            ),
+        }
+        return enc_shapes, dec_shapes
+
     def _load_decoder(self) -> Dict:
         from light_whisper_tpu.models.qwen3_asr import names as _names
 
@@ -275,18 +455,13 @@ class Qwen3ASRWeights:
             fix_q = fix_k = fix_norm = lambda x: x
             unperm_q = unperm_k = None
 
-        proj_names = (
-            "attn_q.weight",
-            "attn_k.weight",
-            "attn_v.weight",
-            "attn_output.weight",
-            "ffn_gate.weight",
-            "ffn_up.weight",
-            "ffn_down.weight",
-        )
         fast = not self.precise and self._all_quantized(
             ["token_embd.weight"]
-            + [f"blk.{i}.{n}" for i in range(cfg.block_count) for n in proj_names]
+            + [
+                f"blk.{i}.{n}"
+                for i in range(cfg.block_count)
+                for n in DECODER_PROJ_NAMES
+            ]
         )
 
         if fast:
@@ -389,14 +564,7 @@ class Qwen3ASRWeights:
                 "b": _vec(t[f"aenc.{name}.bias"]),
             }
 
-        enc_linears = {
-            "q": "attn_q",
-            "k": "attn_k",
-            "v": "attn_v",
-            "o": "attn_output",
-            "fc1": "ffn_up",
-            "fc2": "ffn_down",
-        }
+        enc_linears = ENCODER_LINEARS
         fast = not self.precise and self._all_quantized(
             [
                 f"aenc.blk.{i}.{n}.weight"

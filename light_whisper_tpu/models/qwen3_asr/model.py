@@ -23,12 +23,16 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import re
+import threading
 from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_log = logging.getLogger(__name__)
 
 from light_whisper_tpu.audio import mel as wmel
 from light_whisper_tpu.models.qwen3_asr import decoder as dec
@@ -248,10 +252,38 @@ class Qwen3ASRModel:
         ``precise=True`` is the fidelity mode for bit-match comparisons
         against the reference's f32 CPU path: dense float32 weights,
         float32 compute, float32 KV cache (slower; not for serving)."""
-        weights = Qwen3ASRWeights(gguf_path, precise=precise)
+        import os as _os
+
+        self._prewarm_thread = None
+        # Load-overlapped warmup (LWT_LOAD_OVERLAP_WARMUP, default on):
+        # compiled programs key on parameter SHAPES, which the GGUF header
+        # fully determines — so a shadow model with on-device zeros params
+        # starts compiling (and, on relay backends, executable-loading) the
+        # warmup program set the moment the header is parsed, while the
+        # multi-GB host prep + HBM upload still runs. The real warmup()
+        # joins the thread and then re-dispatches through warm caches.
+        # Single-chip quantized artifacts only (mesh sharding and the
+        # dense/precise legacy path skip the overlap).
+        overlap = (
+            mesh is None
+            and not precise
+            and _os.environ.get("LWT_LOAD_OVERLAP_WARMUP", "1") not in ("0", "")
+        )
+        on_parsed = (
+            (lambda w: self._start_load_prewarm(w, max_new_tokens, cache_dtype))
+            if overlap
+            else None
+        )
+        weights = Qwen3ASRWeights(gguf_path, precise=precise, on_parsed=on_parsed)
         if precise:
             cache_dtype = jnp.float32
         self.load_timings = dict(getattr(weights, "load_timings", {}))
+        if self._prewarm_thread is not None:
+            # With the shadow running, the upload's block_until_ready waits
+            # behind its compile/executable-load RPCs on relay backends —
+            # device_upload_s then reads as wall time absorbed into the
+            # overlap, not transfer speed. Flag it for attribution readers.
+            self.load_timings["overlap_warmup"] = True
         self.config: Qwen3ASRConfig = weights.config
         self.tokenizer = weights.tokenizer
         self.decoder_params = weights.decoder_params
@@ -293,6 +325,64 @@ class Qwen3ASRModel:
 
     # ------------------------------------------------------------------
 
+    def _start_load_prewarm(self, weights, max_new_tokens, cache_dtype) -> None:
+        """Spawn the shadow-warmup thread from the loader's on_parsed hook."""
+        shapes = weights.device_tree_shapes()
+        if shapes is None:
+            return
+        enc_shapes, dec_shapes = shapes
+        import os as _os
+
+        prefix_ids, suffix_ids = resolve_prompt_ids(
+            weights.metadata.get("tokenizer.chat_template"),
+            weights.tokenizer,
+            weights.config.audio_token_id,
+            context=_os.environ.get("LWT_ASR_CONTEXT", ""),
+        )
+        config, tokenizer = weights.config, weights.tokenizer
+
+        def _run():
+            import time as _time
+
+            t0 = _time.perf_counter()
+            try:
+                def zeros(leaf):
+                    if isinstance(leaf, jax.ShapeDtypeStruct):
+                        return jnp.zeros(leaf.shape, leaf.dtype)
+                    return jnp.asarray(leaf)
+
+                shadow = object.__new__(Qwen3ASRModel)
+                shadow._prewarm_thread = None
+                shadow.config = config
+                shadow.tokenizer = tokenizer
+                shadow.max_new_tokens = max_new_tokens
+                shadow.cache_dtype = cache_dtype
+                shadow.mesh = None
+                shadow._cache_sharding = None
+                shadow.prefix_ids = prefix_ids
+                shadow.suffix_ids = suffix_ids
+                shadow.encoder_params = jax.tree.map(zeros, enc_shapes)
+                shadow.decoder_params = dec.prepare_stacked_scales(
+                    jax.tree.map(zeros, dec_shapes)
+                )
+                shadow.warmup()
+                _log.info(
+                    "load-overlapped warmup done in %.1fs",
+                    _time.perf_counter() - t0,
+                )
+            except Exception:
+                _log.warning("load-overlapped warmup failed", exc_info=True)
+
+        t = threading.Thread(target=_run, name="lwt-load-prewarm", daemon=True)
+        t.start()
+        self._prewarm_thread = t
+
+    def _join_prewarm(self) -> None:
+        t = self._prewarm_thread
+        if t is not None:
+            t.join()
+            self._prewarm_thread = None
+
     def _cache_for(self, needed: int) -> dec.KVCache:
         capacity = 1024
         while capacity < needed:
@@ -321,6 +411,8 @@ class Qwen3ASRModel:
 
     def transcribe(self, audio: np.ndarray) -> TranscriptionResult:
         """Greedy transcription of mono 16 kHz audio (float32 or int16)."""
+        if self._prewarm_thread is not None:
+            self._join_prewarm()
         audio = as_device_audio(np.asarray(audio).reshape(-1))
         bucket = bucket_audio_samples(len(audio))
         padded = np.zeros(bucket, dtype=audio.dtype)
@@ -391,6 +483,8 @@ class Qwen3ASRModel:
         """
         if not audios:
             return []
+        if self._prewarm_thread is not None:
+            self._join_prewarm()
         if len(audios) == 1:
             return [self.transcribe(audios[0])]
 

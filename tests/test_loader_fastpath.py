@@ -163,6 +163,83 @@ def test_precise_mode_takes_legacy_path(tmp_path, monkeypatch):
     assert "w" in w.decoder_params["layers"]["qkv"]
 
 
+@pytest.mark.parametrize("quant_type", [gguf.GGML_Q8_0, gguf.GGML_Q4_0])
+def test_device_tree_shapes_match_real_load(tmp_path, quant_type):
+    """The shape mirror must agree with the real load leaf-for-leaf —
+    this is the drift guard that makes load-overlapped warmup safe (a
+    wrong shape would compile a program the real dispatch never uses)."""
+    import jax
+
+    path = tmp_path / "m.gguf"
+    _write(path, quant_type=quant_type)
+    captured = {}
+    w = Qwen3ASRWeights(
+        str(path),
+        on_parsed=lambda s: captured.update(shapes=s.device_tree_shapes()),
+    )
+    assert captured["shapes"] is not None
+    enc_shapes, dec_shapes = captured["shapes"]
+    for shapes, real, tag in (
+        (enc_shapes, w.encoder_params, "encoder"),
+        (dec_shapes, w.decoder_params, "decoder"),
+    ):
+        assert jax.tree.structure(shapes) == jax.tree.structure(real), tag
+        for sd, arr in zip(jax.tree.leaves(shapes), jax.tree.leaves(real)):
+            assert tuple(sd.shape) == tuple(arr.shape), tag
+            assert np.dtype(sd.dtype) == np.dtype(arr.dtype), tag
+
+
+def test_device_tree_shapes_none_for_dense(tmp_path):
+    path = tmp_path / "dense.gguf"
+    _write(path, quantize=False)
+    captured = {}
+    Qwen3ASRWeights(
+        str(path),
+        on_parsed=lambda s: captured.update(shapes=s.device_tree_shapes()),
+    )
+    assert captured["shapes"] is None
+
+
+def test_broken_on_parsed_does_not_block_loading(tmp_path):
+    path = tmp_path / "m.gguf"
+    _write(path)
+
+    def boom(_):
+        raise RuntimeError("prewarm hook exploded")
+
+    w = Qwen3ASRWeights(str(path), on_parsed=boom)
+    assert "q" in w.decoder_params["layers"]["qkv"]
+
+
+def test_load_overlap_warmup_matches_plain_model(tmp_path, monkeypatch):
+    """A model built with the load-overlapped shadow warmup transcribes
+    identically to one without it (the shadow only touches compile caches)."""
+    from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+
+    path = tmp_path / "m.gguf"
+    _write(path)
+    starts = []
+    orig = Qwen3ASRModel._start_load_prewarm
+
+    def spy(self, *a, **kw):
+        starts.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Qwen3ASRModel, "_start_load_prewarm", spy)
+    monkeypatch.setenv("LWT_LOAD_OVERLAP_WARMUP", "1")
+    overlapped = Qwen3ASRModel(str(path), max_new_tokens=8)
+    assert starts, "overlap prewarm did not engage on a quantized artifact"
+    overlapped._join_prewarm()
+
+    monkeypatch.setenv("LWT_LOAD_OVERLAP_WARMUP", "0")
+    plain = Qwen3ASRModel(str(path), max_new_tokens=8)
+    assert plain._prewarm_thread is None
+
+    rng = np.random.default_rng(7)
+    audio = (rng.standard_normal(16000) * 0.01 * 32768).astype(np.int16)
+    assert overlapped.transcribe(audio).tokens == plain.transcribe(audio).tokens
+
+
 def test_embedding_fast_pads_with_zeros(tmp_path, monkeypatch):
     path = tmp_path / "m.gguf"
     _write(path)
