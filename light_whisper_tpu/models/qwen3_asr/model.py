@@ -235,6 +235,68 @@ def _decode_greedy_batch(
     return tokens, caches
 
 
+def start_shadow_warmup(
+    config,
+    enc_shapes,
+    dec_shapes,
+    *,
+    max_new_tokens: int,
+    cache_dtype,
+    tokenizer,
+    prefix_ids,
+    suffix_ids,
+) -> threading.Thread:
+    """Warm the serving program set on a zeros-params shadow model, async.
+
+    ``enc_shapes`` / ``dec_shapes``: pytrees whose leaves are either
+    ``jax.ShapeDtypeStruct`` (materialized as on-device zeros — no host
+    transfer) or real arrays (used as-is). Compiled programs key on shapes,
+    so every program the shadow dispatches lands in the same in-process jit
+    caches — and, on relay backends, the same server-side executable state —
+    that the real model's identical-shaped dispatches will hit. Used by the
+    GGUF load overlap (``Qwen3ASRModel._start_load_prewarm``) and by
+    synthetic-weight harnesses (``scripts/measure_init_to_ready.py``) whose
+    fabricated models skip ``__init__``. The returned daemon thread never
+    raises; join it before measuring warm-path latency.
+    """
+
+    def _run():
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            def zeros(leaf):
+                if isinstance(leaf, jax.ShapeDtypeStruct):
+                    return jnp.zeros(leaf.shape, leaf.dtype)
+                return jnp.asarray(leaf)
+
+            shadow = object.__new__(Qwen3ASRModel)
+            shadow._prewarm_thread = None
+            shadow.config = config
+            shadow.tokenizer = tokenizer
+            shadow.max_new_tokens = max_new_tokens
+            shadow.cache_dtype = cache_dtype
+            shadow.mesh = None
+            shadow._cache_sharding = None
+            shadow.prefix_ids = prefix_ids
+            shadow.suffix_ids = suffix_ids
+            shadow.encoder_params = jax.tree.map(zeros, enc_shapes)
+            shadow.decoder_params = dec.prepare_stacked_scales(
+                jax.tree.map(zeros, dec_shapes)
+            )
+            shadow.warmup()
+            _log.info(
+                "load-overlapped warmup done in %.1fs",
+                _time.perf_counter() - t0,
+            )
+        except Exception:
+            _log.warning("load-overlapped warmup failed", exc_info=True)
+
+    t = threading.Thread(target=_run, name="lwt-load-prewarm", daemon=True)
+    t.start()
+    return t
+
+
 class Qwen3ASRModel:
     def __init__(
         self,
@@ -339,46 +401,19 @@ class Qwen3ASRModel:
             weights.config.audio_token_id,
             context=_os.environ.get("LWT_ASR_CONTEXT", ""),
         )
-        config, tokenizer = weights.config, weights.tokenizer
-
-        def _run():
-            import time as _time
-
-            t0 = _time.perf_counter()
-            try:
-                def zeros(leaf):
-                    if isinstance(leaf, jax.ShapeDtypeStruct):
-                        return jnp.zeros(leaf.shape, leaf.dtype)
-                    return jnp.asarray(leaf)
-
-                shadow = object.__new__(Qwen3ASRModel)
-                shadow._prewarm_thread = None
-                shadow.config = config
-                shadow.tokenizer = tokenizer
-                shadow.max_new_tokens = max_new_tokens
-                shadow.cache_dtype = cache_dtype
-                shadow.mesh = None
-                shadow._cache_sharding = None
-                shadow.prefix_ids = prefix_ids
-                shadow.suffix_ids = suffix_ids
-                shadow.encoder_params = jax.tree.map(zeros, enc_shapes)
-                shadow.decoder_params = dec.prepare_stacked_scales(
-                    jax.tree.map(zeros, dec_shapes)
-                )
-                shadow.warmup()
-                _log.info(
-                    "load-overlapped warmup done in %.1fs",
-                    _time.perf_counter() - t0,
-                )
-            except Exception:
-                _log.warning("load-overlapped warmup failed", exc_info=True)
-
-        t = threading.Thread(target=_run, name="lwt-load-prewarm", daemon=True)
-        t.start()
-        self._prewarm_thread = t
+        self._prewarm_thread = start_shadow_warmup(
+            weights.config,
+            enc_shapes,
+            dec_shapes,
+            max_new_tokens=max_new_tokens,
+            cache_dtype=cache_dtype,
+            tokenizer=weights.tokenizer,
+            prefix_ids=prefix_ids,
+            suffix_ids=suffix_ids,
+        )
 
     def _join_prewarm(self) -> None:
-        t = self._prewarm_thread
+        t = getattr(self, "_prewarm_thread", None)
         if t is not None:
             t.join()
             self._prewarm_thread = None
@@ -411,7 +446,9 @@ class Qwen3ASRModel:
 
     def transcribe(self, audio: np.ndarray) -> TranscriptionResult:
         """Greedy transcription of mono 16 kHz audio (float32 or int16)."""
-        if self._prewarm_thread is not None:
+        # getattr: fabricated instances (bench/probe scripts build the model
+        # via __new__ with explicit fields) predate the prewarm attribute
+        if getattr(self, "_prewarm_thread", None) is not None:
             self._join_prewarm()
         audio = as_device_audio(np.asarray(audio).reshape(-1))
         bucket = bucket_audio_samples(len(audio))
@@ -483,7 +520,7 @@ class Qwen3ASRModel:
         """
         if not audios:
             return []
-        if self._prewarm_thread is not None:
+        if getattr(self, "_prewarm_thread", None) is not None:
             self._join_prewarm()
         if len(audios) == 1:
             return [self.transcribe(audios[0])]

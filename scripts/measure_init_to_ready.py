@@ -87,6 +87,40 @@ def main() -> None:
         gen_s = upload_s = 0.0
     else:
         cfg = graft._flagship_config(args.model)
+
+        class _Tok:
+            tokens = []
+
+            def decode(self, ids, skip_special=True):
+                return "ready"
+
+        # Load-overlapped warmup, the product path's shape (model.py
+        # start_shadow_warmup): compiles key on shapes, which the config
+        # fully determines — so the serving program set starts compiling
+        # (and executable-loading, on relay backends) on a zeros-params
+        # shadow while the synthetic weights are still being generated
+        # and uploaded. The GGUF engine does the same from the loader's
+        # on_parsed hook.
+        overlap = os.environ.get("LWT_LOAD_OVERLAP_WARMUP", "1") not in ("0", "")
+        prewarm = None
+        if overlap:
+            from light_whisper_tpu.models.qwen3_asr.model import (
+                start_shadow_warmup,
+            )
+
+            enc_sds, dec_sds = graft._random_params(
+                cfg, quantize_decoder=True, shapes_only=True
+            )
+            prewarm = start_shadow_warmup(
+                cfg,
+                enc_sds,
+                dec_sds,
+                max_new_tokens=args.decode_tokens,
+                cache_dtype=jnp.bfloat16,
+                tokenizer=_Tok(),
+                prefix_ids=list(range(2, 10)),
+                suffix_ids=[3, 4, 5],
+            )
         host_enc, host_dec = graft._random_params(
             cfg, quantize_decoder=True, device=False
         )
@@ -97,6 +131,7 @@ def main() -> None:
         )
         upload_s = time.perf_counter() - t_up
         model = Qwen3ASRModel.__new__(Qwen3ASRModel)
+        model._prewarm_thread = prewarm
         model.config = cfg
         model.decoder_params = decoder_params
         model.encoder_params = encoder_params
@@ -107,13 +142,6 @@ def main() -> None:
         model.prefix_ids = list(range(2, 10))
         model.suffix_ids = [3, 4, 5]
         model._caches = {}
-
-        class _Tok:
-            tokens = []
-
-            def decode(self, ids, skip_special=True):
-                return "ready"
-
         model.tokenizer = _Tok()
     params_s = time.perf_counter() - t
 
@@ -181,6 +209,14 @@ def main() -> None:
                 # killing a starting engine (funasr_service.rs:273).
                 "budget_s": _init_budget_s(),
                 "model": args.model,
+                # Load-overlapped warmup active (LWT_LOAD_OVERLAP_WARMUP):
+                # the shadow starts with weight generation, so warmup wall
+                # absorbed there mirrors the product's GGUF-load overlap
+                # (the generation window stands in for the GGUF host read).
+                "overlap_warmup": os.environ.get(
+                    "LWT_LOAD_OVERLAP_WARMUP", "1"
+                )
+                not in ("0", ""),
             }
         )
     )
