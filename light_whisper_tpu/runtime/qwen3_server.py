@@ -932,6 +932,13 @@ class Qwen3EngineServer:
                 self._bg_ladder_stop.set()
             thread.join(timeout=60)
         self._bg_ladder_thread = None
+        # Same teardown hazard for the model's load-overlapped shadow
+        # warmup: normally joined by warmup()/the first transcribe, but a
+        # failed/skipped warmup can leave it mid-dispatch at exit. Bounded
+        # join — exit must not wait out a wedged relay compile.
+        prewarm = getattr(self.model, "_prewarm_thread", None)
+        if prewarm is not None and prewarm.is_alive():
+            prewarm.join(timeout=60)
         if self._scheduler is not None:
             self._scheduler.shutdown()
             self._scheduler = None
