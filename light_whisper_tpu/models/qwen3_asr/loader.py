@@ -158,6 +158,7 @@ class Qwen3ASRWeights:
                 f"unknown rope_permutation {self._rope_permutation!r}"
             )
         t1 = _time.perf_counter()
+        on_parsed_s = 0.0
         if on_parsed is not None:
             # Config, tokenizer, and every tensor's shape are known from
             # the header alone — callers use this to overlap work that
@@ -171,6 +172,7 @@ class Qwen3ASRWeights:
                 logging.getLogger(__name__).warning(
                     "on_parsed callback failed", exc_info=True
                 )
+            on_parsed_s = _time.perf_counter() - t1
         # Host prep pulls tensor data out of the mmap (first-touch IO),
         # splits Q8 blocks into int8 quants + bf16 scales, fuses/stacks
         # layers; the device pass is one transfer per leaf, synced so the
@@ -200,6 +202,10 @@ class Qwen3ASRWeights:
             "host_prep_s": round((tb - ta) + (td - tc), 3),
             "device_upload_s": round((tc - tb) + (te - td), 3),
         }
+        if on_parsed_s:
+            # keep the components summing to the load wall (the callback
+            # runs shape mirroring + prompt render + thread spawn)
+            self.load_timings["on_parsed_s"] = round(on_parsed_s, 3)
         self._tensors = None
         f.close()
 
@@ -303,8 +309,6 @@ class Qwen3ASRWeights:
         i.e. from an ``on_parsed`` callback. Structural parity with the
         real load is pinned by tests/test_loader_fastpath.py.
         """
-        import jax
-
         SDS = jax.ShapeDtypeStruct
         t = self._tensors
         if self.precise or t is None:
@@ -387,13 +391,8 @@ class Qwen3ASRWeights:
         if "output.weight" in t and not dcfg.tie_word_embeddings:
             dec_shapes["lm_head"] = linear_sds(t["output.weight"])
 
-        def norm_sds(name: str) -> Dict:
-            return {
-                "w": SDS(t[f"aenc.{name}.weight"].shape, np.float32),
-                "b": SDS(t[f"aenc.{name}.bias"].shape, np.float32),
-            }
-
-        def conv_sds(name: str) -> Dict:
+        def wb_sds(name: str) -> Dict:
+            # norms and convs share the {w, b} float32 leaf shape
             return {
                 "w": SDS(t[f"aenc.{name}.weight"].shape, np.float32),
                 "b": SDS(t[f"aenc.{name}.bias"].shape, np.float32),
@@ -416,12 +415,12 @@ class Qwen3ASRWeights:
                 d["b"] = SDS((L_enc, *bias0.shape), np.float32)
             enc_layers[key] = d
         enc_shapes = {
-            "conv1": conv_sds("conv1"),
-            "conv2": conv_sds("conv2"),
-            "conv3": conv_sds("conv3"),
+            "conv1": wb_sds("conv1"),
+            "conv2": wb_sds("conv2"),
+            "conv3": wb_sds("conv3"),
             "conv_out": linear_sds(t["aenc.conv_out.weight"]),
             "layers": enc_layers,
-            "ln_post": norm_sds("ln_post"),
+            "ln_post": wb_sds("ln_post"),
             "proj1": linear_sds(
                 t["aenc.proj1.weight"], t.get("aenc.proj1.bias")
             ),

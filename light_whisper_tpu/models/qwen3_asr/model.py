@@ -258,7 +258,32 @@ def start_shadow_warmup(
     synthetic-weight harnesses (``scripts/measure_init_to_ready.py``) whose
     fabricated models skip ``__init__``. The returned daemon thread never
     raises; join it before measuring warm-path latency.
+
+    Returns ``None`` without spawning when the device can't hold the shadow
+    params NEXT TO the real ones — the zeros trees double parameter
+    residency for the duration of the overlap, and an OOM here would
+    surface as a hard failure in the racing real upload.
     """
+    try:
+        param_bytes = sum(
+            int(np.prod(l.shape)) * np.dtype(l.dtype).itemsize
+            for tree in (enc_shapes, dec_shapes)
+            for l in jax.tree.leaves(tree)
+        )
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        margin = 2 << 30  # KV caches + compile workspace
+        if limit is not None and in_use + 2 * param_bytes + margin > limit:
+            _log.warning(
+                "skipping load-overlapped warmup: shadow params (%.1f GB) "
+                "don't fit next to the real ones (%.1f GB free)",
+                param_bytes / 2**30,
+                (limit - in_use) / 2**30,
+            )
+            return None
+    except Exception:
+        pass  # no memory stats on this backend — proceed
 
     def _run():
         import time as _time
@@ -317,6 +342,7 @@ class Qwen3ASRModel:
         import os as _os
 
         self._prewarm_thread = None
+        self._resolved_prompt_ids = None
         # Load-overlapped warmup (LWT_LOAD_OVERLAP_WARMUP, default on):
         # compiled programs key on parameter SHAPES, which the GGUF header
         # fully determines — so a shadow model with on-device zeros params
@@ -336,7 +362,20 @@ class Qwen3ASRModel:
             if overlap
             else None
         )
-        weights = Qwen3ASRWeights(gguf_path, precise=precise, on_parsed=on_parsed)
+        try:
+            weights = Qwen3ASRWeights(
+                gguf_path, precise=precise, on_parsed=on_parsed
+            )
+        except Exception:
+            # A load failure after the header parse would orphan the shadow
+            # thread mid-dispatch — jax teardown under a live dispatch
+            # aborts the process, turning a clean init error into a crash.
+            # Bounded: error reporting must not wait out a wedged compile.
+            t = self._prewarm_thread
+            if t is not None:
+                t.join(timeout=60)
+                self._prewarm_thread = None
+            raise
         if precise:
             cache_dtype = jnp.float32
         self.load_timings = dict(getattr(weights, "load_timings", {}))
@@ -375,15 +414,18 @@ class Qwen3ASRModel:
 
         # Real llama.cpp-family GGUFs carry a Jinja chat template here —
         # never a literal {audio} string — so resolution handles both (and
-        # never refuses to serve). See models/qwen3_asr/prompt.py.
-        import os as _os
-
-        self.prefix_ids, self.suffix_ids = resolve_prompt_ids(
-            weights.metadata.get("tokenizer.chat_template"),
-            self.tokenizer,
-            self.config.audio_token_id,
-            context=_os.environ.get("LWT_ASR_CONTEXT", ""),
-        )
+        # never refuses to serve). See models/qwen3_asr/prompt.py. The
+        # overlap path already resolved (and the shadow compiled against)
+        # these ids — reuse, so the two can never drift.
+        if self._resolved_prompt_ids is not None:
+            self.prefix_ids, self.suffix_ids = self._resolved_prompt_ids
+        else:
+            self.prefix_ids, self.suffix_ids = resolve_prompt_ids(
+                weights.metadata.get("tokenizer.chat_template"),
+                self.tokenizer,
+                self.config.audio_token_id,
+                context=_os.environ.get("LWT_ASR_CONTEXT", ""),
+            )
 
     # ------------------------------------------------------------------
 
@@ -401,6 +443,9 @@ class Qwen3ASRModel:
             weights.config.audio_token_id,
             context=_os.environ.get("LWT_ASR_CONTEXT", ""),
         )
+        # Stash for __init__: the shadow MUST compile the same prompt
+        # buckets the real model dispatches — one resolution, used by both.
+        self._resolved_prompt_ids = (prefix_ids, suffix_ids)
         self._prewarm_thread = start_shadow_warmup(
             weights.config,
             enc_shapes,
@@ -415,7 +460,18 @@ class Qwen3ASRModel:
     def _join_prewarm(self) -> None:
         t = getattr(self, "_prewarm_thread", None)
         if t is not None:
-            t.join()
+            waited = 0.0
+            while t.is_alive():
+                # Bounded join slices with a heartbeat: a wedged relay
+                # compile otherwise turns the first transcribe into a
+                # silent hang with nothing in the log attributing it.
+                t.join(timeout=60)
+                if t.is_alive():
+                    waited += 60
+                    _log.warning(
+                        "still waiting on load-overlapped warmup (%.0fs)",
+                        waited,
+                    )
             self._prewarm_thread = None
 
     def _cache_for(self, needed: int) -> dec.KVCache:
