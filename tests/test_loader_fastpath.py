@@ -240,6 +240,58 @@ def test_load_overlap_warmup_matches_plain_model(tmp_path, monkeypatch):
     assert overlapped.transcribe(audio).tokens == plain.transcribe(audio).tokens
 
 
+def test_prewarm_joined_when_load_fails_after_parse(tmp_path, monkeypatch):
+    """A load failure after the header parse must not orphan the shadow
+    thread — jax teardown under a live dispatch aborts the process."""
+    from light_whisper_tpu.models.qwen3_asr.model import Qwen3ASRModel
+
+    path = tmp_path / "m.gguf"
+    _write(path)
+    threads = []
+    orig = Qwen3ASRModel._start_load_prewarm
+
+    def spy(self, *a, **kw):
+        orig(self, *a, **kw)
+        threads.append(self._prewarm_thread)
+
+    monkeypatch.setattr(Qwen3ASRModel, "_start_load_prewarm", spy)
+
+    def boom(self):
+        raise RuntimeError("tensor data corrupt")
+
+    monkeypatch.setattr(Qwen3ASRWeights, "_load_encoder", boom)
+    with pytest.raises(RuntimeError, match="corrupt"):
+        Qwen3ASRModel(str(path), max_new_tokens=4)
+    assert threads and threads[0] is not None
+    assert not threads[0].is_alive(), "shadow thread left running on failure"
+
+
+def test_prewarm_skipped_when_device_memory_tight(monkeypatch):
+    """The shadow doubles parameter residency; it must not spawn when the
+    device can't hold both trees."""
+    import jax
+
+    from light_whisper_tpu.models.qwen3_asr import model as model_mod
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 1 << 20, "bytes_in_use": 0}
+
+    monkeypatch.setattr(model_mod.jax, "devices", lambda: [FakeDev()])
+    shapes = {"w": jax.ShapeDtypeStruct((1024, 1024), np.float32)}  # 4 MB
+    t = model_mod.start_shadow_warmup(
+        None,
+        shapes,
+        shapes,
+        max_new_tokens=4,
+        cache_dtype=np.float32,
+        tokenizer=None,
+        prefix_ids=[1],
+        suffix_ids=[2],
+    )
+    assert t is None
+
+
 def test_embedding_fast_pads_with_zeros(tmp_path, monkeypatch):
     path = tmp_path / "m.gguf"
     _write(path)
